@@ -1,0 +1,100 @@
+"""Graph state: a pair of DataFrames, plus derived degree/strength tables.
+
+The canonical state (SURVEY.md §1.3) is
+``edges(src long, dst long, weight double)`` — symmetrized, so every
+undirected edge appears in both directions and all weight sums follow the
+reference's double-counting convention (custom_louvain.py:19-29) — and
+``vertices(id long, ...)`` built lazily from the edge endpoints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graft.io import normalize_edges
+
+
+@dataclass
+class Graph:
+    """An undirected weighted graph held as a symmetrized edge DataFrame.
+
+    ``edges`` must already be symmetrized (both directions present,
+    self-loops once). Use :meth:`from_undirected` for raw input.
+    """
+
+    edges: DataFrame
+    _cached: bool = field(default=False, repr=False)
+
+    @classmethod
+    def from_undirected(cls, raw_edges: DataFrame) -> "Graph":
+        return cls(normalize_edges(raw_edges))
+
+    def cache(self) -> "Graph":
+        if not self._cached:
+            self.edges = self.edges.persist()
+            self._cached = True
+        return self
+
+    def unpersist(self) -> None:
+        if self._cached:
+            self.edges.unpersist()
+            self._cached = False
+
+    # --- basic relational blocks (SURVEY.md §2.2) ---
+
+    def vertices(self) -> DataFrame:
+        """All vertex ids (C1-style identity vertex table)."""
+        return self.edges.select(F.col("src").alias("id")).distinct()
+
+    def num_vertices(self) -> int:
+        return self.vertices().count()
+
+    def total_edge_weight(self) -> float:
+        """m — single-counted total edge weight (R1, custom_leiden.py:69-75).
+
+        The symmetrized table double-counts non-loop edges and holds each
+        self-loop once, so m = (sum + loop_sum) / 2 recovers the
+        single-counted total with self-loops counted once.
+        """
+        row = self.edges.agg(
+            F.sum("weight").alias("s"),
+            F.sum(F.when(F.col("src") == F.col("dst"), F.col("weight"))).alias(
+                "loops"
+            ),
+        ).first()
+        s = row["s"] or 0.0
+        loops = row["loops"] or 0.0
+        return (s + loops) / 2.0
+
+    def strength(self) -> DataFrame:
+        """Per-vertex weighted degree k_i (R2, custom_leiden.py:103-111).
+
+        Self-loops contribute twice to k_i (standard modularity
+        convention, matching the reference's double-counting).
+        Returns ``(id, k double, degree long)``.
+        """
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum(
+                F.when(
+                    F.col("src") == F.col("dst"), F.col("weight") * 2
+                ).otherwise(F.col("weight"))
+            ).alias("k"),
+            F.count(F.lit(1)).alias("degree"),
+        )
+
+    def top_degrees(self, n: int = 10) -> DataFrame:
+        """Top-n hubs by weighted degree (X5, examples/test2.py:22-26) —
+        also the skew detector feeding graft.skew."""
+        return self.strength().orderBy(F.desc("k"), "id").limit(n)
+
+    def has_self_loops(self) -> bool:
+        """X6 (examples/test1.py:40-42)."""
+        return (
+            self.edges.where(F.col("src") == F.col("dst")).limit(1).count() > 0
+        )
+
+    def without_self_loops(self) -> DataFrame:
+        return self.edges.where(F.col("src") != F.col("dst"))

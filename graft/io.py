@@ -1,0 +1,213 @@
+"""Sources: edge-list files, transcript tables, and edge normalization.
+
+Operator coverage (SURVEY.md §2.1):
+- S1/S2  ``read_edge_list``      — `u v [w]` text, `%` comments, weight=1
+- S3/S4  ``normalize_edges``     — symmetrize + dedup + renumber + pad
+- S6     ``transcripts_to_edges``— turn-adjacency edge derivation
+- (new)  ``events_to_transcripts`` — canonical mapping of the driver's
+         ``events`` table onto the transcript schema, so the same engine
+         runs against /root/testdata parquet.
+
+Everything here is plain DataFrame ops: the symmetrize/dedup/renumber
+pipeline that the reference does imperatively in its CSR loader
+(csrc/test/main.cpp:45-177) is a union + dropDuplicates + join that
+Catalyst plans as shuffles with AQE coalescing — no driver-side work,
+so it holds at 10^12 input turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a `u v [weight]` text edge list.
+
+    Semantics mirror the reference loader (csrc/test/main.cpp:117-177):
+    `%`-prefixed comment lines and blank lines are skipped; a missing
+    third column means weight 1.0 (csrc/test/main.cpp:134-143).
+    Returns ``edges(src long, dst long, weight double)`` — raw (directed
+    as written, not yet symmetrized or renumbered).
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        lines.where(
+            (F.trim("value") != "") & ~F.trim(F.col("value")).startswith("%")
+        )
+        .select(
+            parts.getItem(0).cast("long").alias("src"),
+            parts.getItem(1).cast("long").alias("dst"),
+            F.coalesce(F.get(parts, 2).cast("double"), F.lit(1.0)).alias("weight"),
+        )
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected edge table → both directions, parallel edges deduped.
+
+    Matches the reference CSR build (csrc/test/main.cpp:55-73): every
+    undirected edge appears once per direction; self-loops appear once.
+    Duplicate (src, dst) pairs keep the first weight seen — the reference
+    rejects repeated neighbor ids outright (csrc/test/main.cpp:26-33);
+    we keep MIN(weight) for determinism under parallel reads.
+    """
+    sym = edges.select("src", "dst", "weight").unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return sym.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+
+
+def renumber(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Map arbitrary vertex ids to dense 0-based longs.
+
+    The reference renumbers by min-subtraction and pads id gaps with
+    isolated vertices (csrc/test/main.cpp:85-89,153-175). At scale a
+    dense rank is the right primitive (id spaces of 10^12-turn graphs
+    are sparse); isolated-vertex padding is dropped — an id that never
+    appears in an edge does not exist in a link graph.
+
+    Returns (renumbered edges, mapping(vid long, id long)).
+    """
+    ids = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    # zipWithIndex-free dense ids: row_number over a global sort. For a
+    # 10^12-edge graph you would bucket this (rank within hash bucket +
+    # exclusive bucket offsets); at bench scale the single window is fine
+    # and deterministic.
+    mapping = ids.select(
+        "vid",
+        (F.row_number().over(Window.orderBy("vid")) - 1).cast("long").alias("id"),
+    )
+    e = (
+        edges.join(mapping.withColumnRenamed("vid", "src"), "src")
+        .drop("src")
+        .withColumnRenamed("id", "src")
+        .join(mapping.withColumnRenamed("vid", "dst"), "dst")
+        .drop("dst")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst", "weight")
+    )
+    return e, mapping
+
+
+def normalize_edges(edges: DataFrame) -> DataFrame:
+    """Full ingest pipeline: symmetrize + dedup (ids assumed long)."""
+    return symmetrize(edges)
+
+
+def transcripts_to_edges(
+    transcripts: DataFrame,
+    include_conv_edges: bool = True,
+) -> DataFrame:
+    """Derive the actor link graph from a transcript table (operator S6).
+
+    Vertices are actor keys: ``conv:<conv_id>``, ``role:<role>``,
+    ``tool:<tool>`` (a turn's actor is its tool if present, else its
+    role — per BASELINE.json north_star "vertices = conv_id/tool/role
+    actors"). Edges:
+    - one edge per *adjacent turn pair* under the stable turn ordering
+      ``Window.partitionBy(conv_id).orderBy(turn_idx)``, between the two
+      turns' actors;
+    - optionally one edge per turn between the conversation actor and the
+      turn's actor (links conversations into the graph).
+    Weight = number of co-adjacencies, undirected (canonical min/max
+    orientation before the count).
+
+    Scale: one window shuffle on conv_id + one groupBy — both keyed
+    shuffles that AQE coalesces; hub actors (popular tools/roles) create
+    skew *downstream* in graph algorithms, which is handled there
+    (graft.skew), not by pre-aggregating less here.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    actor = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+    t = transcripts.select(
+        "conv_id", "turn_idx", actor.alias("actor")
+    ).withColumn("prev_actor", F.lag("actor").over(w))
+
+    adj = t.where(F.col("prev_actor").isNotNull()).select(
+        F.least("prev_actor", "actor").alias("u"),
+        F.greatest("prev_actor", "actor").alias("v"),
+    )
+    parts = [adj]
+    if include_conv_edges:
+        conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+        parts.append(
+            t.select(
+                F.least(conv, F.col("actor")).alias("u"),
+                F.greatest(conv, F.col("actor")).alias("v"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionAll(p)
+    return pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+
+
+def actor_edges_to_long(edges_uv: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """String actor edges → long-id edges + mapping(actor, id)."""
+    e = edges_uv.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "weight"
+    )
+    ids = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    mapping = ids.select(
+        "vid",
+        (F.row_number().over(Window.orderBy("vid")) - 1).cast("long").alias("id"),
+    )
+    out = (
+        e.join(mapping.withColumnRenamed("vid", "src"), "src")
+        .drop("src")
+        .withColumnRenamed("id", "src")
+        .join(mapping.withColumnRenamed("vid", "dst"), "dst")
+        .drop("dst")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst", "weight")
+    )
+    return out, mapping
+
+
+def events_to_transcripts(events: DataFrame) -> DataFrame:
+    """Canonical mapping of the driver's ``events`` testdata table onto the
+    transcript schema (conv_id, turn_idx, role, text, tool, ts).
+
+    conv_id  = user_id as string
+    turn_idx = dense 0-based rank within the user's stream, ordered by
+               (ts, event_id) — the stable turn ordering
+    role     = event_type
+    text     = props (opaque payload; carried for the per-turn
+               text-equality invariant)
+    tool     = for purchase/error events, 't' + (k mod 8) where k is the
+               numeric payload in props — a deterministic small tool
+               vocabulary that creates hub actors; NULL otherwise
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("long")
+    return events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_type").isin("purchase", "error"),
+            F.concat(F.lit("t"), (k % 8).cast("string")),
+        ).alias("tool"),
+        "ts",
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

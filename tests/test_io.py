@@ -1,0 +1,130 @@
+"""IO layer tests: edge-list semantics (F6) and transcript derivation (F1)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from graft import fixtures
+from graft.graph import Graph
+from graft.io import (
+    actor_edges_to_long,
+    read_edge_list,
+    renumber,
+    symmetrize,
+    transcripts_to_edges,
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return fixtures.synth_transcripts(spark, n_conv=50).cache()
+
+
+def test_read_edge_list_comments_blank_weight_default(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("% a comment\n0 1\n\n1 2 0.5\n% another\n2 0\n")
+    df = read_edge_list(spark, str(p))
+    rows = {(r.src, r.dst): r.weight for r in df.collect()}
+    assert rows == {(0, 1): 1.0, (1, 2): 0.5, (2, 0): 1.0}
+
+
+def test_symmetrize_dedups_and_doubles(spark):
+    raw = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 1, 1.0), (2, 2, 3.0)],
+        schema=fixtures.EDGE_SCHEMA,
+    )
+    sym = symmetrize(raw)
+    rows = {(r.src, r.dst): r.weight for r in sym.collect()}
+    # undirected edge once per direction; self-loop once
+    assert rows == {(0, 1): 1.0, (1, 0): 1.0, (2, 2): 3.0}
+
+
+def test_renumber_dense_zero_based(spark):
+    raw = spark.createDataFrame(
+        [(100, 105, 1.0), (105, 200, 2.0)], schema=fixtures.EDGE_SCHEMA
+    )
+    e, mapping = renumber(raw)
+    ids = sorted(r.id for r in mapping.collect())
+    assert ids == [0, 1, 2]
+    rows = sorted((r.src, r.dst, r.weight) for r in e.collect())
+    assert rows == [(0, 1, 1.0), (1, 2, 2.0)]
+
+
+def test_total_edge_weight_and_strength(spark):
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.weighted_triangle_edges())
+    )
+    assert g.total_edge_weight() == pytest.approx(0.8)
+    k = {r.id: r.k for r in g.strength().collect()}
+    assert k == {
+        0: pytest.approx(0.4),
+        1: pytest.approx(0.7),
+        2: pytest.approx(0.5),
+    }
+
+
+def test_self_loop_detection_and_strength_doubling(spark):
+    g = Graph.from_undirected(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 1, 2.0)], schema=fixtures.EDGE_SCHEMA
+        )
+    )
+    assert g.has_self_loops()
+    # m counts the loop once: 1 + 2 = 3
+    assert g.total_edge_weight() == pytest.approx(3.0)
+    k = {r.id: r.k for r in g.strength().collect()}
+    # loop contributes twice to strength
+    assert k == {0: pytest.approx(1.0), 1: pytest.approx(5.0)}
+
+
+def test_transcript_edges_turn_adjacency(spark):
+    rows = [
+        ("c1", 0, "user", "t0", None, None),
+        ("c1", 1, "assistant", "t1", None, None),
+        ("c1", 2, "tool", "t2", "search", None),
+        ("c1", 3, "assistant", "t3", None, None),
+        ("c2", 0, "user", "t0", None, None),
+        ("c2", 1, "assistant", "t1", None, None),
+    ]
+    t = spark.createDataFrame(rows, schema=fixtures.TRANSCRIPT_SCHEMA)
+    adj = transcripts_to_edges(t, include_conv_edges=False)
+    got = {(r.u, r.v): r.weight for r in adj.collect()}
+    assert got == {
+        ("role:assistant", "role:user"): 2.0,
+        ("role:assistant", "tool:search"): 2.0,
+    }
+    full = transcripts_to_edges(t, include_conv_edges=True)
+    got = {(r.u, r.v): r.weight for r in full.collect()}
+    assert got[("conv:c1", "role:assistant")] == 2.0
+    assert got[("conv:c1", "tool:search")] == 1.0
+    assert got[("conv:c2", "role:user")] == 1.0
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, transcripts):
+    """input_hint invariant: deriving edges must not disturb per-turn text
+    under the stable (conv_id, turn_idx) ordering."""
+    before = [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in transcripts.orderBy("conv_id", "turn_idx").collect()
+    ]
+    transcripts_to_edges(transcripts).count()  # run the pipeline
+    after = [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in transcripts.orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert before == after
+    # texts are the deterministic f"{conv}:{idx}:{role}" stamps
+    assert all(t.startswith(f"{c}:{i}:") for c, i, t in after)
+
+
+def test_actor_edges_to_long_roundtrip(spark, transcripts):
+    uv = transcripts_to_edges(transcripts)
+    e, mapping = actor_edges_to_long(uv)
+    n = mapping.count()
+    assert e.agg(F.max("src")).first()[0] < n
+    assert e.agg(F.min("src")).first()[0] >= 0
+    assert e.count() == uv.count()
+    # total weight preserved
+    assert (
+        e.agg(F.sum("weight")).first()[0]
+        == uv.agg(F.sum("weight")).first()[0]
+    )

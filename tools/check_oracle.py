@@ -1,0 +1,87 @@
+"""Local stand-in for the driver's DuckDB-oracle comparison.
+
+Runs every __spark_entry__.queries() entry at the given sf dir, runs the
+matching oracle_sql() through DuckDB on the same parquet, and compares
+row counts + order-insensitive values (floats rounded to 6 dp).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from graft.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+                    v = 0.0 if v == 0 else v
+            vals.append((c, v))
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
+    spark = get_spark("oracle-check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and only != name:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [r.asDict() for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name}: rows={len(srows)} (no oracle — rows-only)")
+            continue
+        orel = con.sql(oracles[name])
+        ocols = orel.columns
+        orows = [dict(zip(ocols, row)) for row in orel.fetchall()]
+        ok_schema = sorted(scols) == sorted(ocols)
+        a, b = canon(srows, scols), canon(orows, ocols)
+        ok_vals = a == b
+        status = "OK" if (ok_schema and ok_vals) else "MISMATCH"
+        if status != "OK":
+            failures += 1
+            print(f"{name}: {status} schema={ok_schema} "
+                  f"spark_rows={len(srows)} duck_rows={len(orows)}")
+            for x, y in list(zip(a, b))[:5]:
+                if x != y:
+                    print("  spark:", x, "\n  duck :", y)
+            if len(a) != len(b):
+                sa, sb = set(map(repr, a)), set(map(repr, b))
+                print("  only-spark:", list(sa - sb)[:3])
+                print("  only-duck :", list(sb - sa)[:3])
+        else:
+            print(f"{name}: OK rows={len(srows)}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
