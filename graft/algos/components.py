@@ -1,0 +1,129 @@
+"""Connected components (capability X7, required by the north rule).
+
+Two modes:
+
+- ``"propagate"`` — classic min-label propagation: each superstep every
+  vertex takes the min label among itself and its neighbors. O(diameter)
+  supersteps, one join + one groupBy each. Right choice for link graphs
+  (small diameter) and exactly matches the fixed-round SQL oracle.
+
+- ``"star"`` — the large-star/small-star alternating algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  converging in O(log n) rounds regardless of diameter — the 100-TB
+  path for adversarial graphs (long chains from mega-conversations).
+
+Both return exact per-vertex component labels = min vertex id in the
+component (deterministic, comparable to any oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graft.checkpoint import Checkpointer, truncate
+from graft.graph import Graph
+
+
+def _min_neighbor_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """labels' = min(label, min over neighbors' labels). Edges symmetric."""
+    nbr_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy(edges.src.alias("id"))
+        .agg(F.min("comp").alias("nbr"))
+    )
+    return labels.join(nbr_min, "id", "left").select(
+        "id", F.least("comp", F.coalesce("nbr", "comp")).alias("comp")
+    )
+
+
+def connected_components(
+    graph: Graph,
+    max_iter: int = 200,
+    mode: str = "propagate",
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """Returns ``(id long, comp long)`` with comp = min id in component."""
+    if mode == "star":
+        return _cc_star(graph, max_iter, checkpointer)
+    edges = graph.without_self_loops().select("src", "dst").persist()
+    labels = graph.vertices().select("id", F.col("id").alias("comp"))
+    labels = truncate(labels)
+    for it in range(max_iter):
+        new_labels = truncate(_min_neighbor_round(edges, labels))
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if checkpointer is not None:
+            labels = checkpointer.save(it, labels, algo="cc", changed=changed)
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def _cc_star(
+    graph: Graph, max_iter: int, checkpointer: Checkpointer | None
+) -> DataFrame:
+    """Alternating large-star/small-star on the edge set.
+
+    State is an edge list that converges to a star per component
+    (every vertex linked directly to the component minimum).
+    """
+    def large_star(e: DataFrame) -> DataFrame:
+        # For each u: m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u.
+        nbrs = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Orient edges u > v; for each u: m = min neighbor; emit (x, m)
+        # for x ∈ N⁻(u) ∪ {u}, x ≠ m.
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = oriented.join(m, "u")
+        pairs = with_m.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+        return pairs.where(F.col("u") != F.col("v")).distinct()
+
+    e = (
+        graph.without_self_loops()
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") > F.col("v"))
+        .distinct()
+    )
+    e = truncate(e)
+    for it in range(max_iter):
+        new_e = truncate(small_star(large_star(e)))
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if checkpointer is not None:
+            e = checkpointer.save(it, e, algo="cc_star", changed=changed)
+        if changed == 0:
+            break
+    # At the fixed point every edge is (member, root). Roots and isolated
+    # vertices label themselves.
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = graph.vertices().join(
+        labels.select(F.col("id")).distinct(), "id", "left_anti"
+    ).select("id", F.col("id").alias("comp"))
+    return labels.unionAll(roots)

@@ -1,0 +1,68 @@
+"""PageRank: allclose 1e-6 vs the numpy oracle (north_rule requirement)."""
+
+import pytest
+
+from graft import fixtures
+from graft.algos.pagerank import pagerank
+from graft.checkpoint import Checkpointer
+from graft.graph import Graph
+from tests.reference_impls import pagerank_ref, random_graph
+
+
+def _run(spark, edges, **kw):
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.rank for r in pagerank(g, **kw).collect()}
+    g.unpersist()
+    return got
+
+
+def _check(spark, edges, **kw):
+    got = _run(spark, edges, **kw)
+    want = pagerank_ref(edges, **kw)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), f"vertex {v}"
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_clique_ring(spark):
+    _check(spark, fixtures.clique_ring_edges())
+
+
+def test_clique_ring_weighted(spark):
+    _check(spark, fixtures.clique_ring_weighted_edges())
+
+
+def test_weighted_triangle(spark):
+    _check(spark, fixtures.weighted_triangle_edges())
+
+
+def test_random_graph_with_self_loop(spark):
+    edges = random_graph(30, 0.15, seed=7) + [(3, 3, 2.0)]
+    _check(spark, edges)
+
+
+def test_symmetric_graph_uniform_on_regular(spark):
+    # a cycle is 2-regular: stationary distribution is uniform
+    edges = [(i, (i + 1) % 8, 1.0) for i in range(8)]
+    got = _run(spark, edges)
+    for v in range(8):
+        assert got[v] == pytest.approx(1.0 / 8, abs=1e-6)
+
+
+def test_checkpoint_resume_equivalence(spark, tmp_path):
+    """north_rule: resumable from checkpoint — a resumed run must land on
+    the same ranks as an uninterrupted one."""
+    edges = random_graph(25, 0.2, seed=11)
+    full = _run(spark, edges, max_iter=30)
+
+    ck1 = Checkpointer(spark, str(tmp_path), "pr")
+    _run(spark, edges, max_iter=5, checkpointer=ck1)  # interrupted early
+    assert ck1.latest_step() == 4
+    assert len(ck1.metrics()) == 5
+    assert all("partition_rows" in m for m in ck1.metrics())
+
+    ck2 = Checkpointer(spark, str(tmp_path), "pr")  # same dir → resumes
+    resumed = _run(spark, edges, max_iter=30, checkpointer=ck2)
+    for v in full:
+        assert resumed[v] == pytest.approx(full[v], abs=1e-9)
