@@ -15,6 +15,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import graft.pipeline.oracles as _po
+from graft.algos.components import connected_components
+from graft.algos.leiden import leiden
+from graft.algos.louvain import louvain
+from graft.algos.lpa import label_propagation
+from graft.algos.pagerank import pagerank
+from graft.algos.triangles import triangle_count
 from graft.graph import Graph
 from graft.io import (
     actor_edges_to_long,
@@ -66,8 +73,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # canonical events→transcripts→actor mapping, mirroring
 # graft.io.events_to_transcripts + transcripts_to_edges
-_SQL_ACTORS = r"""
-WITH t AS (
+# (_SQL_ACTORS_BODY carries no WITH keyword so recursive queries can
+# prepend WITH RECURSIVE)
+_SQL_ACTORS_BODY = r"""t AS (
   SELECT cast(user_id AS varchar) AS conv_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
            AS turn_idx,
@@ -96,6 +104,8 @@ WITH t AS (
 )
 """
 
+_SQL_ACTORS = "WITH " + _SQL_ACTORS_BODY
+
 _SQL_SYM = (
     _SQL_ACTORS
     + """
@@ -105,6 +115,117 @@ _SQL_SYM = (
   SELECT v AS id, weight AS w FROM e WHERE u <> v
 )
 """
+)
+
+# directed expansion of the undirected edge table (each non-loop edge in
+# both directions, loops once) — the engine's symmetrized table
+_SQL_SYM2 = """
+, sym2 AS (
+  SELECT u AS src, v AS dst, weight FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst, weight FROM e WHERE u <> v
+), verts AS (
+  SELECT DISTINCT src AS id FROM sym2
+), outw AS (
+  SELECT src, sum(weight) AS s FROM sym2 GROUP BY src
+), nv AS (
+  SELECT count(*) AS n FROM verts
+)
+"""
+
+
+def _sql_pagerank_iter(prev: str, cur: str, alpha: float = 0.85) -> str:
+    """One unrolled PageRank superstep (no dangling on a symmetric graph)."""
+    return f"""
+, {cur} AS (
+  SELECT e2.dst AS id,
+         (1 - {alpha}) / (SELECT n FROM nv)
+           + {alpha} * sum(r.rank * e2.weight / ow.s) AS rank
+  FROM sym2 e2
+  JOIN {prev} r ON e2.src = r.id
+  JOIN outw ow ON e2.src = ow.src
+  GROUP BY e2.dst
+)"""
+
+
+_SQL_PAGERANK_3ITER = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)"
+    + _sql_pagerank_iter("r0", "r1")
+    + _sql_pagerank_iter("r1", "r2")
+    + _sql_pagerank_iter("r2", "r3")
+    + "\nSELECT id, round(rank, 6) AS rank FROM r3"
+)
+
+_SQL_CC = (
+    "WITH RECURSIVE "
+    + _SQL_ACTORS_BODY
+    + _SQL_SYM2
+    + """
+, reach(v, u) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym2 s ON r.u = s.src
+)
+SELECT v AS id, min(u) AS comp FROM reach GROUP BY v"""
+)
+
+_SQL_COMPONENT_SIZES = (
+    "WITH RECURSIVE "
+    + _SQL_ACTORS_BODY
+    + _SQL_SYM2
+    + """
+, reach(v, u) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym2 s ON r.u = s.src
+), labels AS (
+  SELECT v AS id, min(u) AS comp FROM reach GROUP BY v
+)
+SELECT comp, count(*) AS size FROM labels GROUP BY comp"""
+)
+
+
+def _sql_lpa_round(prev: str, cur: str) -> str:
+    """One synchronous LPA round, tie-break (max weight, min label)."""
+    return f"""
+, {cur}_scores AS (
+  SELECT e2.src AS vid, l.label, sum(e2.weight) AS w
+  FROM sym2 e2 JOIN {prev} l ON e2.dst = l.id
+  WHERE e2.src <> e2.dst
+  GROUP BY e2.src, l.label
+), {cur}_best AS (
+  SELECT vid AS id, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY w DESC, label) AS rn
+    FROM {cur}_scores
+  ) WHERE rn = 1
+), {cur} AS (
+  SELECT v.id, coalesce(b.label, p.label) AS label
+  FROM verts v
+  JOIN {prev} p ON v.id = p.id
+  LEFT JOIN {cur}_best b ON v.id = b.id
+)"""
+
+
+_SQL_LPA_2ROUNDS = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", l0 AS (SELECT id, id AS label FROM verts)"
+    + _sql_lpa_round("l0", "l1")
+    + _sql_lpa_round("l1", "l2")
+    + "\nSELECT id, label FROM l2"
+)
+
+_SQL_TRIANGLES = (
+    _SQL_ACTORS
+    + """
+, und AS (SELECT u, v FROM e WHERE u < v)
+SELECT count(*) AS triangles
+FROM und a
+JOIN und b ON a.u = b.u AND a.v < b.v
+JOIN und c ON c.u = a.v AND c.v = b.v"""
 )
 
 
@@ -146,6 +267,144 @@ def _q_self_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _actor_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """String-keyed actor graph (engine ops are key-type agnostic)."""
+    uv = _edges_uv(spark, sf_dir).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "weight"
+    )
+    return Graph.from_undirected(uv)
+
+
+def _q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _actor_graph(spark, sf_dir).cache()
+    pr = pagerank(g, fixed_iterations=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _actor_graph(spark, sf_dir).cache()
+    return connected_components(g)
+
+
+def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _q_components(spark, sf_dir)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+
+
+def _q_lpa_2rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _actor_graph(spark, sf_dir).cache()
+    return label_propagation(g, max_iter=2)
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _actor_graph(spark, sf_dir).cache()
+    n = triangle_count(g)
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+def _q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (iterative, not SQL-expressible): final Leiden
+    labels on the long-id actor graph, joined back to actor keys."""
+    e, mapping = actor_edges_to_long(_edges_uv(spark, sf_dir))
+    g = Graph.from_undirected(e).cache()
+    labels = leiden(g, gamma=0.05, seed=1234)
+    return labels.join(mapping, "id").select(
+        F.col("vid").alias("actor"), F.col("community")
+    )
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: Louvain labels on the long-id actor graph."""
+    e, mapping = actor_edges_to_long(_edges_uv(spark, sf_dir))
+    g = Graph.from_undirected(e).cache()
+    labels = louvain(g, seed=1234)
+    return labels.join(mapping, "id").select(
+        F.col("vid").alias("actor"), F.col("community")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=16, k=3)
+
+
+def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).cache()
+    sigs = minhash_signatures(docs, n_hashes=16, k=3)
+    cands = lsh_candidate_pairs(sigs, n_hashes=16, bands=4, max_bucket=50)
+    return ngram_jaccard_pairs(docs, cands, k=3, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(x) for x in q], k=10)
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.similarity import embedding_near_dups
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # threshold 0.4: the synthetic embeddings have no true near-dups
+    # (max pairwise cosine ≈ 0.51), so a 0.95 cut would vacuously match
+    return embedding_near_dups(
+        emb, threshold=0.4, n_planes=0, max_bucket=1_000_000
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64)
+    return extract_features(media, dim=16).select("media_id", "n_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_edges": _q_transcript_edges,
@@ -153,6 +412,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hubs": _q_top_hubs,
         "total_edge_weight_m": _q_total_edge_weight,
         "self_loops": _q_self_loops,
+        "pagerank_3iter": _q_pagerank_3iter,
+        "connected_components": _q_components,
+        "component_sizes": _q_component_sizes,
+        "lpa_2rounds": _q_lpa_2rounds,
+        "triangle_count": _q_triangles,
+        "leiden_communities": _q_leiden,
+        "louvain_communities": _q_louvain,
+        "doc_token_counts": _q_token_counts,
+        "doc_fingerprints": _q_fingerprints,
+        "exact_dedup": _q_exact_dedup,
+        "doc_lang_id": _q_lang_id,
+        "minhash_signatures": _q_minhash,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "media_features": _q_media_features,
     }
 
 
@@ -172,4 +448,22 @@ ORDER BY k DESC, id LIMIT 10""",
 SELECT count(*) AS n_self_loops,
        coalesce(sum(weight), 0.0) AS loop_weight
 FROM e WHERE u = v""",
+        "pagerank_3iter": _SQL_PAGERANK_3ITER,
+        "connected_components": _SQL_CC,
+        "component_sizes": _SQL_COMPONENT_SIZES,
+        "lpa_2rounds": _SQL_LPA_2ROUNDS,
+        "triangle_count": _SQL_TRIANGLES,
+        # leiden_communities / louvain_communities: iterative multi-level
+        # algorithms — intentionally no SQL oracle (driver rows-only check);
+        # exact-label correctness is covered by pytest golden tests.
+        "doc_token_counts": _po.SQL_TOKEN_COUNTS,
+        "doc_fingerprints": _po.SQL_FINGERPRINTS,
+        "exact_dedup": _po.SQL_EXACT_DEDUP,
+        "doc_lang_id": _po.SQL_LANG_ID,
+        "minhash_signatures": _po.SQL_MINHASH,
+        "near_dup_pairs": _po.SQL_NEAR_DUP_PAIRS,
+        "cosine_topk": _po.SQL_COSINE_TOPK,
+        "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
+        # simhash: hex→int conversion isn't portable to DuckDB — rows-only.
+        # media_features: synthetic in-code media table — rows-only.
     }

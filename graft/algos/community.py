@@ -1,0 +1,403 @@
+"""Shared machinery for Louvain/Leiden: bulk-synchronous local moving,
+graph aggregation (contraction) and label propagation down the level
+hierarchy.
+
+This is the Spark re-expression of the reference's hottest path
+(SURVEY.md §2.4 C5/C6, §4 P1-P3):
+
+- the node→community weight gather (A2,
+  edge_gather_new_neighbor_comm_weights_kernel,
+  csrc/src/leiden_kernel.cu:187-227) is a join + partial/final hash
+  aggregation — the exact rewrite that took the reference from 92.7 s to
+  0.6 s (report.txt:19-27), and the one Catalyst plans natively;
+- the per-vertex argmax (C5) is a struct-max aggregation (no window —
+  map-side partials absorb hub skew);
+- the reference's graph-coloring + per-community locks (P3,
+  csrc/src/leiden_kernel.cu:66-76,144-159) become a deterministic
+  independent-set commit: a selected mover commits only if its hash
+  priority beats every adjacent mover's, which prevents the A↔B
+  oscillation of naive bulk-synchronous moves while staying lock-free.
+
+Vertex state: ``(id long, community long, agg_count long, k double)``
+with ``k`` = strength (self-loops doubled) and ``agg_count`` = number of
+original vertices carried by the (super)node.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graft.checkpoint import truncate
+
+
+@dataclass
+class Level:
+    """One level of the hierarchy: symmetrized edges + vertex state."""
+
+    edges: DataFrame  # (src, dst, weight) symmetrized, loops once
+    vertices: DataFrame  # (id, community, agg_count, k)
+
+
+def init_level(edges: DataFrame) -> Level:
+    """Singleton communities, agg_count=1, k=strength (C1,
+    custom_leiden.py:525-531)."""
+    verts = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight") * 2).otherwise(
+                F.col("weight")
+            )
+        ).alias("k")
+    ).select(
+        "id",
+        F.col("id").alias("community"),
+        F.lit(1).cast("long").alias("agg_count"),
+        "k",
+    )
+    return Level(edges=edges, vertices=verts)
+
+
+def gather_neighbor_comm_weights(
+    edges: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """A2: for every (vertex, neighboring community) the total edge
+    weight — self-loops excluded (a node is not its own neighbor,
+    csrc/src/leiden_kernel.cu:66-69). Returns (id, nbr_comm, k_vc)."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .join(
+            assign.select(
+                F.col("id").alias("dst"), F.col("community").alias("nbr_comm")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"), "nbr_comm")
+        .agg(F.sum("weight").alias("k_vc"))
+    )
+
+
+def community_aggregates(vertices: DataFrame) -> DataFrame:
+    """(community, n long, stot double): aggregate node count + total
+    strength per community (A1 recomputed per superstep — the reference
+    found full re-gather beats incremental maintenance, report.txt:24-25)."""
+    return vertices.groupBy("community").agg(
+        F.sum("agg_count").alias("n"), F.sum("k").alias("stot")
+    )
+
+
+def _select_moves(
+    vertices: DataFrame,
+    gather: DataFrame,
+    comm_agg: DataFrame,
+    objective: str,
+    gamma: float,
+    m: float,
+) -> DataFrame:
+    """Per-vertex best positive-delta move → (id, new_community, delta).
+
+    CPM delta (SURVEY.md §1.4 item 4, custom_leiden.py:262-280):
+        ΔH = (k_v→new − γ·n_v·n_new) − (k_v→own\\v − γ·n_v·(n_own − n_v))
+    Modularity delta (custom_louvain.py:124-160 closed form):
+        ΔQ = (k_v→new − k_v→own\\v)/m − k_v·(Σtot_new − Σtot_own + k_v)/(2m²)
+    """
+    v = vertices.select("id", "community", "agg_count", "k")
+    own = gather.withColumnRenamed("nbr_comm", "community").withColumnRenamed(
+        "k_vc", "k_own"
+    )
+    base = (
+        v.join(own, ["id", "community"], "left")
+        .na.fill({"k_own": 0.0})
+        .join(
+            comm_agg.select(
+                "community",
+                F.col("n").alias("n_own"),
+                F.col("stot").alias("stot_own"),
+            ),
+            "community",
+        )
+    )
+    cand = base.join(
+        gather.select("id", "nbr_comm", "k_vc"), "id"
+    ).where(F.col("nbr_comm") != F.col("community")).join(
+        comm_agg.select(
+            F.col("community").alias("nbr_comm"),
+            F.col("n").alias("n_new"),
+            F.col("stot").alias("stot_new"),
+        ),
+        "nbr_comm",
+    )
+    if objective == "cpm":
+        delta = (
+            F.col("k_vc") - F.lit(gamma) * F.col("agg_count") * F.col("n_new")
+        ) - (
+            F.col("k_own")
+            - F.lit(gamma)
+            * F.col("agg_count")
+            * (F.col("n_own") - F.col("agg_count"))
+        )
+    elif objective == "modularity":
+        delta = (F.col("k_vc") - F.col("k_own")) / F.lit(m) - F.col("k") * (
+            F.col("stot_new") - F.col("stot_own") + F.col("k")
+        ) / F.lit(2.0 * m * m)
+    else:
+        raise ValueError(f"unknown objective {objective!r}")
+    scored = cand.select(
+        "id", "community", F.col("nbr_comm"), delta.alias("delta")
+    ).where(F.col("delta") > 0)
+    # argmax with deterministic tie-break: max struct(delta, -nbr_comm)
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("delta"), (-F.col("nbr_comm")).alias("nc")
+                )
+            ).alias("top")
+        )
+        .select(
+            "id",
+            (-F.col("top.nc")).alias("new_community"),
+            F.col("top.delta").alias("delta"),
+        )
+    )
+
+
+def _resolve_conflicts(
+    moves: DataFrame, edges: DataFrame, it: int, seed: int
+) -> DataFrame:
+    """Commit only an independent set of movers (P3 rewrite).
+
+    Deterministic per-superstep hash priority; a mover yields to any
+    adjacent mover with lower (priority, id). Mirrors the reference's
+    lowest-random-wins coloring (csrc/src/leiden_kernel.cu:66-76)
+    without locks.
+    """
+    prio = F.xxhash64(F.col("id"), F.lit(it), F.lit(seed))
+    m = moves.select("id", "new_community", prio.alias("prio"))
+    mover_edges = (
+        edges.where(F.col("src") != F.col("dst"))
+        .join(m.select(F.col("id").alias("src"), F.col("prio").alias("p_src")), "src")
+        .join(m.select(F.col("id").alias("dst"), F.col("prio").alias("p_dst")), "dst")
+    )
+    blocked = mover_edges.where(
+        (F.col("p_dst") < F.col("p_src"))
+        | ((F.col("p_dst") == F.col("p_src")) & (F.col("dst") < F.col("src")))
+    ).select(F.col("src").alias("id")).distinct()
+    return m.join(blocked, "id", "left_anti").select("id", "new_community")
+
+
+def _quality(
+    edges: DataFrame, vertices: DataFrame, objective: str, gamma: float, m: float
+) -> float:
+    """Current partition quality from two aggregations (closed forms)."""
+    a_src = vertices.select(
+        F.col("id").alias("src"), F.col("community").alias("cs")
+    )
+    a_dst = vertices.select(
+        F.col("id").alias("dst"), F.col("community").alias("cd")
+    )
+    w_in = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("src") != F.col("dst"), F.col("weight"))
+                    .otherwise(F.lit(0.0))
+                )
+                / 2.0
+                + F.sum(
+                    F.when(F.col("src") == F.col("dst"), F.col("weight"))
+                    .otherwise(F.lit(0.0))
+                )
+            ).alias("w_in")
+        )
+    )
+    comm = community_aggregates(vertices).join(w_in, "community", "left")
+    if objective == "cpm":
+        expr = F.sum(
+            F.coalesce("w_in", F.lit(0.0))
+            - F.lit(gamma) * F.col("n") * (F.col("n") - 1) / 2.0
+        )
+    else:
+        expr = F.sum(
+            F.coalesce("w_in", F.lit(0.0)) * 2 / (2 * m)
+            - (F.col("stot") / (2 * m)) * (F.col("stot") / (2 * m))
+        )
+    return float(comm.agg(expr).first()[0] or 0.0)
+
+
+# sweep index from which oscillation detection (per-sweep quality probe)
+# kicks in; before that, sweeps are assumed productive
+_QUALITY_CHECK_FROM = 5
+
+
+def move_nodes(
+    level: Level,
+    objective: str,
+    gamma: float = 1.0,
+    m: float = 1.0,
+    max_sweeps: int = 50,
+    seed: int = 1234,
+    patience: int = 3,
+    on_sweep=None,
+) -> tuple[Level, int]:
+    """Local moving to convergence (C5/C8): repeat gather → delta →
+    argmax → independent-set commit → apply, until a sweep commits zero
+    moves OR the partition quality stops improving for ``patience``
+    sweeps (bulk-synchronous moves on hub-heavy graphs can oscillate a
+    small churn set forever — quality-guided stopping keeps the
+    best-seen partition, the BSP analog of the reference's hard
+    10-iteration cap, csrc/src/leiden_kernel.cu:1211-1213).
+
+    Returns (updated level with the best-seen vertices, total moves).
+    """
+    edges = level.edges
+    vertices = truncate(level.vertices)
+    total = 0
+    best_vertices = vertices
+    best_q = None
+    stall = 0
+    retired: list[DataFrame] = []
+    for it in range(max_sweeps):
+        gather = gather_neighbor_comm_weights(edges, vertices)
+        comm_agg = community_aggregates(vertices)
+        moves = _select_moves(vertices, gather, comm_agg, objective, gamma, m)
+        # materialize the (small) commit set ONCE; the count and the
+        # apply-join below both reuse it instead of recomputing the
+        # gather→select→conflict chain
+        commits = truncate(_resolve_conflicts(moves, edges, it, seed))
+        n_moves = commits.count()
+        if n_moves == 0:
+            commits.unpersist()
+            break
+        new_vertices = truncate(
+            vertices.join(commits, "id", "left").select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+                "agg_count",
+                "k",
+            )
+        )
+        commits.unpersist()
+        total += n_moves
+        # Quality probes cost a job each; well-behaved graphs converge to
+        # zero moves within a few sweeps, so only start paying for
+        # oscillation detection once the sweep count suggests trouble.
+        if it >= _QUALITY_CHECK_FROM:
+            q = _quality(edges, new_vertices, objective, gamma, m)
+            if best_q is None or q > best_q + 1e-12:
+                if best_vertices is not vertices:
+                    retired.append(best_vertices)
+                best_q = q
+                best_vertices = new_vertices
+                stall = 0
+            else:
+                stall += 1
+        else:
+            if best_vertices is not vertices:
+                retired.append(best_vertices)
+            best_vertices = new_vertices
+        if vertices is not best_vertices:
+            retired.append(vertices)
+        vertices = new_vertices
+        if on_sweep is not None:
+            on_sweep(it, n_moves, vertices)
+        if stall >= patience:
+            break
+    for df in retired:
+        if df is not best_vertices and df is not vertices:
+            df.unpersist()
+    if vertices is not best_vertices:
+        vertices.unpersist()
+    return Level(edges=edges, vertices=best_vertices), total
+
+
+def aggregate_graph(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """A4 contraction: community graph with self-loops carrying the
+    single-counted intra-community weight (custom_leiden.py:611-637
+    'Important: this should include adding self-edges').
+
+    Input edges symmetrized → output edges symmetrized by construction;
+    internal non-loop weight lands twice on (c, c) so it is halved, then
+    original loops are added once.
+    """
+    a_src = assign.select(F.col("id").alias("src"), F.col("community").alias("cu"))
+    a_dst = assign.select(F.col("id").alias("dst"), F.col("community").alias("cv"))
+    joined = edges.join(a_src, "src").join(a_dst, "dst")
+    return joined.groupBy(
+        F.col("cu").alias("src"), F.col("cv").alias("dst")
+    ).agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("cu") == F.col("cv")) & (F.col("src") != F.col("dst")),
+                    F.col("weight") / 2,
+                ).otherwise(F.lit(0.0))
+            )
+            + F.sum(
+                F.when(
+                    ~((F.col("cu") == F.col("cv")) & (F.col("src") != F.col("dst"))),
+                    F.col("weight"),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("weight")
+    )
+
+
+def aggregate_vertices(vertices: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Vertex state for the contracted graph: one supernode per
+    community, agg_count summed, k recomputed from the new edges,
+    fresh singleton communities."""
+    counts = vertices.groupBy(F.col("community").alias("id")).agg(
+        F.sum("agg_count").alias("agg_count")
+    )
+    k = new_edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight") * 2).otherwise(
+                F.col("weight")
+            )
+        ).alias("k")
+    )
+    return counts.join(k, "id", "left").select(
+        "id",
+        F.col("id").alias("community"),
+        "agg_count",
+        F.coalesce("k", F.lit(0.0)).alias("k"),
+    )
+
+
+def propagate_labels(
+    base_ids: DataFrame, mappings: list[DataFrame]
+) -> DataFrame:
+    """C14: fold child→parent mapping tables down to original vertices.
+
+    ``mappings[i]`` is (child long, parent long) for level i. Returns
+    (id, community). One join per level — the hierarchy is shallow
+    (O(log V) levels), so this is a handful of broadcastable joins.
+    """
+    cur = base_ids.select("id", F.col("id").alias("community"))
+    for mp in mappings:
+        cur = (
+            cur.join(
+                mp.withColumnRenamed("child", "community"), "community", "left"
+            )
+            .select(
+                "id",
+                F.coalesce("parent", "community").alias("community"),
+            )
+        )
+    return cur
+
+
+def all_singletons(vertices: DataFrame) -> bool:
+    """A8 convergence predicate (custom_leiden.py:601-609):
+    every community has exactly one (super)node."""
+    row = vertices.agg(
+        F.countDistinct("community").alias("c"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return row["c"] == row["n"]

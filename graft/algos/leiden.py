@@ -1,0 +1,238 @@
+"""Leiden community detection (C16, custom_leiden.py:693-757 semantics).
+
+Level loop: CPM local moving (shared BSP machinery, community.py) →
+convergence check → refinement → contraction by the *refined* partition
+with initial communities from P (maintain_p, custom_leiden.py:493-523)
+→ next level. Final labels flow down the refined-mapping chain
+(propagate_partitions, custom_leiden.py:659-677).
+
+Refinement (merge_nodes_subset, custom_leiden.py:350-460 /
+refine_kernel csrc/src/leiden_kernel.cu:599-761) is inherently
+sequential *within* a community but embarrassingly parallel *across*
+communities — exactly the shape of a cogrouped ``applyInPandas``: each
+community's member table and induced edge table arrive as one Arrow
+batch, the per-community loop runs in numpy/dicts (communities are
+small after local moving), and no per-row Python ever touches the
+distributed path (input_hint requirement).
+
+Semantics preserved (SURVEY.md §1.4 item 7):
+- restart from singletons inside each community S;
+- only well-connected nodes move:   v_in ≥ γ·n_v·(S_tot − n_v);
+- only into well-connected comms:   c_cut ≥ γ·n_c·(S_tot − n_c);
+- only nodes still in singleton refined communities move;
+- greedy best positive CPM delta with deterministic (min-label)
+  tie-break — the reference's actual behavior (its exp(ΔH/θ) sampling
+  branch is commented out, custom_leiden.py:428-450); θ is accepted for
+  API parity with cugraph.leiden (examples/test2.py:49) but unused;
+- connectedness totals use aggregate node counts, not edge weights
+  (candidate_node_count, custom_leiden.py:159-165).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graft.checkpoint import Checkpointer, truncate
+from graft.algos.community import (
+    Level,
+    aggregate_graph,
+    all_singletons,
+    init_level,
+    move_nodes,
+)
+from graft.graph import Graph
+
+
+def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
+                      gamma: float, seed: int) -> pd.DataFrame:
+    """Sequential refinement of one community S (runs inside the UDF)."""
+    ids = nodes["id"].to_numpy()
+    n_v = dict(zip(nodes["id"], nodes["agg_count"]))
+    s_tot = int(nodes["agg_count"].sum())
+    comm_id = int(nodes["community"].iloc[0])
+
+    # adjacency within S (single-counted pairs, loops excluded from v_in)
+    adj: dict[int, dict[int, float]] = {int(v): {} for v in ids}
+    for u, v, w in zip(edges["u"], edges["v"], edges["weight"]):
+        u, v, w = int(u), int(v), float(w)
+        if u == v:
+            continue
+        adj[u][v] = adj[u].get(v, 0.0) + w
+        adj[v][u] = adj[v].get(u, 0.0) + w
+    v_in = {v: sum(adj[v].values()) for v in adj}
+
+    refined = {int(v): int(v) for v in ids}
+    rc_n = {int(v): int(n_v[v]) for v in ids}
+    rc_size = {int(v): 1 for v in ids}
+    rc_cut = {int(v): v_in[int(v)] for v in ids}
+
+    import numpy as np
+
+    rng = np.random.default_rng((seed * 1_000_003 + comm_id) % (2**63))
+    order = [int(ids[i]) for i in rng.permutation(len(ids))]
+    for v in order:
+        nv = int(n_v[v])
+        if v_in[v] < gamma * nv * (s_tot - nv):
+            continue  # not well-connected
+        if rc_size[refined[v]] > 1:
+            continue  # only singleton refined communities may move
+        k_to: dict[int, float] = {}
+        for u, w in adj[v].items():
+            rc = refined[u]
+            if rc != refined[v]:
+                k_to[rc] = k_to.get(rc, 0.0) + w
+        best, best_delta = None, 0.0
+        for rc, k in k_to.items():
+            if rc_cut[rc] < gamma * rc_n[rc] * (s_tot - rc_n[rc]):
+                continue  # target not well-connected
+            delta = k - gamma * nv * rc_n[rc]
+            if delta > best_delta or (
+                delta == best_delta and best is not None and rc < best
+            ):
+                if delta > 0:
+                    best, best_delta = rc, delta
+        if best is not None:
+            old = refined[v]
+            refined[v] = best
+            rc_n[best] += nv
+            rc_size[best] += 1
+            rc_cut[best] += v_in[v] - 2.0 * k_to[best]
+            del rc_n[old], rc_size[old], rc_cut[old]
+    return pd.DataFrame(
+        {"id": list(refined), "refined": [refined[v] for v in refined]}
+    )
+
+
+def refine_partition(
+    level: Level, gamma: float, seed: int
+) -> DataFrame:
+    """C11/C12: refined partition of the current level's vertices.
+
+    Returns ``(id long, refined long)`` where ``refined`` is the min-…
+    founding-member id of the refined community (globally unique).
+    """
+    assign = level.vertices.select("id", "community", "agg_count")
+    a_u = assign.select(F.col("id").alias("u"), F.col("community").alias("cu"))
+    a_v = assign.select(F.col("id").alias("v"), F.col("community").alias("cv"))
+    intra = (
+        level.edges.where(F.col("src") <= F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "weight")
+        .join(a_u, "u")
+        .join(a_v, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .select(F.col("cu").alias("community"), "u", "v", "weight")
+    )
+
+    def fn(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        if nodes_pdf.empty:
+            return pd.DataFrame({"id": [], "refined": []})
+        return _refine_community(nodes_pdf, edges_pdf, gamma, seed)
+
+    return (
+        assign.groupBy("community")
+        .cogroup(intra.groupBy("community"))
+        .applyInPandas(fn, schema="id long, refined long")
+    )
+
+
+def _maintained_vertices(
+    vertices: DataFrame, refined: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """C13 maintain_p + aggregate: supernodes = refined communities, with
+    *initial* communities = the P community of their members
+    (custom_leiden.py:493-523 — all members share it by construction)."""
+    joined = vertices.join(refined, "id")
+    return (
+        joined.groupBy(F.col("refined").alias("id"))
+        .agg(
+            F.min("community").alias("community"),
+            F.sum("agg_count").alias("agg_count"),
+        )
+        .join(
+            new_edges.groupBy(F.col("src").alias("id")).agg(
+                F.sum(
+                    F.when(
+                        F.col("src") == F.col("dst"), F.col("weight") * 2
+                    ).otherwise(F.col("weight"))
+                ).alias("k")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id", "community", "agg_count", F.coalesce("k", F.lit(0.0)).alias("k")
+        )
+    )
+
+
+def leiden(
+    graph: Graph,
+    gamma: float = 0.05,
+    theta: float = 1.0,  # noqa: ARG001 — API parity; greedy per reference
+    max_levels: int = 10,
+    max_sweeps: int = 50,
+    seed: int = 1234,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """Returns ``(id long, community long)`` final labels on original
+    vertices. Deterministic for a fixed seed (SURVEY.md §1.4 item 10)."""
+    base_ids = graph.vertices().persist()
+    level = init_level(graph.edges)
+    level.edges = level.edges.persist()
+    mappings: list[DataFrame] = []
+    for lvl in range(max_levels):
+        def _on_sweep(it, n_moves, verts, _lvl=lvl):
+            if checkpointer is not None:
+                checkpointer.save(
+                    _lvl * 1000 + it, verts, algo="leiden",
+                    level=_lvl, sweep=it, moves=n_moves,
+                )
+
+        level, _ = move_nodes(
+            level, objective="cpm", gamma=gamma,
+            max_sweeps=max_sweeps, seed=seed + lvl, on_sweep=_on_sweep,
+        )
+        if all_singletons(level.vertices):
+            break
+        refined = truncate(refine_partition(level, gamma, seed + lvl))
+        n_before = level.vertices.count()
+        n_refined = refined.select("refined").distinct().count()
+        if n_refined == n_before:
+            break  # refinement kept every node singleton — no compression
+        mappings.append(
+            refined.select(
+                F.col("id").alias("child"), F.col("refined").alias("parent")
+            )
+        )
+        new_edges = truncate(
+            aggregate_graph(
+                level.edges,
+                refined.select("id", F.col("refined").alias("community")),
+            )
+        )
+        new_vertices = truncate(
+            _maintained_vertices(level.vertices, refined, new_edges)
+        )
+        level.edges.unpersist()
+        level = Level(edges=new_edges.persist(), vertices=new_vertices)
+
+    # fold orig id → coarsest supernode, then take that supernode's final
+    # P community
+    cur = base_ids.select("id", F.col("id").alias("node"))
+    for mp in mappings:
+        cur = cur.join(
+            mp.withColumnRenamed("child", "node"), "node", "left"
+        ).select("id", F.coalesce("parent", "node").alias("node"))
+    final = cur.join(
+        level.vertices.select(
+            F.col("id").alias("node"), F.col("community").alias("community")
+        ),
+        "node",
+        "left",
+    ).select("id", F.coalesce("community", "node").alias("community"))
+    final = truncate(final)
+    base_ids.unpersist()
+    level.edges.unpersist()
+    return final

@@ -1,0 +1,76 @@
+"""Louvain community detection (C17, custom_louvain.py:345-374 semantics).
+
+Level loop: local moving (modularity objective) to convergence →
+contract communities to supernodes → repeat until a level commits no
+moves. Labels propagate back to original vertices through the
+child→parent mapping chain. ``m`` is constant across levels (the
+contraction preserves total edge weight by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graft.checkpoint import Checkpointer, truncate
+from graft.algos.community import (
+    Level,
+    aggregate_graph,
+    aggregate_vertices,
+    all_singletons,
+    init_level,
+    move_nodes,
+    propagate_labels,
+)
+from graft.graph import Graph
+
+
+def louvain(
+    graph: Graph,
+    max_levels: int = 10,
+    max_sweeps: int = 50,
+    seed: int = 1234,
+    checkpointer: Checkpointer | None = None,
+) -> DataFrame:
+    """Returns ``(id long, community long)`` — final labels on the
+    original vertices; community ids are supernode ids at the coarsest
+    level (stable under the deterministic seed)."""
+    m = graph.total_edge_weight()
+    base_ids = graph.vertices().persist()
+    level = init_level(graph.edges)
+    level.edges = level.edges.persist()
+    mappings: list[DataFrame] = []
+    for lvl in range(max_levels):
+        def _on_sweep(it, n_moves, verts, _lvl=lvl):
+            if checkpointer is not None:
+                checkpointer.save(
+                    _lvl * 1000 + it, verts, algo="louvain",
+                    level=_lvl, sweep=it, moves=n_moves,
+                )
+
+        level, n_moves = move_nodes(
+            level, objective="modularity", m=m,
+            max_sweeps=max_sweeps, seed=seed + lvl, on_sweep=_on_sweep,
+        )
+        if n_moves == 0 or all_singletons(level.vertices):
+            break
+        n_before = level.vertices.count()
+        n_after = level.vertices.select("community").distinct().count()
+        if n_after == n_before:
+            break  # no compression this level — converged
+        mappings.append(
+            truncate(
+                level.vertices.select(
+                    F.col("id").alias("child"), F.col("community").alias("parent")
+                )
+            )
+        )
+        new_edges = truncate(aggregate_graph(level.edges, level.vertices))
+        new_vertices = aggregate_vertices(level.vertices, new_edges)
+        level.edges.unpersist()
+        level = Level(edges=new_edges.persist(), vertices=new_vertices)
+    result = propagate_labels(base_ids, mappings)
+    result = truncate(result)
+    base_ids.unpersist()
+    level.edges.unpersist()
+    return result

@@ -59,10 +59,13 @@ def lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy(edges.src.alias("vid"), F.col("label"))
         .agg(F.sum("weight").alias("w"))
     )
-    # argmax by (w desc, label asc): max of struct(w, -label)
+    # argmax by (w desc, label asc): min_by over struct(-w, label) —
+    # works for long and string labels alike
     best = scores.groupBy("vid").agg(
-        F.max(F.struct(F.col("w"), (-F.col("label")).alias("nl"))).alias("top")
-    ).select(F.col("vid").alias("id"), (-F.col("top.nl")).alias("label"))
+        F.min_by(
+            "label", F.struct((-F.col("w")).alias("nw"), F.col("label"))
+        ).alias("label")
+    ).select(F.col("vid").alias("id"), "label")
     return labels.select("id", F.col("label").alias("old")).join(
         best, "id", "left"
     ).select("id", F.coalesce("label", "old").alias("label"))

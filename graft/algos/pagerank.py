@@ -39,13 +39,18 @@ def pagerank(
     alpha: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 500,
+    fixed_iterations: int | None = None,
     checkpointer: Checkpointer | None = None,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``; ranks sum to 1.
 
     Convergence: L1 norm of the rank delta < ``tol`` (the cuGraph
-    epsilon convention the reference uses).
+    epsilon convention the reference uses). With ``fixed_iterations``
+    the loop runs exactly that many supersteps with NO per-step delta
+    probe — the oracle-comparison and benchmark mode (one action total).
     """
+    if fixed_iterations is not None:
+        max_iter = fixed_iterations
     spark = graph.edges.sparkSession
     verts = graph.vertices().persist()
     n = verts.count()
@@ -104,6 +109,9 @@ def pagerank(
             ),
         )
         new_ranks = truncate(new_ranks)
+        if fixed_iterations is not None:
+            ranks = new_ranks
+            continue
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))

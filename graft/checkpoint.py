@@ -16,8 +16,11 @@ loop, csrc/src/leiden_kernel.cu:1028-1214).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
+import tempfile
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,6 +101,31 @@ class Checkpointer:
         return step, self.load(step)
 
 
+_spill_root: str | None = None
+_spill_n = 0
+
+
 def truncate(df: DataFrame) -> DataFrame:
-    """Cut lineage between supersteps (eager localCheckpoint)."""
-    return df.localCheckpoint(eager=True)
+    """Cut lineage between supersteps via a parquet spill round-trip.
+
+    Why not ``localCheckpoint``: Spark's LogicalRDD *preserves* the
+    estimated statistics of the plan it truncates, and Catalyst's
+    size-only estimator multiplies join children's sizeInBytes. A
+    superstep that references its state twice (self-join shapes like
+    conflict resolution or quality evaluation) therefore *squares* the
+    carried estimate every iteration — after ~10 supersteps the driver
+    spends minutes multiplying thousand-digit BigIntegers inside
+    SizeInBytesOnlyStatsPlanVisitor. A parquet round-trip resets leaf
+    stats to the true file size (keeping AQE/broadcast decisions sane)
+    and is the same mechanism a cluster run uses for reliable
+    per-superstep checkpoints.
+    """
+    global _spill_root, _spill_n
+    spark = df.sparkSession
+    if _spill_root is None:
+        _spill_root = tempfile.mkdtemp(prefix="graft-spill-")
+        atexit.register(shutil.rmtree, _spill_root, ignore_errors=True)
+    path = os.path.join(_spill_root, f"t{_spill_n}")
+    _spill_n += 1
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,100 @@
+"""spark-submit entry point.
+
+Usage (north_rule launch shape)::
+
+    zip -r graft.zip graft
+    spark-submit --py-files graft.zip graft/cli.py \
+        --algo leiden --input /path/transcripts_parquet \
+        --output /path/labels --gamma 0.05 --seed 1234 \
+        --checkpoint-dir /path/ckpt
+
+``--input`` is a parquet/Iceberg path with the transcript schema
+(conv_id, turn_idx, role, text, tool, ts); pass ``--input-kind events``
+for the testdata events schema instead. On a cluster, executor count is
+whatever the cluster provides — the engine itself only sees shuffle
+partitioning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from graft.algos.components import connected_components
+from graft.algos.leiden import leiden
+from graft.algos.louvain import louvain
+from graft.algos.lpa import label_propagation
+from graft.algos.pagerank import pagerank
+from graft.algos.triangles import triangles_per_vertex
+from graft.checkpoint import Checkpointer
+from graft.graph import Graph
+from graft.io import (
+    actor_edges_to_long,
+    events_to_transcripts,
+    transcripts_to_edges,
+)
+
+ALGOS = {
+    "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
+}
+
+
+def build_graph(spark: SparkSession, args) -> tuple[Graph, "DataFrame"]:
+    df = spark.read.parquet(args.input)
+    if args.input_kind == "events":
+        df = events_to_transcripts(df)
+    uv = transcripts_to_edges(df)
+    edges, mapping = actor_edges_to_long(uv)
+    return Graph.from_undirected(edges).cache(), mapping
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="graft")
+    p.add_argument("--algo", choices=sorted(ALGOS), required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--input-kind", choices=["transcripts", "events"],
+                   default="transcripts")
+    p.add_argument("--output", required=True)
+    p.add_argument("--gamma", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--checkpoint-dir", default=None)
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName(f"graft-{args.algo}").getOrCreate()
+    ckpt = (
+        Checkpointer(spark, args.checkpoint_dir, args.algo)
+        if args.checkpoint_dir
+        else None
+    )
+    g, mapping = build_graph(spark, args)
+    t0 = time.perf_counter()
+    if args.algo == "pagerank":
+        out = pagerank(g, max_iter=args.max_iter, checkpointer=ckpt)
+    elif args.algo == "components":
+        out = connected_components(g, max_iter=args.max_iter, checkpointer=ckpt)
+    elif args.algo == "lpa":
+        out = label_propagation(g, max_iter=args.max_iter, checkpointer=ckpt)
+    elif args.algo == "triangles":
+        out = triangles_per_vertex(g)
+    elif args.algo == "louvain":
+        out = louvain(g, seed=args.seed, checkpointer=ckpt)
+    else:
+        out = leiden(g, gamma=args.gamma, seed=args.seed, checkpointer=ckpt)
+    out = out.join(mapping, "id").drop("id").withColumnRenamed("vid", "actor")
+    out.write.mode("overwrite").parquet(args.output)
+    elapsed = time.perf_counter() - t0
+    n_edges = g.edges.count()
+    print(json.dumps({
+        "algo": args.algo, "seconds": round(elapsed, 3),
+        "sym_edge_rows": n_edges,
+        "edges_per_sec": round(n_edges / elapsed, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,27 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Beyond the reference's graph operators, these are the operations a
+large-scale training-data pipeline needs (dedup, similarity search,
+text analysis, multimodal plumbing) — all expressed as Spark built-ins
+(JVM-side, whole-stage-codegen) except where Arrow-batched pandas UDFs
+are genuinely required.
+"""
+
+from graft.pipeline.textstats import (  # noqa: F401
+    token_counts,
+    quality_scores,
+    lang_id,
+    fingerprints,
+)
+from graft.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graft.pipeline.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_bucket_topk,
+    embedding_near_dups,
+)

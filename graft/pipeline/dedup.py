@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All distributed logic is explode → groupBy → join (shuffle-friendly,
+map-side combinable); hash functions are md5-based so results are
+portable across engines (the DuckDB oracle reproduces them bit-for-bit).
+
+Scale notes:
+- shingling explodes each document into O(tokens) rows — the shuffle
+  unit is (doc, shingle), never the full text;
+- LSH banding turns all-pairs O(n²) into per-bucket candidate
+  generation; bucket sizes are capped (hub buckets of boilerplate text
+  are the skew case) before the pair join;
+- exact dedup is one hash-groupBy over fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graft.pipeline.textstats import fingerprints
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact near-identity dedup on the normalized-content fingerprint.
+
+    Returns ``(doc_id, fingerprint, keep boolean, canonical_id)`` —
+    the min doc_id of each fingerprint group survives.
+    """
+    fp = fingerprints(df, text_col)
+    canon = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return fp.join(canon, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        "canonical_id",
+        "group_size",
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles of the normalized
+    text. Explode-based: one row per shingle, no per-row Python."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    toks = F.split(norm, " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}) MinHash signature over k-token shingles.
+
+    Hash family: md5(shingle || '#' || i) — engine-portable, uniform
+    enough for LSH. One explode + ONE groupBy computes all n mins
+    (map-side partial aggregation absorbs document length skew).
+    """
+    sh = _shingles(df, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs: documents sharing at least
+    one LSH band bucket. ``max_bucket`` caps pathological buckets
+    (boilerplate hubs) before the quadratic within-bucket pair join.
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("h"))
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+    w = Window.partitionBy("band", "h")
+    capped = (
+        buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_size") <= max_bucket)
+        .drop("bucket_size")
+    )
+    left = capped.select("band", "h", F.col("doc_id").alias("a"))
+    right = capped.select("band", "h", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "h"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard similarity.
+
+    |A∩B| via a (shingle ⋈ shingle) join restricted to candidate pairs;
+    |A∪B| = |A|+|B|−|A∩B|. Returns (a, b, jaccard) above threshold.
+    """
+    sh = _shingles(df, text_col, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        candidates.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .withColumnRenamed("shingle", "s")
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s")),
+            ["b", "s"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash long) — classic SimHash over token hashes.
+
+    Per bit position: sign of Σ_tokens (±1) where + iff the token hash
+    has that bit set. Token hash = first 8 hex chars of md5 (portable).
+    One explode + one groupBy with ``bits`` conditional sums.
+    """
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    tok = df.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,196 @@
+"""DuckDB-dialect oracle SQL mirroring graft.pipeline operators.
+
+Every expression here is the engine-portable twin of a Spark column
+expression in textstats/dedup/similarity: md5-based hashes, identical
+normalization regexes, identical tie-breaks, floats rounded to 6 dp on
+both sides. Used by __spark_entry__.oracle_sql().
+"""
+
+from graft.pipeline.textstats import STOPWORDS
+
+# normalized text + token list (mirrors textstats._tokens /
+# the dedup/fingerprint normalizer)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+_NORM_SPACED = (
+    "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'))"
+)
+
+SQL_TOKEN_COUNTS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                     t -> t <> '') AS l,
+         list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     t -> t <> '') AS w,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, len(l) AS n_tokens, len(w) AS n_words, n_chars FROM toks
+"""
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+"""
+
+SQL_EXACT_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+), canon AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id,
+         count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, fp.fingerprint,
+       fp.doc_id = c.canonical_id AS keep,
+       c.canonical_id, c.group_size
+FROM fp JOIN canon c USING (fingerprint)
+"""
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"len(list_filter(l, t -> list_contains({arr}, t))) AS s_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:  # dict order: earlier language wins ties
+        case += f"WHEN s_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                     t -> t <> '') AS l
+  FROM documents
+), scored AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM toks
+), withbest AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, {case} AS lang_pred FROM withbest
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+# shingles: distinct 3-token shingles of the normalized text, mirroring
+# dedup._shingles (sequence over start offsets, slice k tokens, join)
+_SQL_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+), expanded AS (
+  SELECT doc_id, l,
+         unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS i
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(l[i:i+2], ' ') AS shingle
+  FROM expanded
+  WHERE array_to_string(l[i:i+2], ' ') <> ''
+)
+"""
+
+
+def _minhash_sql(n_hashes: int = 16) -> str:
+    aggs = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(n_hashes)
+    )
+    return f"WITH {_SQL_SHINGLES} SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+SQL_MINHASH = _minhash_sql()
+
+
+def _near_dup_sql(
+    n_hashes: int = 16, bands: int = 4, max_bucket: int = 50,
+    threshold: float = 0.5,
+) -> str:
+    rows = n_hashes // bands
+    sig_aggs = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS h "
+            "FROM sig"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SQL_SHINGLES}
+, sig AS (SELECT doc_id, {sig_aggs} FROM sh GROUP BY doc_id)
+, buckets AS ({bands_union})
+, capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band, h,
+           count(*) OVER (PARTITION BY band, h) AS bs
+    FROM buckets
+  ) WHERE bs <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM capped l JOIN capped r ON l.band = r.band AND l.h = r.h
+  WHERE l.doc_id < r.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= {threshold}
+"""
+
+
+SQL_NEAR_DUP_PAIRS = _near_dup_sql()
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))),
+           6
+         ) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+SQL_NEAR_DUP_EMBEDDINGS = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(
+         list_dot_product(a.ev, b.ev)
+         / (sqrt(list_dot_product(a.ev, a.ev))
+            * sqrt(list_dot_product(b.ev, b.ev))),
+         6
+       ) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(
+        list_dot_product(a.ev, b.ev)
+        / (sqrt(list_dot_product(a.ev, a.ev))
+           * sqrt(list_dot_product(b.ev, b.ev))),
+        6
+      ) >= 0.4
+"""

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force cosine top-k against one query vector:
+  ``F.zip_with`` + ``F.aggregate`` keep the dot product JVM-side
+  (no Python, no UDF); one pass + one top-k.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane signature
+  buckets prune the candidate set before exact scoring (probing the
+  query's bucket only). Hyperplanes are seeded and broadcast as
+  literals.
+- ``embedding_near_dups`` — all-pairs near-duplicate detection by
+  cosine ≥ threshold within LSH buckets (bounded-bucket pair join, same
+  skew treatment as MinHash-LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cosine) — exact top-k by cosine similarity to ``query``."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.linalg.norm(query))
+    cos = _dot(F.col(vec_col).cast("array<double>"), q) / (
+        _norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)
+    )
+    return (
+        emb.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _signature(vec_col, planes: np.ndarray):
+    """Bit-sign signature of a vector column against fixed hyperplanes.
+    Zero planes → constant signature (brute-force mode: one bucket)."""
+    if len(planes) == 0:
+        return F.lit("")
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's hyperplane
+    bucket (expected candidate fraction 2^-n_planes of the corpus)."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = "".join("1" if planes[i] @ np.asarray(query) >= 0 else "0"
+                   for i in range(n_planes))
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = emb.withColumn("_sig", _signature(v, planes)).where(
+        F.col("_sig") == qsig
+    )
+    return cosine_topk(bucketed, query, k, vec_col, id_col)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine ≥ threshold, candidates limited
+    to shared LSH buckets (near-identical vectors agree on all signs with
+    high probability)."""
+    head = emb.select(vec_col).first()
+    if head is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"a long, b long, cosine double"
+        )
+    dim = len(head[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sigs = emb.select(
+        F.col(id_col), v.alias("v"), _signature(v, planes).alias("sig")
+    ).persist()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig")
+    capped = (
+        sigs.withColumn("n", F.count(F.lit(1)).over(w))
+        .where(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    left = capped.select(
+        "sig", F.col(id_col).alias("a"), F.col("v").alias("va")
+    )
+    right = capped.select(
+        "sig", F.col(id_col).alias("b"), F.col("v").alias("vb")
+    )
+    pairs = left.join(right, "sig").where(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    out = (
+        pairs.select("a", "b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return out

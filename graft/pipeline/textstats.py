@@ -1,0 +1,107 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — all pure column expressions (JVM-side,
+whole-stage codegen; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic —
+# deliberately small and fixed so the language call is deterministic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "para", "con", "del"],
+}
+
+
+def _tokens(col):
+    """Lowercased whitespace tokens of a normalized string."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"[^\p{L}\p{N}\s]", " ")))
+    return F.filter(F.split(norm, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (count of
+    letter/digit runs — the standard pre-tokenizer split)."""
+    return df.select(
+        "doc_id",
+        F.size(_tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_words"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    punctuation ratio, mean word length band (the usual cheap filters)."""
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    mean_wl = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 2.5) & (mean_wl <= 12.0), 1.0).otherwise(0.5)
+    score = (
+        0.3 * len_ok
+        + 0.3 * alpha_ratio
+        + 0.2 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.2 * wl_ok
+    )
+    return df.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: the language whose stopword
+    list overlaps the token multiset most wins; 'und' (undetermined) when
+    nothing overlaps. One pass, pure array functions."""
+    toks = _tokens(F.col(text_col))
+
+    def _in_list(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = [
+        F.size(F.filter(toks, _in_list(STOPWORDS[lang]))).alias(f"s_{lang}")
+        for lang in STOPWORDS
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = list(STOPWORDS)
+    best_score = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pick = F.lit("und")
+    # reversed so earlier languages win ties (first match in dict order)
+    for lang in reversed(langs):
+        pick = F.when(
+            (F.col(f"s_{lang}") == best_score) & (best_score > 0), lang
+        ).otherwise(pick)
+    return scored.select("doc_id", pick.alias("lang_pred"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the casefolded, punctuation-stripped,
+    whitespace-collapsed text (portable across engines — the dedup key)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,119 @@
+"""Partition quality functions: CPM and modularity (SURVEY.md §2.3 A6/A7).
+
+Both are computed from two hash aggregations — per-community internal
+weight (join + filter same-community + groupBy) and per-community
+strength/size sums — the closed forms that replace the reference's
+naive O(V²) pair loops (custom_leiden.py:169-199) and its two-phase
+CUDA reduce (csrc/src/leiden_kernel.cu:781-824 + :1273-1292).
+
+Conventions (SURVEY.md §1.4 item 1):
+- ``m`` is single-counted total edge weight, self-loops once;
+- internal weight ``w_in_c`` is single-counted, self-loops once;
+- strength ``k`` counts self-loops twice;
+- CPM uses the single-counted Python convention
+  H = Σ_c [w_in_c − γ·n_c·(n_c−1)/2].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _community_internal_weight(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """(community, w_in) — single-counted internal weight per community.
+
+    ``edges`` symmetrized (each non-loop edge twice, loops once);
+    ``assign`` = (id, community). Internal non-loop edges appear twice in
+    the joined table, loops once, so w_in = (non_loop_sum)/2 + loop_sum.
+    """
+    a_src = assign.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = assign.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    joined = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+    )
+    return joined.groupBy(F.col("c_src").alias("community")).agg(
+        (
+            (
+                F.sum(F.when(F.col("src") != F.col("dst"), F.col("weight")).otherwise(F.lit(0.0)))
+                / 2.0
+            )
+            + F.sum(
+                F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(F.lit(0.0))
+            )
+        ).alias("w_in")
+    )
+
+
+def cpm(edges: DataFrame, assign: DataFrame, gamma: float) -> float:
+    """Constant Potts Model quality, single-counted convention
+    (custom_leiden.py:238-260 semantics)."""
+    sizes = assign.groupBy("community").agg(
+        F.sum(F.coalesce(F.col("agg_count"), F.lit(1))).alias("n")
+        if "agg_count" in assign.columns
+        else F.count(F.lit(1)).alias("n")
+    )
+    w_in = _community_internal_weight(edges, assign)
+    row = (
+        sizes.join(w_in, "community", "left")
+        .agg(
+            F.sum(
+                F.coalesce("w_in", F.lit(0.0))
+                - F.lit(gamma) * F.col("n") * (F.col("n") - 1) / 2.0
+            )
+        )
+        .first()
+    )
+    return float(row[0] or 0.0)
+
+
+def modularity(edges: DataFrame, assign: DataFrame) -> float:
+    """Q = Σ_c [Σin_c/(2m) − (Σtot_c/(2m))²] (custom_louvain.py:92-122
+    semantics via the closed form, SURVEY.md §2.3 A7). Σin is the
+    double-counted internal weight (= 2·w_in)."""
+    strengths = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight") * 2).otherwise(
+                F.col("weight")
+            )
+        ).alias("k")
+    )
+    m_row = edges.agg(
+        (
+            (
+                F.sum("weight")
+                + F.sum(
+                    F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+            )
+            / 2.0
+        ).alias("m")
+    ).first()
+    m = float(m_row["m"] or 0.0)
+    if m == 0:
+        return 0.0
+    stot = (
+        assign.join(strengths, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("stot"))
+    )
+    w_in = _community_internal_weight(edges, assign)
+    row = (
+        stot.join(w_in, "community", "left")
+        .agg(
+            F.sum(
+                F.coalesce("w_in", F.lit(0.0)) * 2 / (2 * m)
+                - (F.col("stot") / (2 * m)) * (F.col("stot") / (2 * m))
+            )
+        )
+        .first()
+    )
+    return float(row[0] or 0.0)

@@ -144,7 +144,7 @@ def cpm_ref(edges, labels: dict[int, int], gamma: float) -> float:
     Σ_c [w_in_c − γ·n_c(n_c−1)/2]."""
     sin: dict[int, float] = {}
     size: dict[int, int] = {}
-    for v in {x for u, v, _ in edges for x in (u, v)}:
+    for v in labels:  # the partition defines the vertex universe
         c = labels[v]
         size[c] = size.get(c, 0) + 1
     for u, v, w in dedup_undirected(edges):

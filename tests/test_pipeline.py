@@ -1,0 +1,161 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graft.pipeline.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graft.pipeline.multimodal import (
+    extract_features,
+    media_stats,
+    sample_frames,
+    synth_media,
+)
+from graft.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_bucket_topk,
+)
+from graft.pipeline.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "The Quick  brown FOX jumps over the lazy dog, near the river bank!"),
+    (3, "Der schnelle braune Fuchs springt und ist nicht mit der Katze"),
+    (4, "completely different text about machine learning and spark engines"),
+    (5, "the quick brown fox jumps over the lazy dog near another river"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_counts(spark, docs):
+    got = {r.doc_id: r.n_tokens for r in token_counts(docs).collect()}
+    assert got[0] == 13
+    assert got[2] == 13  # punctuation stripped before tokenizing
+
+
+def test_fingerprint_exact_dedup(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[1] == fp[2]  # case/punct/ws-insensitive
+    assert fp[0] != fp[4]
+    dd = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert dd[0].keep and not dd[1].keep and not dd[2].keep
+    assert dd[1].canonical_id == 0 and dd[2].group_size == 3
+    assert dd[4].keep
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+
+
+def test_quality_scores_bounds(spark, docs):
+    rows = quality_scores(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.alpha_ratio <= 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=16, k=3).cache()
+    assert sigs.count() == 6
+    pairs = {
+        (r.a, r.b) for r in lsh_candidate_pairs(sigs, 16, bands=8).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    verified = ngram_jaccard_pairs(docs,
+        spark.createDataFrame(sorted(pairs), "a long, b long"),
+        threshold=0.5,
+    )
+    got = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(0, 2)] == pytest.approx(1.0)  # same after normalization
+    assert (0, 4) not in got
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    assert sh[0] == sh[1] == sh[2]
+    ham_near = bin(sh[0] ^ sh[5]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + 0.01 * rng.standard_normal(8)]))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        [float(x) for x in base],
+    )
+
+
+def test_cosine_topk_exact(spark, emb):
+    df, q = emb
+    top = cosine_topk(df, q, k=2).collect()
+    assert [r.vec_id for r in top] == [100, 101]
+    assert top[0].cosine == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_bucket_topk_finds_duplicate(spark, emb):
+    df, q = emb
+    top = lsh_bucket_topk(df, q, k=2, n_planes=4).collect()
+    assert top and top[0].vec_id == 100  # exact copy shares every bucket
+
+
+def test_embedding_near_dups(spark, emb):
+    df, _ = emb
+    pairs = {(r.a, r.b): r.cosine for r in
+             embedding_near_dups(df, threshold=0.95).collect()}
+    assert (100, 101) in pairs
+    assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 30
+    assert all(len(r.feature) == 16 for r in feats)
+    # deterministic: same payload -> same features
+    f2 = extract_features(synth_media(spark, n=30), dim=16).collect()
+    assert {r.media_id: r.feature for r in feats} == {
+        r.media_id: r.feature for r in f2
+    }
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+
+
+def test_multimodal_frames_and_stats(spark):
+    media = synth_media(spark, n=30)
+    frames = sample_frames(media).collect()
+    assert frames and all(r.frame_payload for r in frames)
+    vids = {r.media_id for r in frames}
+    kinds = {r.media_id: r.kind for r in media.collect()}
+    assert all(kinds[m] == "video" for m in vids)
+    stats = {r.kind: r.n for r in media_stats(media).collect()}
+    assert stats == {"image": 10, "audio": 10, "video": 10}
