@@ -40,7 +40,28 @@ def louvain(
     level = init_level(graph.edges)
     level.edges = level.edges.persist()
     mappings: list[DataFrame] = []
-    for lvl in range(max_levels):
+    start_lvl = 0
+    if checkpointer is not None:
+        # mid-level resume: reload the deepest fully-persisted level
+        done = -1
+        for k in range(max_levels):
+            names = [f"level={k}/{t}" for t in ("mapping", "edges", "vertices")]
+            if all(checkpointer.has_table(n) for n in names):
+                done = k
+            else:
+                break
+        if done >= 0:
+            mappings = [
+                checkpointer.load_table(f"level={k}/mapping")
+                for k in range(done + 1)
+            ]
+            level.edges.unpersist()
+            level = Level(
+                edges=checkpointer.load_table(f"level={done}/edges").persist(),
+                vertices=checkpointer.load_table(f"level={done}/vertices"),
+            )
+            start_lvl = done + 1
+    for lvl in range(start_lvl, max_levels):
         def _on_sweep(it, n_moves, verts, _lvl=lvl):
             if checkpointer is not None:
                 checkpointer.save(
@@ -67,6 +88,12 @@ def louvain(
         )
         new_edges = truncate(aggregate_graph(level.edges, level.vertices))
         new_vertices = aggregate_vertices(level.vertices, new_edges)
+        if checkpointer is not None:
+            checkpointer.save_table(f"level={lvl}/mapping", mappings[-1])
+            new_edges = checkpointer.save_table(f"level={lvl}/edges", new_edges)
+            new_vertices = checkpointer.save_table(
+                f"level={lvl}/vertices", new_vertices
+            )
         level.edges.unpersist()
         level = Level(edges=new_edges.persist(), vertices=new_vertices)
     result = propagate_labels(base_ids, mappings)

