@@ -81,7 +81,8 @@ _SQL_ACTORS_BODY = r"""t AS (
            AS turn_idx,
          event_type AS role,
          CASE WHEN event_type IN ('purchase', 'error')
-              THEN 't' || cast(cast(regexp_extract(props, '(\d+)', 1) AS bigint)
+              THEN 't' || cast(try_cast(regexp_extract(props, '(\d+)', 1)
+                                        AS bigint)
                                % 8 AS varchar)
          END AS tool
   FROM events
@@ -388,13 +389,25 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graft.pipeline.similarity import embedding_near_dups
+    """Exercises the real LSH path: the synthetic embeddings have no
+    natural near-dups (max pairwise cosine ≈ 0.51), so exact copies of
+    every 10th vector are planted (re-id'd at +1e6) and found through
+    md5-Rademacher hyperplane buckets — the oracle reproduces the same
+    planes, bucket cap and pair join (oracles._near_dup_embeddings_sql),
+    so the *bucketed plan* is what gets verified, not an all-pairs scan.
+    """
+    from graft.pipeline.similarity import embedding_near_dups, rademacher_planes
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    # threshold 0.4: the synthetic embeddings have no true near-dups
-    # (max pairwise cosine ≈ 0.51), so a 0.95 cut would vacuously match
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
     return embedding_near_dups(
-        emb, threshold=0.4, n_planes=0, max_bucket=1_000_000
+        emb.unionByName(planted),
+        threshold=0.95,
+        max_bucket=50,
+        planes=rademacher_planes(dim, 8),
     )
 
 
@@ -462,8 +475,8 @@ FROM e WHERE u = v""",
         "doc_lang_id": _po.SQL_LANG_ID,
         "minhash_signatures": _po.SQL_MINHASH,
         "near_dup_pairs": _po.SQL_NEAR_DUP_PAIRS,
+        "simhash": _po.SQL_SIMHASH,
         "cosine_topk": _po.SQL_COSINE_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
-        # simhash: hex→int conversion isn't portable to DuckDB — rows-only.
         # media_features: synthetic in-code media table — rows-only.
     }

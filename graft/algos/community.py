@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graft.checkpoint import truncate
+from graft.checkpoint import drop_spill, truncate
 
 
 @dataclass
@@ -236,6 +236,64 @@ def _quality(
 _QUALITY_CHECK_FROM = 5
 
 
+def _quality_row(
+    gather: DataFrame,
+    comm_agg: DataFrame,
+    vertices: DataFrame,
+    loop_w: float,
+    objective: str,
+    gamma: float,
+    m: float,
+) -> DataFrame:
+    """One-row ``(q_pre double)``: quality of the *current* partition,
+    derived from the sweep's already-needed gather/comm_agg subtrees
+    (Catalyst reuses their shuffle exchanges), so evaluating quality
+    costs no extra pass over the edge table.
+
+    Identities (loop weight LW is constant for the level):
+      CPM  = 0.5·Σ_v k_own(v) + LW − γ·Σ_c n_c(n_c−1)/2
+      Q    = (Σ_v k_own(v) + 2·LW)/(2m) − Σ_c (stot_c/(2m))²
+    where k_own(v) is the non-loop weight from v into its own community.
+    """
+    own_sum = (
+        vertices.select("id", "community")
+        .join(
+            gather.select(
+                "id",
+                F.col("nbr_comm").alias("community"),
+                F.col("k_vc").alias("k_own"),
+            ),
+            ["id", "community"],
+            "left",
+        )
+        .agg(F.coalesce(F.sum("k_own"), F.lit(0.0)).alias("k_own_sum"))
+    )
+    if objective == "cpm":
+        comm_term = comm_agg.agg(
+            F.coalesce(
+                F.sum(F.lit(gamma) * F.col("n") * (F.col("n") - 1) / 2.0),
+                F.lit(0.0),
+            ).alias("penalty")
+        )
+        return own_sum.crossJoin(comm_term).select(
+            (
+                F.col("k_own_sum") / 2.0 + F.lit(loop_w) - F.col("penalty")
+            ).alias("q_pre")
+        )
+    comm_term = comm_agg.agg(
+        F.coalesce(
+            F.sum((F.col("stot") / (2 * m)) * (F.col("stot") / (2 * m))),
+            F.lit(0.0),
+        ).alias("penalty")
+    )
+    return own_sum.crossJoin(comm_term).select(
+        (
+            (F.col("k_own_sum") + 2.0 * F.lit(loop_w)) / (2 * m)
+            - F.col("penalty")
+        ).alias("q_pre")
+    )
+
+
 def move_nodes(
     level: Level,
     objective: str,
@@ -254,66 +312,100 @@ def move_nodes(
     best-seen partition, the BSP analog of the reference's hard
     10-iteration cap, csrc/src/leiden_kernel.cu:1211-1213).
 
+    Superstep cadence (the round-1 perf lesson): each sweep is exactly
+    TWO Spark actions — one parquet write that executes the whole
+    gather → select → conflict-resolve → apply chain (with the commit
+    flag and the partition quality folded in as columns), and one tiny
+    aggregate over the written file to read back (n_moves, quality).
+    No separate commit-count job, no separate quality double-join job.
+
     Returns (updated level with the best-seen vertices, total moves).
     """
     edges = level.edges
-    vertices = truncate(level.vertices)
+    vertices = truncate(
+        level.vertices.select("id", "community", "agg_count", "k")
+    )
+    spills: list[DataFrame] = [vertices]
+    # total self-loop weight — constant across sweeps, feeds the cheap
+    # gather-based quality identity in _quality_row
+    loop_w = float(
+        edges.where(F.col("src") == F.col("dst"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
+        .first()[0]
+    )
     total = 0
     best_vertices = vertices
     best_q = None
+    final_q = None  # quality of `vertices`, when known
     stall = 0
-    retired: list[DataFrame] = []
     for it in range(max_sweeps):
         gather = gather_neighbor_comm_weights(edges, vertices)
         comm_agg = community_aggregates(vertices)
         moves = _select_moves(vertices, gather, comm_agg, objective, gamma, m)
-        # materialize the (small) commit set ONCE; the count and the
-        # apply-join below both reuse it instead of recomputing the
-        # gather→select→conflict chain
-        commits = truncate(_resolve_conflicts(moves, edges, it, seed))
-        n_moves = commits.count()
-        if n_moves == 0:
-            commits.unpersist()
-            break
-        new_vertices = truncate(
-            vertices.join(commits, "id", "left").select(
+        commits = _resolve_conflicts(moves, edges, it, seed)
+        q_row = _quality_row(
+            gather, comm_agg, vertices, loop_w, objective, gamma, m
+        )
+        flagged = truncate(
+            vertices.join(commits, "id", "left")
+            .select(
                 "id",
                 F.coalesce("new_community", "community").alias("community"),
                 "agg_count",
                 "k",
+                F.col("new_community").isNotNull().alias("moved"),
             )
+            .crossJoin(F.broadcast(q_row))
         )
-        commits.unpersist()
-        total += n_moves
-        # Quality probes cost a job each; well-behaved graphs converge to
-        # zero moves within a few sweeps, so only start paying for
-        # oscillation detection once the sweep count suggests trouble.
-        if it >= _QUALITY_CHECK_FROM:
-            q = _quality(edges, new_vertices, objective, gamma, m)
-            if best_q is None or q > best_q + 1e-12:
-                if best_vertices is not vertices:
-                    retired.append(best_vertices)
-                best_q = q
-                best_vertices = new_vertices
+        spills.append(flagged)
+        stat = flagged.agg(
+            F.sum(F.col("moved").cast("long")).alias("n_moves"),
+            F.first("q_pre").alias("q_pre"),
+        ).first()
+        n_moves = int(stat["n_moves"] or 0) if stat is not None else 0
+        q_cur = stat["q_pre"] if stat is not None else None
+        # best-partition tracking: q_cur evaluates the partition that
+        # ENTERED this sweep (`vertices`) — the same quality stream as
+        # evaluating each produced state, shifted one sweep, at zero
+        # extra jobs (it rides the sweep's own gather aggregates).
+        if it >= _QUALITY_CHECK_FROM and q_cur is not None:
+            final_q = q_cur
+            if best_q is None or q_cur > best_q + 1e-12:
+                best_q = q_cur
+                best_vertices = vertices
                 stall = 0
             else:
                 stall += 1
         else:
-            if best_vertices is not vertices:
-                retired.append(best_vertices)
-            best_vertices = new_vertices
-        if vertices is not best_vertices:
-            retired.append(vertices)
+            best_vertices = vertices  # tracking not active yet
+        if n_moves == 0:
+            break
+        total += n_moves
+        new_vertices = flagged.select("id", "community", "agg_count", "k")
+        new_vertices._graft_spill_path = getattr(  # type: ignore[attr-defined]
+            flagged, "_graft_spill_path", None
+        )
         vertices = new_vertices
+        final_q = None  # the new state has not been evaluated yet
         if on_sweep is not None:
-            on_sweep(it, n_moves, vertices)
+            on_sweep(it, n_moves, new_vertices)
         if stall >= patience:
             break
-    for df in retired:
-        if df is not best_vertices and df is not vertices:
-            df.unpersist()
-    if vertices is not best_vertices:
-        vertices.unpersist()
+    # the loop's last state may be unevaluated (stall/max_sweeps exit one
+    # sweep after its chain ran) — one catch-up quality job, then keep
+    # whichever partition scored best
+    if best_q is not None and vertices is not best_vertices:
+        if final_q is None:
+            final_q = _quality(edges, vertices, objective, gamma, m)
+        if final_q > best_q + 1e-12:
+            best_q = final_q
+            best_vertices = vertices
+    elif best_q is None:
+        best_vertices = vertices  # quality tracking never kicked in
+    keep = getattr(best_vertices, "_graft_spill_path", None)
+    for df in spills:
+        if getattr(df, "_graft_spill_path", None) != keep:
+            drop_spill(df)
     return Level(edges=edges, vertices=best_vertices), total
 
 

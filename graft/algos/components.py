@@ -18,10 +18,12 @@ component (deterministic, comparable to any oracle).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graft.checkpoint import Checkpointer, truncate
+from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
 
@@ -49,6 +51,7 @@ def connected_components(
     edges = graph.without_self_loops().select("src", "dst").persist()
     labels = graph.vertices().select("id", F.col("id").alias("comp"))
     labels = truncate(labels)
+    changed = 0
     for it in range(max_iter):
         new_labels = truncate(_min_neighbor_round(edges, labels))
         changed = (
@@ -56,12 +59,24 @@ def connected_components(
             .where(F.col("comp") != F.col("old"))
             .count()
         )
+        drop_spill(labels)
         labels = new_labels
         if checkpointer is not None:
             labels = checkpointer.save(it, labels, algo="cc", changed=changed)
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # propagate mode is O(diameter); a chain longer than max_iter
+        # (mega-conversation pathology) would return silently-wrong
+        # labels — fall back to the O(log n) star mode instead.
+        warnings.warn(
+            f"connected_components(mode='propagate') did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — "
+            "falling back to mode='star'",
+            stacklevel=2,
+        )
+        return _cc_star(graph, max_iter, checkpointer)
     return labels
 
 
@@ -115,6 +130,7 @@ def _cc_star(
             new_e.exceptAll(e).limit(1).count()
             + e.exceptAll(new_e).limit(1).count()
         )
+        drop_spill(e)
         e = new_e
         if checkpointer is not None:
             e = checkpointer.save(it, e, algo="cc_star", changed=changed)

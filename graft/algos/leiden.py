@@ -38,7 +38,6 @@ from graft.checkpoint import Checkpointer, truncate
 from graft.algos.community import (
     Level,
     aggregate_graph,
-    all_singletons,
     init_level,
     move_nodes,
 )
@@ -47,10 +46,26 @@ from graft.graph import Graph
 
 def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
                       gamma: float, seed: int) -> pd.DataFrame:
-    """Sequential refinement of one community S (runs inside the UDF)."""
+    """Sequential refinement of one community S (runs inside the UDF).
+
+    Rows are sorted by id first: Spark only guarantees cogroup batches
+    are grouped by key, not intra-group ordered, so the seeded visit
+    permutation (and float accumulation order) must be anchored to a
+    canonical vertex order or results drift across parallelism levels.
+    """
+    nodes = nodes.sort_values("id")
+    if len(edges):
+        edges = edges.sort_values(["u", "v"])
     ids = nodes["id"].to_numpy()
     n_v = dict(zip(nodes["id"], nodes["agg_count"]))
-    s_tot = int(nodes["agg_count"].sum())
+    # s_tot of the FULL community: when an oversized community is split
+    # into hash sub-buckets (scale guard), each batch still gates
+    # well-connectedness against the whole-S total the reference uses
+    # (custom_leiden.py:415-419)
+    if "s_tot_full" in nodes.columns and nodes["s_tot_full"].notna().all():
+        s_tot = int(nodes["s_tot_full"].iloc[0])
+    else:
+        s_tot = int(nodes["agg_count"].sum())
     comm_id = int(nodes["community"].iloc[0])
 
     # adjacency within S (single-counted pairs, loops excluded from v_in)
@@ -106,23 +121,59 @@ def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
 
 
 def refine_partition(
-    level: Level, gamma: float, seed: int
+    level: Level, gamma: float, seed: int,
+    max_community_size: int = 200_000,
 ) -> DataFrame:
     """C11/C12: refined partition of the current level's vertices.
 
     Returns ``(id long, refined long)`` where ``refined`` is the min-…
     founding-member id of the refined community (globally unique).
+
+    Scale guard: one community = one Arrow batch, so a hub community of
+    10^7 members would OOM a single worker. Communities larger than
+    ``max_community_size`` are split into deterministic hash sub-buckets
+    refined independently (cross-bucket merges are forgone — a bounded
+    approximation that only ever leaves extra singletons, never produces
+    an invalid partition; the well-connectedness gate still uses the
+    full-community ``s_tot``). Communities at or under the cap — all of
+    them, at every tested scale — follow the exact reference semantics.
     """
-    assign = level.vertices.select("id", "community", "agg_count")
-    a_u = assign.select(F.col("id").alias("u"), F.col("community").alias("cu"))
-    a_v = assign.select(F.col("id").alias("v"), F.col("community").alias("cv"))
+    sizes = level.vertices.groupBy("community").agg(
+        F.count(F.lit(1)).alias("_sz"),
+        F.sum("agg_count").alias("s_tot_full"),
+    ).select(
+        "community",
+        "s_tot_full",
+        F.greatest(
+            F.ceil(F.col("_sz") / F.lit(max_community_size)), F.lit(1)
+        ).cast("long").alias("_nsub"),
+    )
+    assign = (
+        level.vertices.select("id", "community", "agg_count")
+        .join(sizes, "community")
+        .select(
+            "id", "community", "agg_count", "s_tot_full",
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.col("_nsub")).alias("_b"),
+        )
+    )
+    a_u = assign.select(
+        F.col("id").alias("u"), F.col("community").alias("cu"),
+        F.col("_b").alias("bu"),
+    )
+    a_v = assign.select(
+        F.col("id").alias("v"), F.col("community").alias("cv"),
+        F.col("_b").alias("bv"),
+    )
     intra = (
         level.edges.where(F.col("src") <= F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"), "weight")
         .join(a_u, "u")
         .join(a_v, "v")
-        .where(F.col("cu") == F.col("cv"))
-        .select(F.col("cu").alias("community"), "u", "v", "weight")
+        .where((F.col("cu") == F.col("cv")) & (F.col("bu") == F.col("bv")))
+        .select(
+            F.col("cu").alias("community"), F.col("bu").alias("_b"),
+            "u", "v", "weight",
+        )
     )
 
     def fn(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -131,8 +182,8 @@ def refine_partition(
         return _refine_community(nodes_pdf, edges_pdf, gamma, seed)
 
     return (
-        assign.groupBy("community")
-        .cogroup(intra.groupBy("community"))
+        assign.groupBy("community", "_b")
+        .cogroup(intra.groupBy("community", "_b"))
         .applyInPandas(fn, schema="id long, refined long")
     )
 
@@ -218,11 +269,16 @@ def leiden(
             level, objective="cpm", gamma=gamma,
             max_sweeps=max_sweeps, seed=seed + lvl, on_sweep=_on_sweep,
         )
-        if all_singletons(level.vertices):
-            break
+        # one bookkeeping agg per level (vertex + community counts)
+        row = level.vertices.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("community").alias("c"),
+        ).first()
+        n_before = row["n"]
+        if row["c"] == n_before:
+            break  # all singletons
         refined = truncate(refine_partition(level, gamma, seed + lvl))
-        n_before = level.vertices.count()
-        n_refined = refined.select("refined").distinct().count()
+        n_refined = refined.agg(F.countDistinct("refined")).first()[0]
         if n_refined == n_before:
             break  # refinement kept every node singleton — no compression
         mappings.append(

@@ -17,7 +17,6 @@ from graft.algos.community import (
     Level,
     aggregate_graph,
     aggregate_vertices,
-    all_singletons,
     init_level,
     move_nodes,
     propagate_labels,
@@ -73,12 +72,15 @@ def louvain(
             level, objective="modularity", m=m,
             max_sweeps=max_sweeps, seed=seed + lvl, on_sweep=_on_sweep,
         )
-        if n_moves == 0 or all_singletons(level.vertices):
-            break
-        n_before = level.vertices.count()
-        n_after = level.vertices.select("community").distinct().count()
-        if n_after == n_before:
-            break  # no compression this level — converged
+        # one bookkeeping agg per level: vertex count + community count
+        # covers both the all-singletons and the no-compression exits
+        row = level.vertices.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("community").alias("c"),
+        ).first()
+        n_before, n_after = row["n"], row["c"]
+        if n_moves == 0 or n_after == n_before:
+            break  # singletons or no compression — converged
         mappings.append(
             truncate(
                 level.vertices.select(

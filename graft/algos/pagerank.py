@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graft.checkpoint import Checkpointer, truncate
+from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
 
@@ -55,31 +55,25 @@ def pagerank(
     runs an exact superstep count probe-free.
     """
     spark = graph.edges.sparkSession
-    verts = graph.vertices().persist()
-    n = verts.count()
+    verts = graph.vertices_cached()
+    n = graph.num_vertices()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
 
     out_w = graph.edges.groupBy("src").agg(F.sum("weight").alias("s"))
     if join_strategy == "copartition":
-        trans = graph.edges.join(out_w, "src").select(
-            "src", "dst", (F.col("weight") / F.col("s")).alias("p")
-        )
         # The 10^12-vertex configuration: the rank table cannot be
-        # broadcast, so pre-partition the (cached) transition table by
-        # the join key once — every superstep then shuffles ONLY the
-        # small rank table to the matching partitioning, and the edge
-        # table is probed in place (no per-superstep driver-side
-        # broadcast build, no edge shuffle). Pair with
-        # autoBroadcastJoinThreshold=-1, preferSortMergeJoin=false and
-        # AQE partition coalescing off so the co-partitioning is
-        # preserved (see bench.scaling_run).
-        trans = trans.repartition("src").persist()
-        trans.count()
-        own_trans = True
+        # broadcast, so the transition table is pre-partitioned by the
+        # join key once (memoized on the Graph) — every superstep then
+        # shuffles ONLY the small rank table to the matching
+        # partitioning, and the edge table is probed in place (no
+        # per-superstep driver-side broadcast build, no edge shuffle).
+        # Pair with autoBroadcastJoinThreshold=-1,
+        # preferSortMergeJoin=false and AQE partition coalescing off so
+        # the co-partitioning is preserved (see bench.scaling_run).
+        trans = graph.transition(copartitioned=True)
     else:
         trans = graph.transition()  # memoized on the Graph
-        own_trans = False
 
     start = 0
     ranks = None
@@ -91,14 +85,28 @@ def pagerank(
     if ranks is None:
         ranks = truncate(verts.select("id", F.lit(1.0 / n).alias("rank")))
 
-    # Dangling vertices (no out-edges) cannot exist on a symmetrized
-    # undirected graph, so probe ONCE; on the common symmetric path the
-    # per-superstep dangling agg AND the fill-missing left join are
-    # both skipped (every vertex receives inflow).
-    dangling_ids = verts.join(
-        out_w, verts.id == out_w.src, "left_anti"
-    ).persist()
-    has_dangling = dangling_ids.limit(1).count() > 0
+    # Structural probes, skipped entirely on the symmetrized Graph
+    # contract (graph.symmetric: src/dst vertex sets coincide, so every
+    # vertex has both in- and out-edges):
+    # - dangling vertices (no out-edges) need their mass redistributed;
+    # - source vertices (out-edges but no in-edges — possible on raw
+    #   directed input even with zero danglings) receive no inflow, so
+    #   the fill join must run or they silently lose their teleport mass.
+    # Each probe is a full shuffle over the edge table — at 10^12 turns
+    # these one-per-call jobs cost as much as several supersteps, which
+    # is why the contract flag matters.
+    dangling_ids = None
+    has_dangling = False
+    needs_fill = False
+    if not graph.symmetric:
+        dangling_ids = verts.join(
+            out_w, verts.id == out_w.src, "left_anti"
+        ).persist()
+        has_dangling = dangling_ids.limit(1).count() > 0
+        in_dsts = graph.edges.select(F.col("dst").alias("id")).distinct()
+        needs_fill = has_dangling or (
+            verts.join(in_dsts, "id", "left_anti").limit(1).count() > 0
+        )
 
     teleport = (1.0 - alpha) / n
     if fixed_iterations is not None:
@@ -117,7 +125,7 @@ def pagerank(
             .groupBy(trans.dst.alias("id"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
         )
-        if has_dangling:
+        if needs_fill:
             new_ranks = verts.join(inflow, "id", "left").select(
                 "id",
                 (
@@ -135,6 +143,7 @@ def pagerank(
             last = it == max_iter - 1
             if last or (it + 1 - start) % truncate_every == 0:
                 new_ranks = truncate(new_ranks)
+                drop_spill(ranks)
             ranks = new_ranks
             continue
 
@@ -144,14 +153,16 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
             .first()[0]
         )
+        drop_spill(ranks)
         ranks = new_ranks
         if checkpointer is not None:
             ranks = checkpointer.save(it, ranks, algo="pagerank", l1_delta=delta)
+            drop_spill(new_ranks)
         if delta < tol:
             break
 
-    if own_trans:
-        trans.unpersist()
-    dangling_ids.unpersist()
-    verts.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
+    # verts is the Graph's memoized vertex table — stays cached for the
+    # next algorithm on the same Graph (Graph.unpersist releases it)
     return ranks

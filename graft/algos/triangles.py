@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graft.checkpoint import truncate
 from graft.graph import Graph
 
 
@@ -91,7 +92,7 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     out = graph.vertices().join(per_corner, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
-    out = out.localCheckpoint(eager=True)
+    out = truncate(out)
     closed.unpersist()
     o.unpersist()
     return out

@@ -122,6 +122,37 @@ _spill_root: str | None = None
 _spill_n = 0
 
 
+def _resolve_spill_root(spark: SparkSession) -> str:
+    """Spill root for superstep lineage truncation, cluster-real:
+
+    1. ``spark.graft.spillDir`` conf (any Hadoop-visible shared path);
+    2. ``SPARK_GRAFT_SPILL_DIR`` env;
+    3. the session's checkpoint dir, if one was set;
+    4. a driver-local tempdir (``local[*]`` only — executors on other
+       hosts cannot read the driver's /tmp, so on a real cluster one of
+       the shared options above must be configured).
+    """
+    conf_dir = spark.conf.get("spark.graft.spillDir", None)
+    if not conf_dir:
+        conf_dir = os.environ.get("SPARK_GRAFT_SPILL_DIR") or None
+    if not conf_dir:
+        ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if ckpt.isDefined():
+            conf_dir = ckpt.get()
+    if conf_dir:
+        root = os.path.join(
+            conf_dir.rstrip("/"), f"graft-spill-{os.getpid()}"
+        )
+        # local-path best effort; remote URIs are created by the write
+        if "://" not in root:
+            os.makedirs(root, exist_ok=True)
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+        return root
+    root = tempfile.mkdtemp(prefix="graft-spill-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def truncate(df: DataFrame) -> DataFrame:
     """Cut lineage between supersteps via a parquet spill round-trip.
 
@@ -136,13 +167,28 @@ def truncate(df: DataFrame) -> DataFrame:
     stats to the true file size (keeping AQE/broadcast decisions sane)
     and is the same mechanism a cluster run uses for reliable
     per-superstep checkpoints.
+
+    The returned DataFrame carries its spill path; iterative loops call
+    :func:`drop_spill` on retired supersteps so long convergence runs
+    do not accumulate unbounded spill directories.
     """
     global _spill_root, _spill_n
     spark = df.sparkSession
     if _spill_root is None:
-        _spill_root = tempfile.mkdtemp(prefix="graft-spill-")
-        atexit.register(shutil.rmtree, _spill_root, ignore_errors=True)
+        _spill_root = _resolve_spill_root(spark)
     path = os.path.join(_spill_root, f"t{_spill_n}")
     _spill_n += 1
     df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    out._graft_spill_path = path  # type: ignore[attr-defined]
+    return out
+
+
+def drop_spill(df: DataFrame) -> None:
+    """Delete the spill files backing a truncated DataFrame (no-op for
+    frames that did not come from :func:`truncate`). Only call once the
+    frame — and everything derived from it without an intervening
+    truncate — is dead."""
+    path = getattr(df, "_graft_spill_path", None)
+    if path and "://" not in path:
+        shutil.rmtree(path, ignore_errors=True)

@@ -26,12 +26,19 @@ class Graph:
     """
 
     edges: DataFrame
+    symmetric: bool = field(default=False)
     _cached: bool = field(default=False, repr=False)
     _trans: DataFrame | None = field(default=None, repr=False)
+    _trans_copart: DataFrame | None = field(default=None, repr=False)
+    _verts: DataFrame | None = field(default=None, repr=False)
+    _nv: int | None = field(default=None, repr=False)
 
     @classmethod
     def from_undirected(cls, raw_edges: DataFrame) -> "Graph":
-        return cls(normalize_edges(raw_edges))
+        # normalize_edges guarantees the symmetrized contract: src and
+        # dst vertex sets coincide, so no vertex lacks in- or out-edges
+        # — algorithms can skip their structural probes (pagerank)
+        return cls(normalize_edges(raw_edges), symmetric=True)
 
     def cache(self) -> "Graph":
         if not self._cached:
@@ -46,12 +53,33 @@ class Graph:
         if self._trans is not None:
             self._trans.unpersist()
             self._trans = None
+        if self._trans_copart is not None:
+            self._trans_copart.unpersist()
+            self._trans_copart = None
+        if self._verts is not None:
+            self._verts.unpersist()
+            self._verts = None
+            self._nv = None
 
-    def transition(self) -> DataFrame:
+    def transition(self, copartitioned: bool = False) -> DataFrame:
         """Memoized random-walk transition table ``(src, dst, p)`` with
         p = weight / out-weight(src) — built and cached once per Graph
         so repeated PageRank calls (warm-up + timed, or repeated
-        convergence runs) don't pay the 4M-row join again."""
+        convergence runs) don't pay the build join again.
+
+        ``copartitioned=True`` additionally hash-partitions the table by
+        ``src`` — the 10^12-vertex configuration where the rank table
+        cannot be broadcast: each superstep then shuffles only the small
+        rank table to this fixed partitioning and probes the edges in
+        place (no edge movement, no driver-side broadcast build).
+        """
+        if copartitioned:
+            if self._trans_copart is None:
+                self._trans_copart = (
+                    self.transition().repartition("src").persist()
+                )
+                self._trans_copart.count()
+            return self._trans_copart
         if self._trans is None:
             out_w = self.edges.groupBy("src").agg(F.sum("weight").alias("s"))
             self._trans = (
@@ -68,8 +96,19 @@ class Graph:
         """All vertex ids (C1-style identity vertex table)."""
         return self.edges.select(F.col("src").alias("id")).distinct()
 
+    def vertices_cached(self) -> DataFrame:
+        """Memoized persisted vertex table — iterative algorithms call
+        this so repeated runs on one Graph pay the distinct shuffle
+        once, not per call."""
+        if self._verts is None:
+            self._verts = self.vertices().persist()
+            self._nv = self._verts.count()
+        return self._verts
+
     def num_vertices(self) -> int:
-        return self.vertices().count()
+        if self._nv is None:
+            self.vertices_cached()
+        return self._nv
 
     def total_edge_weight(self) -> float:
         """m — single-counted total edge weight (R1, custom_leiden.py:69-75).

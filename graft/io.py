@@ -61,6 +61,31 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return sym.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
 
 
+def dense_ids(ids: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """Assign dense 0-based long ids to a ``(vid)`` table with no global
+    sort: rank within a deterministic hash bucket, then add exclusive
+    bucket offsets (a tiny ``n_buckets``-row cumulative sum, broadcast
+    back). Every stage is a keyed shuffle bounded by ``n/n_buckets``
+    rows per task — no single-partition window, so it holds at 10^12
+    vertices. Ids are a deterministic function of the vid set (hash
+    bucket, then vid order within bucket), not globally sorted.
+    """
+    b = F.pmod(F.xxhash64("vid"), F.lit(n_buckets))
+    ranked = ids.select("vid", b.alias("_b")).withColumn(
+        "_r", F.row_number().over(Window.partitionBy("_b").orderBy("vid"))
+    )
+    counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over at most n_buckets rows — bounded, not
+    # data-sized, so the global window here is safe at any scale
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return ranked.join(F.broadcast(offsets), "_b").select(
+        "vid", (F.col("_off") + F.col("_r") - 1).cast("long").alias("id")
+    )
+
+
 def renumber(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Map arbitrary vertex ids to dense 0-based longs.
 
@@ -77,14 +102,7 @@ def renumber(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .unionAll(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
-    # zipWithIndex-free dense ids: row_number over a global sort. For a
-    # 10^12-edge graph you would bucket this (rank within hash bucket +
-    # exclusive bucket offsets); at bench scale the single window is fine
-    # and deterministic.
-    mapping = ids.select(
-        "vid",
-        (F.row_number().over(Window.orderBy("vid")) - 1).cast("long").alias("id"),
-    )
+    mapping = dense_ids(ids)
     e = (
         edges.join(mapping.withColumnRenamed("vid", "src"), "src")
         .drop("src")
@@ -164,10 +182,7 @@ def actor_edges_to_long(edges_uv: DataFrame) -> tuple[DataFrame, DataFrame]:
         .unionAll(e.select(F.col("dst").alias("vid")))
         .distinct()
     )
-    mapping = ids.select(
-        "vid",
-        (F.row_number().over(Window.orderBy("vid")) - 1).cast("long").alias("id"),
-    )
+    mapping = dense_ids(ids)
     out = (
         e.join(mapping.withColumnRenamed("vid", "src"), "src")
         .drop("src")

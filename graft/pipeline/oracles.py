@@ -175,22 +175,84 @@ WITH q AS (
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
-SQL_NEAR_DUP_EMBEDDINGS = """
-WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+def _simhash_sql(bits: int = 32) -> str:
+    """Mirrors dedup.simhash: token hash = first 8 hex chars of md5; bit
+    b of that 32-bit value lives in hex char ``8 - b//4`` (md5 hex is
+    big-endian), nibble bit ``b % 4`` — pure string/arithmetic SQL, no
+    hex→int cast needed."""
+    bit_sums = []
+    for b in range(bits):
+        char_pos = 8 - b // 4
+        nib = (
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5(tok), {char_pos}, 1)) - 1)"
+        )
+        bit_sums.append(
+            f"sum(CASE WHEN (({nib} >> {b % 4}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{b}"
+        )
+    val = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM}, ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+), agg AS (
+  SELECT doc_id, {', '.join(bit_sums)} FROM toks GROUP BY doc_id
 )
-SELECT a.vec_id AS a, b.vec_id AS b,
-       round(
-         list_dot_product(a.ev, b.ev)
-         / (sqrt(list_dot_product(a.ev, a.ev))
-            * sqrt(list_dot_product(b.ev, b.ev))),
-         6
-       ) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(
-        list_dot_product(a.ev, b.ev)
-        / (sqrt(list_dot_product(a.ev, a.ev))
-           * sqrt(list_dot_product(b.ev, b.ev))),
-        6
-      ) >= 0.4
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM agg
 """
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def _near_dup_embeddings_sql(
+    threshold: float = 0.95, n_planes: int = 8, max_bucket: int = 50,
+    dim: int = 64, dup_mod: int = 10, dup_offset: int = 1_000_000,
+) -> str:
+    """LSH-bucketed near-duplicate pairs over embeddings ∪ planted exact
+    copies (vec_id % dup_mod == 0, re-id'd at +dup_offset). The
+    hyperplanes are the md5-Rademacher planes from
+    graft.pipeline.similarity.rademacher_planes, inlined as literals, so
+    the oracle reproduces the *bucketing* (not just the cosine check):
+    identical sign expressions, identical bucket cap, identical pair
+    join."""
+    from graft.pipeline.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    sig_bits = []
+    for j in range(n_planes):
+        terms = " + ".join(
+            f"({planes[j][d]:+.1f}) * ev[{d + 1}]" for d in range(dim)
+        )
+        sig_bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(sig_bits)
+    cos = (
+        "round(list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * "
+        "sqrt(list_dot_product(b.ev, b.ev))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + {dup_offset}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {dup_mod} = 0
+), sig AS (
+  SELECT vec_id, ev, {sig} AS s FROM base
+), capped AS (
+  SELECT * FROM (
+    SELECT vec_id, ev, s, count(*) OVER (PARTITION BY s) AS bs FROM sig
+  ) WHERE bs <= {max_bucket}
+)
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b, {cos} AS cosine
+FROM capped a JOIN capped b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+SQL_NEAR_DUP_EMBEDDINGS = _near_dup_embeddings_sql()

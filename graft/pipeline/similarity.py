@@ -58,6 +58,29 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
+    """±1 hyperplanes derived from md5 — engine-portable: any SQL engine
+    (the DuckDB oracle) reproduces the exact same coefficients, so the
+    LSH bucketing itself is cross-checkable, not just the cosine math.
+    coef(j, d) = +1 iff the first hex digit of md5("p{j}:{d}") is even.
+    """
+    import hashlib
+
+    return np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"p{j}:{d}".encode()).hexdigest()[0], 16)
+                % 2
+                == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            for j in range(n_planes)
+        ]
+    )
+
+
 def _signature(vec_col, planes: np.ndarray):
     """Bit-sign signature of a vector column against fixed hyperplanes.
     Zero planes → constant signature (brute-force mode: one bucket)."""
@@ -102,17 +125,21 @@ def embedding_near_dups(
     max_bucket: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold, candidates limited
     to shared LSH buckets (near-identical vectors agree on all signs with
-    high probability)."""
-    head = emb.select(vec_col).first()
-    if head is None:
-        return emb.sparkSession.createDataFrame(
-            [], f"a long, b long, cosine double"
-        )
-    dim = len(head[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    high probability). Pass ``planes`` (e.g. :func:`rademacher_planes`)
+    for externally-reproducible bucketing; otherwise seeded Gaussian
+    hyperplanes are drawn."""
+    if planes is None:
+        head = emb.select(vec_col).first()
+        if head is None:
+            return emb.sparkSession.createDataFrame(
+                [], "a long, b long, cosine double"
+            )
+        dim = len(head[0])
+        planes = _hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     sigs = emb.select(
         F.col(id_col), v.alias("v"), _signature(v, planes).alias("sig")

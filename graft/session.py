@@ -27,10 +27,12 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
-    # local mode: the driver JVM hosts every executor thread — size the
-    # heap for 32 concurrent tasks' sort/agg buffers or GC dominates
-    # (local[32] on 8g measured 6x slower than local[8] on identical work)
-    "spark.driver.memory": "48g",
+    # local mode: the driver JVM hosts every executor thread. 16g is the
+    # measured sweet spot on this 32-core box: 8g thrashes GC under 32
+    # concurrent task buffers, while 48g made the identical superstep
+    # job 1.8-2.6x SLOWER at local[32] (G1 with a huge young gen —
+    # repeated profiling rounds r2, tools/prof_scaling2.py).
+    "spark.driver.memory": "16g",
 }
 
 

@@ -175,3 +175,207 @@ def random_graph(n: int, p: float, seed: int, weighted: bool = True):
                 w = float(rng.uniform(0.5, 1.5)) if weighted else 1.0
                 edges.append((u, v, round(w, 3)))
     return edges
+
+
+def planted_partition_graph(
+    n_comms: int, comm_size: int, p_in: float, p_out: float, seed: int
+):
+    """Deterministic planted-partition graph: dense blocks + sparse
+    inter-block noise — the mid-size community-detection testbed."""
+    rng = np.random.default_rng(seed)
+    n = n_comms * comm_size
+    edges = []
+    for u in range(n):
+        for v in range(u + 1, n):
+            p = p_in if u // comm_size == v // comm_size else p_out
+            if rng.random() < p:
+                edges.append((u, v, 1.0))
+    return edges
+
+
+def skewed_graph(n: int, n_edges: int, seed: int):
+    """Power-law-ish hub-heavy graph (the transcript-graph shape)."""
+    rng = np.random.default_rng(seed)
+    u = (rng.random(n_edges) ** 3.0 * n).astype(np.int64)
+    v = (rng.random(n_edges) * n).astype(np.int64)
+    return [
+        (int(a), int(b), 1.0) for a, b in zip(u, v) if a != b
+    ]
+
+
+def refine_subset_ref(ids, n_v, intra_edges, gamma, order):
+    """Clean-room implementation of the reference's merge_nodes_subset
+    semantics (custom_leiden.py:349-459) with the remaining-communities
+    set maintained EXPLICITLY and every gate recomputed from scratch —
+    the slow-but-unarguable twin used to differentially test the
+    engine's incremental refinement kernel (graft.algos.leiden).
+
+    ids: vertices of one community S; n_v: aggregate node counts;
+    intra_edges: single-counted (u, v, w) within S, no self-loops;
+    order: full visit order (the gate filter preserves it).
+    Returns {vertex: refined community label}.
+    """
+    adj: dict[int, dict[int, float]] = {v: {} for v in ids}
+    for u, v, w in intra_edges:
+        if u == v:
+            continue
+        adj[u][v] = adj[u].get(v, 0.0) + w
+        adj[v][u] = adj[v].get(u, 0.0) + w
+    s_tot = sum(n_v[v] for v in ids)
+    comm = {v: v for v in ids}
+    members: dict[int, set[int]] = {v: {v} for v in ids}
+    remaining = set(ids)
+
+    def v_in_remaining(v):
+        return sum(
+            w for u, w in adj[v].items() if comm[u] in remaining
+        )
+
+    def c_in_remaining(c):
+        # cut from community c's members to members of OTHER remaining
+        # communities — recomputed from scratch (no incremental state)
+        total = 0.0
+        for x in members[c]:
+            for u, w in adj[x].items():
+                if comm[u] != c and comm[u] in remaining:
+                    total += w
+        return total
+
+    def n_c(c):
+        return sum(n_v[x] for x in members[c])
+
+    # R-selection happens once, before any merges (reference order)
+    r_set = [
+        v
+        for v in order
+        if v_in_remaining(v) >= gamma * n_v[v] * (s_tot - n_v[v])
+    ]
+    for v in r_set:
+        if len(members[comm[v]]) > 1:
+            continue  # only still-singleton nodes move
+        t_comms = [
+            c
+            for c in sorted(remaining)
+            if c_in_remaining(c) >= gamma * n_c(c) * (s_tot - n_c(c))
+        ]
+        best, best_delta = None, 0.0
+        for c in t_comms:
+            if c == comm[v]:
+                continue
+            k_vc = sum(w for u, w in adj[v].items() if comm[u] == c)
+            delta = k_vc - gamma * n_v[v] * n_c(c)
+            if delta > best_delta:
+                best, best_delta = c, delta
+        if best is not None:
+            old = comm[v]
+            members[best].add(v)
+            members[old].discard(v)
+            comm[v] = best
+            remaining.discard(old)
+    return comm
+
+
+def greedy_louvain_ref(
+    edges,
+    objective: str = "cpm",
+    gamma: float = 1.0,
+    seed: int = 0,
+    max_levels: int = 10,
+):
+    """Sequential multi-level greedy optimization (CPM or modularity) —
+    the quality yardstick an external engine like leidenalg provides in
+    the reference's own tests (examples/leiden-alg.py:12-23). Clean-room
+    pass-until-stable local moving + aggregation.
+
+    Returns {original vertex: community label}.
+    """
+    rng = np.random.default_rng(seed)
+    # level state: adjacency (no loops), per-node loop weight, node
+    # sizes, and which original vertices each supernode carries
+    sym = _symmetrize(edges)
+    adj = {
+        v: {u: w for u, w in nbrs.items() if u != v}
+        for v, nbrs in sym.items()
+    }
+    loop = {v: sym[v].get(v, 0.0) for v in sym}
+    size = {v: 1 for v in adj}
+    carry = {v: [v] for v in adj}
+    m = sum(w for _, _, w in dedup_undirected(edges))
+
+    def strength(v):
+        return sum(adj[v].values()) + 2.0 * loop[v]
+
+    final = {}
+    for _ in range(max_levels):
+        comm = {v: v for v in adj}
+        members = {v: {v} for v in adj}
+        n_c = dict(size)  # CPM community sizes
+        stot = {v: strength(v) for v in adj}  # modularity Σtot
+        moved_any = True
+        nodes = list(adj)
+        while moved_any:
+            moved_any = False
+            for v in [nodes[i] for i in rng.permutation(len(nodes))]:
+                cv = comm[v]
+                k_to: dict[int, float] = {}
+                for u, w in adj[v].items():
+                    k_to[comm[u]] = k_to.get(comm[u], 0.0) + w
+                k_own = k_to.get(cv, 0.0)
+                kv = strength(v)
+                best, best_delta = None, 0.0
+                for c, k in sorted(k_to.items()):
+                    if c == cv:
+                        continue
+                    if objective == "cpm":
+                        delta = (k - gamma * size[v] * n_c[c]) - (
+                            k_own - gamma * size[v] * (n_c[cv] - size[v])
+                        )
+                    else:
+                        # same closed form as the engine's _select_moves
+                        delta = (k - k_own) / m - kv * (
+                            stot[c] - stot[cv] + kv
+                        ) / (2.0 * m * m)
+                    if delta > best_delta:
+                        best, best_delta = c, delta
+                if best is not None:
+                    members[cv].discard(v)
+                    members[best].add(v)
+                    n_c[cv] -= size[v]
+                    n_c[best] += size[v]
+                    stot[cv] -= kv
+                    stot[best] += kv
+                    comm[v] = best
+                    moved_any = True
+        live = {c for c, ms in members.items() if ms}
+        if len(live) == len(adj):  # no compression — converged
+            for v in adj:
+                for orig in carry[v]:
+                    final[orig] = comm[v]
+            break
+        # aggregate: one supernode per community
+        new_adj: dict[int, dict[int, float]] = {c: {} for c in live}
+        new_loop = {c: 0.0 for c in live}
+        new_size = {c: 0 for c in live}
+        new_carry: dict[int, list[int]] = {c: [] for c in live}
+        for c in live:
+            for v in members[c]:
+                new_size[c] += size[v]
+                new_carry[c].extend(carry[v])
+                new_loop[c] += loop[v]
+        for v, nbrs in adj.items():
+            cv = comm[v]
+            for u, w in nbrs.items():
+                cu = comm[u]
+                if cu != cv:
+                    new_adj[cv][cu] = new_adj[cv].get(cu, 0.0) + w
+                else:
+                    new_loop[cv] += w / 2.0  # symmetric pair halves
+        adj, loop, size, carry = new_adj, new_loop, new_size, new_carry
+        for v in adj:
+            for orig in carry[v]:
+                final[orig] = v
+    else:
+        for v in adj:
+            for orig in carry[v]:
+                final[orig] = v
+    return final

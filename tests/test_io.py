@@ -43,10 +43,19 @@ def test_renumber_dense_zero_based(spark):
         [(100, 105, 1.0), (105, 200, 2.0)], schema=fixtures.EDGE_SCHEMA
     )
     e, mapping = renumber(raw)
-    ids = sorted(r.id for r in mapping.collect())
-    assert ids == [0, 1, 2]
+    mp = {r.vid: r.id for r in mapping.collect()}
+    # dense 0-based bijection (ids may be permuted vs vid order, but
+    # deterministic for a given vid set)
+    assert sorted(mp.values()) == [0, 1, 2]
+    assert set(mp) == {100, 105, 200}
     rows = sorted((r.src, r.dst, r.weight) for r in e.collect())
-    assert rows == [(0, 1, 1.0), (1, 2, 2.0)]
+    expect = sorted(
+        [(mp[100], mp[105], 1.0), (mp[105], mp[200], 2.0)]
+    )
+    assert rows == expect
+    # deterministic: a second pass assigns identical ids
+    _, mapping2 = renumber(raw)
+    assert {r.vid: r.id for r in mapping2.collect()} == mp
 
 
 def test_total_edge_weight_and_strength(spark):
