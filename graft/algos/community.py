@@ -25,6 +25,9 @@ original vertices carried by the (super)node.
 
 from __future__ import annotations
 
+import os
+import sys
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -167,24 +170,53 @@ def _select_moves(
 def _resolve_conflicts(
     moves: DataFrame, edges: DataFrame, it: int, seed: int
 ) -> DataFrame:
-    """Commit only an independent set of movers (P3 rewrite).
+    """Commit a gain-prioritized independent set of movers (P3 rewrite).
 
-    Deterministic per-superstep hash priority; a mover yields to any
-    adjacent mover with lower (priority, id). Mirrors the reference's
-    lowest-random-wins coloring (csrc/src/leiden_kernel.cu:66-76)
-    without locks.
+    A mover yields only to an adjacent mover that (a) targets a
+    DIFFERENT community and (b) carries a lower (hash, id) priority.
+    Mirrors the intent of the reference's lowest-random-wins coloring
+    (csrc/src/leiden_kernel.cu:66-76) — prevent adjacent rearrangements
+    from committing blind to each other — minus one pathology under
+    bulk-synchronous execution: same-target neighbors (the common case
+    when communities grow from singletons, or merge wholesale) don't
+    actually conflict, they are joining the same merge, so exempting
+    them lets a sweep commit entire merges at once instead of one
+    hash-local-maximum per neighborhood (measured r2: 50-sweep levels
+    → ~15). The priority stays a per-sweep HASH, not the move's gain:
+    gain fields are spatially correlated in hub graphs (a hub's delta
+    dominates its whole neighborhood), which collapses the committed
+    independent set to a handful of movers per sweep; a rough random
+    field keeps many local maxima. Deterministic for a fixed (it, seed).
     """
-    prio = F.xxhash64(F.col("id"), F.lit(it), F.lit(seed))
-    m = moves.select("id", "new_community", prio.alias("prio"))
+    h = F.xxhash64(F.col("id"), F.lit(it), F.lit(seed))
+    m = moves.select("id", "new_community", h.alias("h"))
     mover_edges = (
         edges.where(F.col("src") != F.col("dst"))
-        .join(m.select(F.col("id").alias("src"), F.col("prio").alias("p_src")), "src")
-        .join(m.select(F.col("id").alias("dst"), F.col("prio").alias("p_dst")), "dst")
+        .join(
+            m.select(
+                F.col("id").alias("src"),
+                F.col("new_community").alias("c_src"),
+                F.col("h").alias("h_src"),
+            ),
+            "src",
+        )
+        .join(
+            m.select(
+                F.col("id").alias("dst"),
+                F.col("new_community").alias("c_dst"),
+                F.col("h").alias("h_dst"),
+            ),
+            "dst",
+        )
     )
-    blocked = mover_edges.where(
-        (F.col("p_dst") < F.col("p_src"))
-        | ((F.col("p_dst") == F.col("p_src")) & (F.col("dst") < F.col("src")))
-    ).select(F.col("src").alias("id")).distinct()
+    beats = (F.col("h_dst") < F.col("h_src")) | (
+        (F.col("h_dst") == F.col("h_src")) & (F.col("dst") < F.col("src"))
+    )
+    blocked = (
+        mover_edges.where((F.col("c_dst") != F.col("c_src")) & beats)
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
     return m.join(blocked, "id", "left_anti").select("id", "new_community")
 
 
@@ -234,6 +266,35 @@ def _quality(
 # sweep index from which oscillation detection (per-sweep quality probe)
 # kicks in; before that, sweeps are assumed productive
 _QUALITY_CHECK_FROM = 5
+
+
+@contextmanager
+def superstep_conf(spark, n_edge_rows: int):
+    """Session tuning for iterative superstep sections; yields the
+    reducer count chosen for this data size.
+
+    - AQE off: every exchange otherwise becomes a separately-
+      materialized query stage (serial driver round-trips); superstep
+      state tables are small enough that static planning with
+      parquet-leaf sizes already picks the right joins. Scan-heavy
+      one-shot queries keep AQE (skew-join splitting at scale).
+    - Reducer count sized to the DATA, not the core count (the static
+      analog of AQE's by-size coalescing): a superstep over a 30k-row
+      level gains nothing from 32-task stages — it only pays 32 task
+      launches per stage × ~12 stages × ~15 sweeps of pure latency.
+      ~500k edge rows per reducer; configured parallelism is only ever
+      LOWERED, never raised, so 10^12-row clusters keep their setting.
+    """
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    sp = max(4, min(int(sp_before), -(-int(n_edge_rows) // 500_000)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    try:
+        yield sp
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
 
 def _quality_row(
@@ -312,27 +373,49 @@ def move_nodes(
     best-seen partition, the BSP analog of the reference's hard
     10-iteration cap, csrc/src/leiden_kernel.cu:1211-1213).
 
-    Superstep cadence (the round-1 perf lesson): each sweep is exactly
-    TWO Spark actions — one parquet write that executes the whole
-    gather → select → conflict-resolve → apply chain (with the commit
-    flag and the partition quality folded in as columns), and one tiny
-    aggregate over the written file to read back (n_moves, quality).
-    No separate commit-count job, no separate quality double-join job.
+    Superstep cadence (the r1/r2 perf lesson): per-sweep cost at small
+    state sizes is DRIVER-side — Catalyst analysis scales with plan-tree
+    size, and plans are trees, not DAGs, so every re-reference of the
+    gather subtree re-expands it. Each sweep therefore materializes the
+    small commit set first (one compact plan), reads its count, applies
+    it with a trivial plan, and runs the quality probe (small
+    double-join plan, only once oscillation detection is active) against
+    the already-materialized state. Parquet rereads are schema-pinned
+    (no per-sweep footer inference) and AQE is suspended for the loop
+    (per-stage re-optimization latency exceeds its value on superstep
+    state tables; see the conf save/restore below).
 
     Returns (updated level with the best-seen vertices, total moves).
     """
+    edges = level.edges
+    spark = edges.sparkSession
+    with superstep_conf(spark, edges.count()) as sp_sweep:
+        if edges.rdd.getNumPartitions() > sp_sweep * 2:
+            # narrow (no shuffle) so map stages stop paying one task
+            # launch per idle core on small levels
+            level = Level(
+                edges=edges.coalesce(sp_sweep), vertices=level.vertices
+            )
+        return _move_nodes_loop(
+            level, objective, gamma, m, max_sweeps, seed, patience, on_sweep
+        )
+
+
+def _move_nodes_loop(
+    level: Level,
+    objective: str,
+    gamma: float,
+    m: float,
+    max_sweeps: int,
+    seed: int,
+    patience: int,
+    on_sweep,
+) -> tuple[Level, int]:
     edges = level.edges
     vertices = truncate(
         level.vertices.select("id", "community", "agg_count", "k")
     )
     spills: list[DataFrame] = [vertices]
-    # total self-loop weight — constant across sweeps, feeds the cheap
-    # gather-based quality identity in _quality_row
-    loop_w = float(
-        edges.where(F.col("src") == F.col("dst"))
-        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
-        .first()[0]
-    )
     total = 0
     best_vertices = vertices
     best_q = None
@@ -342,33 +425,31 @@ def move_nodes(
         gather = gather_neighbor_comm_weights(edges, vertices)
         comm_agg = community_aggregates(vertices)
         moves = _select_moves(vertices, gather, comm_agg, objective, gamma, m)
-        commits = _resolve_conflicts(moves, edges, it, seed)
-        q_row = _quality_row(
-            gather, comm_agg, vertices, loop_w, objective, gamma, m
-        )
-        flagged = truncate(
-            vertices.join(commits, "id", "left")
-            .select(
-                "id",
-                F.coalesce("new_community", "community").alias("community"),
-                "agg_count",
-                "k",
-                F.col("new_community").isNotNull().alias("moved"),
+        # Materialize the (small) commit set FIRST: the conflict chain
+        # references the moves subtree three times and plans are trees,
+        # not DAGs — folding it unmaterialized into the apply/quality
+        # plan re-expands the gather subtree ~5x and Catalyst analysis
+        # cost (driver CPU) dominates the sweep (measured r2: the
+        # one-big-job variant was ~2x slower per sweep than this).
+        commits = truncate(_resolve_conflicts(moves, edges, it, seed))
+        spills.append(commits)
+        n_moves = commits.count()
+        # quality probe: a deliberately SMALL plan over the materialized
+        # state, only once oscillation detection is active; it evaluates
+        # the partition that ENTERED this sweep (same stream as
+        # evaluating each produced state, shifted one sweep)
+        q_cur = None
+        if it >= _QUALITY_CHECK_FROM:
+            q_cur = _quality(edges, vertices, objective, gamma, m)
+        if os.environ.get("GRAFT_SWEEP_LOG"):
+            import time as _time
+
+            print(
+                f"[sweep] t={_time.time():.1f} it={it} moves={n_moves} "
+                f"q={q_cur}",
+                file=sys.stderr, flush=True,
             )
-            .crossJoin(F.broadcast(q_row))
-        )
-        spills.append(flagged)
-        stat = flagged.agg(
-            F.sum(F.col("moved").cast("long")).alias("n_moves"),
-            F.first("q_pre").alias("q_pre"),
-        ).first()
-        n_moves = int(stat["n_moves"] or 0) if stat is not None else 0
-        q_cur = stat["q_pre"] if stat is not None else None
-        # best-partition tracking: q_cur evaluates the partition that
-        # ENTERED this sweep (`vertices`) — the same quality stream as
-        # evaluating each produced state, shifted one sweep, at zero
-        # extra jobs (it rides the sweep's own gather aggregates).
-        if it >= _QUALITY_CHECK_FROM and q_cur is not None:
+        if q_cur is not None:
             final_q = q_cur
             if best_q is None or q_cur > best_q + 1e-12:
                 best_q = q_cur
@@ -381,10 +462,15 @@ def move_nodes(
         if n_moves == 0:
             break
         total += n_moves
-        new_vertices = flagged.select("id", "community", "agg_count", "k")
-        new_vertices._graft_spill_path = getattr(  # type: ignore[attr-defined]
-            flagged, "_graft_spill_path", None
+        new_vertices = truncate(
+            vertices.join(commits, "id", "left").select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+                "agg_count",
+                "k",
+            )
         )
+        spills.append(new_vertices)
         vertices = new_vertices
         final_q = None  # the new state has not been evaluated yet
         if on_sweep is not None:

@@ -23,6 +23,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graft.algos.community import superstep_conf
 from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
@@ -51,20 +52,21 @@ def connected_components(
     edges = graph.without_self_loops().select("src", "dst").persist()
     labels = graph.vertices().select("id", F.col("id").alias("comp"))
     labels = truncate(labels)
-    changed = 0
-    for it in range(max_iter):
-        new_labels = truncate(_min_neighbor_round(edges, labels))
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
-        drop_spill(labels)
-        labels = new_labels
-        if checkpointer is not None:
-            labels = checkpointer.save(it, labels, algo="cc", changed=changed)
-        if changed == 0:
-            break
+    with superstep_conf(edges.sparkSession, edges.count()):
+        changed = 0
+        for it in range(max_iter):
+            new_labels = truncate(_min_neighbor_round(edges, labels))
+            changed = (
+                new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+                .where(F.col("comp") != F.col("old"))
+                .count()
+            )
+            drop_spill(labels)
+            labels = new_labels
+            if checkpointer is not None:
+                labels = checkpointer.save(it, labels, algo="cc", changed=changed)
+            if changed == 0:
+                break
     edges.unpersist()
     if changed != 0:
         # propagate mode is O(diameter); a chain longer than max_iter
@@ -123,19 +125,20 @@ def _cc_star(
         .where(F.col("u") > F.col("v"))
         .distinct()
     )
-    e = truncate(e)
-    for it in range(max_iter):
-        new_e = truncate(small_star(large_star(e)))
-        changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
-        )
-        drop_spill(e)
-        e = new_e
-        if checkpointer is not None:
-            e = checkpointer.save(it, e, algo="cc_star", changed=changed)
-        if changed == 0:
-            break
+    with superstep_conf(graph.edges.sparkSession, graph.edges.count()):
+        e = truncate(e)
+        for it in range(max_iter):
+            new_e = truncate(small_star(large_star(e)))
+            changed = (
+                new_e.exceptAll(e).limit(1).count()
+                + e.exceptAll(new_e).limit(1).count()
+            )
+            drop_spill(e)
+            e = new_e
+            if checkpointer is not None:
+                e = checkpointer.save(it, e, algo="cc_star", changed=changed)
+            if changed == 0:
+                break
     # At the fixed point every edge is (member, root). Roots and isolated
     # vertices label themselves.
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))

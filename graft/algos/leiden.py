@@ -40,6 +40,7 @@ from graft.algos.community import (
     aggregate_graph,
     init_level,
     move_nodes,
+    superstep_conf,
 )
 from graft.graph import Graph
 
@@ -223,12 +224,22 @@ def leiden(
     gamma: float = 0.05,
     theta: float = 1.0,  # noqa: ARG001 — API parity; greedy per reference
     max_levels: int = 10,
-    max_sweeps: int = 50,
+    max_sweeps: int = 15,
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
+    sequential_tail_edges: int = 200_000,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` final labels on original
-    vertices. Deterministic for a fixed seed (SURVEY.md §1.4 item 10)."""
+    vertices. Deterministic for a fixed seed (SURVEY.md §1.4 item 10).
+
+    ``max_sweeps`` caps BSP local moving per level (the reference hard-
+    caps at 10, csrc/src/leiden_kernel.cu:1211-1213; deeper levels pick
+    up what a capped level leaves). Once a level's edge table is at most
+    ``sequential_tail_edges`` rows it fits one Arrow batch, and the
+    remaining levels run as ONE executor task via the sequential tail
+    kernel (graft.algos.seq_tail) — at that size every distributed sweep
+    costs more in job latency than the whole remaining computation.
+    Set it to 0 to force the BSP path at every level."""
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)
     level.edges = level.edges.persist()
@@ -258,6 +269,18 @@ def leiden(
             )
             start_lvl = done + 1
     for lvl in range(start_lvl, max_levels):
+        if level.edges.count() <= sequential_tail_edges:
+            from graft.algos.seq_tail import run_tail_distributed
+
+            tail = truncate(
+                run_tail_distributed(
+                    level.edges, level.vertices, "cpm", gamma, 1.0,
+                    seed + lvl,
+                )
+            )
+            level = Level(edges=level.edges, vertices=tail)
+            break
+
         def _on_sweep(it, n_moves, verts, _lvl=lvl):
             if checkpointer is not None:
                 checkpointer.save(
@@ -277,23 +300,39 @@ def leiden(
         n_before = row["n"]
         if row["c"] == n_before:
             break  # all singletons
-        refined = truncate(refine_partition(level, gamma, seed + lvl))
-        n_refined = refined.agg(F.countDistinct("refined")).first()[0]
-        if n_refined == n_before:
-            break  # refinement kept every node singleton — no compression
+        import os as _os
+        import time as _time
+
+        _t0 = _time.time()
+        with superstep_conf(level.edges.sparkSession, level.edges.count()):
+            refined = truncate(refine_partition(level, gamma, seed + lvl))
+            n_refined = refined.agg(F.countDistinct("refined")).first()[0]
+            if _os.environ.get("GRAFT_SWEEP_LOG"):
+                print(
+                    f"[leiden] lvl={lvl} n={n_before} refined={n_refined} "
+                    f"refine_s={_time.time() - _t0:.1f}",
+                    file=__import__('sys').stderr, flush=True,
+                )
+            if n_refined == n_before:
+                break  # refinement kept every node singleton
+            new_edges = truncate(
+                aggregate_graph(
+                    level.edges,
+                    refined.select("id", F.col("refined").alias("community")),
+                )
+            )
+            new_vertices = truncate(
+                _maintained_vertices(level.vertices, refined, new_edges)
+            )
+            if _os.environ.get("GRAFT_SWEEP_LOG"):
+                print(
+                    f"[leiden] lvl={lvl} aggregate_s={_time.time() - _t0:.1f}",
+                    file=__import__('sys').stderr, flush=True,
+                )
         mappings.append(
             refined.select(
                 F.col("id").alias("child"), F.col("refined").alias("parent")
             )
-        )
-        new_edges = truncate(
-            aggregate_graph(
-                level.edges,
-                refined.select("id", F.col("refined").alias("community")),
-            )
-        )
-        new_vertices = truncate(
-            _maintained_vertices(level.vertices, refined, new_edges)
         )
         if checkpointer is not None:
             checkpointer.save_table(f"level={lvl}/mapping", mappings[-1])

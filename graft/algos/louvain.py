@@ -27,13 +27,19 @@ from graft.graph import Graph
 def louvain(
     graph: Graph,
     max_levels: int = 10,
-    max_sweeps: int = 50,
+    max_sweeps: int = 15,
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
+    sequential_tail_edges: int = 200_000,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` — final labels on the
     original vertices; community ids are supernode ids at the coarsest
-    level (stable under the deterministic seed)."""
+    level (stable under the deterministic seed).
+
+    ``max_sweeps`` caps BSP local moving per level; levels whose edge
+    table fits one Arrow batch (≤ ``sequential_tail_edges`` rows) finish
+    as ONE executor task via the sequential tail kernel (see
+    graft.algos.leiden.leiden docstring; 0 forces BSP everywhere)."""
     m = graph.total_edge_weight()
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)
@@ -61,6 +67,23 @@ def louvain(
             )
             start_lvl = done + 1
     for lvl in range(start_lvl, max_levels):
+        if level.edges.count() <= sequential_tail_edges:
+            from graft.algos.seq_tail import run_tail_distributed
+
+            tail = truncate(
+                run_tail_distributed(
+                    level.edges, level.vertices, "modularity", 1.0, m,
+                    seed + lvl,
+                )
+            )
+            mappings.append(
+                tail.select(
+                    F.col("id").alias("child"),
+                    F.col("community").alias("parent"),
+                )
+            )
+            break
+
         def _on_sweep(it, n_moves, verts, _lvl=lvl):
             if checkpointer is not None:
                 checkpointer.save(

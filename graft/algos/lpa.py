@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graft.algos.community import superstep_conf
 from graft.checkpoint import Checkpointer, truncate
 from graft.graph import Graph
 
@@ -35,19 +36,20 @@ def label_propagation(
     edges = graph.without_self_loops().persist()
     labels = graph.vertices().select("id", F.col("id").alias("label"))
     labels = truncate(labels)
-    for it in range(max_iter):
-        new_labels = lpa_round(edges, labels)
-        new_labels = truncate(new_labels)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if checkpointer is not None:
-            labels = checkpointer.save(it, labels, algo="lpa", changed=changed)
-        if changed == 0:
-            break
+    with superstep_conf(edges.sparkSession, edges.count()):
+        for it in range(max_iter):
+            new_labels = lpa_round(edges, labels)
+            new_labels = truncate(new_labels)
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if checkpointer is not None:
+                labels = checkpointer.save(it, labels, algo="lpa", changed=changed)
+            if changed == 0:
+                break
     edges.unpersist()
     return labels
 

@@ -15,16 +15,21 @@ vertex's out-probability mass splits proportionally to edge weight
 Scale design (verified with .explain + profiling):
 - the transition table ``(src, dst, p)`` is built once and cached; the
   per-superstep join broadcasts the (much smaller) rank table into the
-  edge scan (AQE picks BroadcastHashJoin because truncated rank tables
-  are parquet leaves with true sizes), so the big edge table is never
-  shuffled — only the partial inflow sums move.
-- on a symmetrized graph every vertex has in-edges, so the
-  fill-missing-vertices left join is skipped entirely (one less shuffle
-  per superstep); it only runs for directed inputs.
+  edge scan (the static planner picks BroadcastHashJoin because
+  truncated rank tables are parquet leaves with true sizes), so the big
+  edge table is never shuffled — only the partial inflow sums move.
+  ``join_strategy="copartition"`` is the 10^12-vertex variant: rank
+  table too big to broadcast, probed against a pre-partitioned cached
+  transition table instead.
+- on the symmetrized Graph contract the structural probes (dangling /
+  missing-in vertices) are skipped entirely — each is a full shuffle
+  that costs as much as several supersteps per call.
+- the superstep loop runs under community.superstep_conf (AQE off,
+  data-sized reducers): per-sweep latency, not data volume, dominates
+  iterative loops below millions of rows.
 - ``fixed_iterations`` mode runs probe-free; ``truncate_every``
   controls how many supersteps chain into one job between lineage
-  truncations. Measured on local[8..32]: chaining HURTS (nested AQE
-  broadcast stages serialize), so the default truncates each superstep.
+  truncations (the bench scaling job chains all of them).
 - convergence mode pays one truncate + one L1-delta agg per superstep
   (the driver-side probe, csrc/src/leiden_kernel.cu:1054-1066 analog).
 """
@@ -34,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graft.algos.community import superstep_conf
 from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
@@ -108,58 +114,61 @@ def pagerank(
             verts.join(in_dsts, "id", "left_anti").limit(1).count() > 0
         )
 
-    teleport = (1.0 - alpha) / n
-    if fixed_iterations is not None:
-        max_iter = fixed_iterations
-    for it in range(start, max_iter):
-        dangling = 0.0
-        if has_dangling:
-            dangling = (
-                ranks.join(dangling_ids, "id", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+    # data-sized reducers + AQE off for the superstep loop — same
+    # latency rationale as community.superstep_conf
+    with superstep_conf(spark, graph.edges.count()):
+        teleport = (1.0 - alpha) / n
+        if fixed_iterations is not None:
+            max_iter = fixed_iterations
+        for it in range(start, max_iter):
+            dangling = 0.0
+            if has_dangling:
+                dangling = (
+                    ranks.join(dangling_ids, "id", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .first()[0]
+                )
+            base = teleport + alpha * dangling / n
+            inflow = (
+                trans.join(ranks, trans.src == ranks.id)
+                .groupBy(trans.dst.alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+            )
+            if needs_fill:
+                new_ranks = verts.join(inflow, "id", "left").select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            else:
+                new_ranks = inflow.select(
+                    "id",
+                    (F.lit(base) + F.lit(alpha) * F.col("inflow")).alias("rank"),
+                )
+
+            if fixed_iterations is not None:
+                last = it == max_iter - 1
+                if last or (it + 1 - start) % truncate_every == 0:
+                    new_ranks = truncate(new_ranks)
+                    drop_spill(ranks)
+                ranks = new_ranks
+                continue
+
+            new_ranks = truncate(new_ranks)
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                 .first()[0]
             )
-        base = teleport + alpha * dangling / n
-        inflow = (
-            trans.join(ranks, trans.src == ranks.id)
-            .groupBy(trans.dst.alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
-        )
-        if needs_fill:
-            new_ranks = verts.join(inflow, "id", "left").select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-        else:
-            new_ranks = inflow.select(
-                "id",
-                (F.lit(base) + F.lit(alpha) * F.col("inflow")).alias("rank"),
-            )
-
-        if fixed_iterations is not None:
-            last = it == max_iter - 1
-            if last or (it + 1 - start) % truncate_every == 0:
-                new_ranks = truncate(new_ranks)
-                drop_spill(ranks)
+            drop_spill(ranks)
             ranks = new_ranks
-            continue
-
-        new_ranks = truncate(new_ranks)
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .first()[0]
-        )
-        drop_spill(ranks)
-        ranks = new_ranks
-        if checkpointer is not None:
-            ranks = checkpointer.save(it, ranks, algo="pagerank", l1_delta=delta)
-            drop_spill(new_ranks)
-        if delta < tol:
-            break
+            if checkpointer is not None:
+                ranks = checkpointer.save(it, ranks, algo="pagerank", l1_delta=delta)
+                drop_spill(new_ranks)
+            if delta < tol:
+                break
 
     if dangling_ids is not None:
         dangling_ids.unpersist()

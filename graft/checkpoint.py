@@ -56,7 +56,7 @@ class Checkpointer:
         """
         path = self._step_dir(step)
         state.write.mode("overwrite").parquet(path)
-        reread = self.spark.read.parquet(path)
+        reread = self.spark.read.schema(state.schema).parquet(path)
         part_counts = [
             [int(r["pid"]), int(r["n"])]
             for r in reread.groupBy(
@@ -109,7 +109,7 @@ class Checkpointer:
     def save_table(self, name: str, df: DataFrame) -> DataFrame:
         path = self._table_dir(name)
         df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        return self.spark.read.schema(df.schema).parquet(path)
 
     def has_table(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._table_dir(name), "_SUCCESS"))
@@ -179,7 +179,10 @@ def truncate(df: DataFrame) -> DataFrame:
     path = os.path.join(_spill_root, f"t{_spill_n}")
     _spill_n += 1
     df.write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
+    # pin the schema on reread: skips the footer-inference job that
+    # otherwise runs once per superstep (driver planning latency adds up
+    # across hundreds of sweeps)
+    out = spark.read.schema(df.schema).parquet(path)
     out._graft_spill_path = path  # type: ignore[attr-defined]
     return out
 

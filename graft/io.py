@@ -86,14 +86,19 @@ def dense_ids(ids: DataFrame, n_buckets: int = 1024) -> DataFrame:
     )
 
 
-def renumber(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def renumber(
+    edges: DataFrame, pad_isolated: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Map arbitrary vertex ids to dense 0-based longs.
 
     The reference renumbers by min-subtraction and pads id gaps with
     isolated vertices (csrc/test/main.cpp:85-89,153-175). At scale a
     dense rank is the right primitive (id spaces of 10^12-turn graphs
-    are sparse); isolated-vertex padding is dropped — an id that never
-    appears in an edge does not exist in a link graph.
+    are sparse), so by default an id that never appears in an edge does
+    not exist in the graph; ``pad_isolated=True`` reproduces the
+    reference's behavior exactly — every integer id in
+    ``[min_id, max_id]`` becomes a vertex, gap ids isolated — for users
+    porting KONECT-style files whose vertex counts must match.
 
     Returns (renumbered edges, mapping(vid long, id long)).
     """
@@ -102,6 +107,13 @@ def renumber(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .unionAll(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
+    if pad_isolated:
+        spark = edges.sparkSession
+        lo_hi = ids.agg(F.min("vid"), F.max("vid")).first()
+        if lo_hi[0] is not None:
+            ids = spark.range(lo_hi[0], lo_hi[1] + 1).select(
+                F.col("id").alias("vid")
+            )
     mapping = dense_ids(ids)
     e = (
         edges.join(mapping.withColumnRenamed("vid", "src"), "src")

@@ -42,7 +42,10 @@ def _labels(df) -> dict[int, int]:
 def test_leiden_cpm_matches_sequential_oracle(spark, maker, gamma):
     edges = maker()
     g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
-    ours = _labels(leiden(g, gamma=gamma, seed=1234))
+    # force the BSP path: comparing the sequential tail kernel to a
+    # sequential oracle would be near-vacuous
+    ours = _labels(leiden(g, gamma=gamma, seed=1234,
+                          sequential_tail_edges=0))
     ours_cpm = cpm_ref(edges, ours, gamma)
 
     ref = greedy_louvain_ref(edges, objective="cpm", gamma=gamma, seed=99)
@@ -56,7 +59,8 @@ def test_leiden_cpm_matches_sequential_oracle(spark, maker, gamma):
 def test_leiden_recovers_planted_partition(spark):
     edges = planted_partition_graph(8, 20, 0.6, 0.005, seed=3)
     g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
-    ours = _labels(leiden(g, gamma=0.1, seed=1234))
+    ours = _labels(leiden(g, gamma=0.1, seed=1234,
+                          sequential_tail_edges=0))
     # block purity: every planted block maps to one engine community
     blocks: dict[int, set[int]] = {}
     for v, c in ours.items():
@@ -69,7 +73,7 @@ def test_leiden_recovers_planted_partition(spark):
 def test_louvain_modularity_matches_sequential_oracle(spark):
     edges = planted_partition_graph(12, 20, 0.5, 0.01, seed=13)
     g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
-    ours = _labels(louvain(g, seed=1234))
+    ours = _labels(louvain(g, seed=1234, sequential_tail_edges=0))
     ours_q = modularity_ref(edges, ours)
 
     ref = greedy_louvain_ref(edges, objective="modularity", seed=99)

@@ -58,6 +58,18 @@ def test_renumber_dense_zero_based(spark):
     assert {r.vid: r.id for r in mapping2.collect()} == mp
 
 
+def test_renumber_pad_isolated_reproduces_reference_gaps(spark):
+    """pad_isolated=True: every id in [min, max] becomes a vertex
+    (csrc/test/main.cpp:85-89 gap-padding semantics)."""
+    raw = spark.createDataFrame(
+        [(100, 103, 1.0)], schema=fixtures.EDGE_SCHEMA
+    )
+    _, mapping = renumber(raw, pad_isolated=True)
+    mp = {r.vid: r.id for r in mapping.collect()}
+    assert set(mp) == {100, 101, 102, 103}
+    assert sorted(mp.values()) == [0, 1, 2, 3]
+
+
 def test_total_edge_weight_and_strength(spark):
     g = Graph.from_undirected(
         fixtures.edges_df(spark, fixtures.weighted_triangle_edges())

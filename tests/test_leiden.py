@@ -27,8 +27,11 @@ def _groups(labels):
 CLIQUES = [frozenset(range(4 * c, 4 * c + 4)) for c in range(5)]
 
 
-def test_clique_ring_gamma01_finds_cliques(spark):
-    g, labels = _partition(spark, fixtures.clique_ring_edges(), gamma=0.1)
+@pytest.mark.parametrize("tail", [200_000, 0],
+                         ids=["seq_tail", "bsp"])
+def test_clique_ring_gamma01_finds_cliques(spark, tail):
+    g, labels = _partition(spark, fixtures.clique_ring_edges(), gamma=0.1,
+                           sequential_tail_edges=tail)
     assert _groups(labels) == CLIQUES
     a = spark.createDataFrame(
         [(int(v), int(c)) for v, c in labels.items()], "id long, community long"
@@ -49,9 +52,12 @@ def test_clique_ring_weighted(spark):
     g.unpersist()
 
 
-def test_bridged_cliques_gamma009(spark):
+@pytest.mark.parametrize("tail", [200_000, 0],
+                         ids=["seq_tail", "bsp"])
+def test_bridged_cliques_gamma009(spark, tail):
     # the reference's in-code fixture and gamma (custom_leiden.py:796)
-    g, labels = _partition(spark, fixtures.bridged_cliques_edges(), gamma=0.09)
+    g, labels = _partition(spark, fixtures.bridged_cliques_edges(), gamma=0.09,
+                           sequential_tail_edges=tail)
     assert _groups(labels) == [frozenset({0, 1, 2, 3}), frozenset({4, 5, 6, 7})]
     g.unpersist()
 
@@ -63,10 +69,14 @@ def test_low_gamma_merges_everything(spark):
     g.unpersist()
 
 
-def test_determinism_fixed_seed(spark):
+@pytest.mark.parametrize("tail", [200_000, 0],
+                         ids=["seq_tail", "bsp"])
+def test_determinism_fixed_seed(spark, tail):
     edges = fixtures.clique_ring_weighted_edges()
-    _, l1 = _partition(spark, edges, gamma=0.1, seed=99)
-    _, l2 = _partition(spark, edges, gamma=0.1, seed=99)
+    _, l1 = _partition(spark, edges, gamma=0.1, seed=99,
+                       sequential_tail_edges=tail)
+    _, l2 = _partition(spark, edges, gamma=0.1, seed=99,
+                       sequential_tail_edges=tail)
     assert l1 == l2
 
 

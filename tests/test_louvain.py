@@ -24,8 +24,11 @@ def _groups(labels):
     return sorted(map(frozenset, out.values()), key=min)
 
 
-def test_clique_ring_finds_the_cliques(spark):
-    g, labels = _partition(spark, fixtures.clique_ring_edges())
+@pytest.mark.parametrize("tail", [200_000, 0],
+                         ids=["seq_tail", "bsp"])
+def test_clique_ring_finds_the_cliques(spark, tail):
+    g, labels = _partition(spark, fixtures.clique_ring_edges(),
+                           sequential_tail_edges=tail)
     assert _groups(labels) == [
         frozenset(range(4 * c, 4 * c + 4)) for c in range(5)
     ]
@@ -38,8 +41,11 @@ def test_clique_ring_weighted(spark):
     ]
 
 
-def test_bridged_cliques_two_communities(spark):
-    g, labels = _partition(spark, fixtures.bridged_cliques_edges())
+@pytest.mark.parametrize("tail", [200_000, 0],
+                         ids=["seq_tail", "bsp"])
+def test_bridged_cliques_two_communities(spark, tail):
+    g, labels = _partition(spark, fixtures.bridged_cliques_edges(),
+                           sequential_tail_edges=tail)
     assert _groups(labels) == [frozenset({0, 1, 2, 3}), frozenset({4, 5, 6, 7})]
 
 

@@ -25,11 +25,11 @@ def test_leiden_resume_equivalence(spark, tmp_path):
     edges = fixtures.clique_ring_weighted_edges()
     g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
 
-    full = _canon(_labels(leiden(g, gamma=0.1, seed=5)))
+    full = _canon(_labels(leiden(g, gamma=0.1, seed=5, sequential_tail_edges=0)))
 
     # interrupted run: stop after the first aggregation level
     ck1 = Checkpointer(spark, str(tmp_path), "leiden")
-    partial = leiden(g, gamma=0.1, seed=5, max_levels=1, checkpointer=ck1)
+    partial = leiden(g, gamma=0.1, seed=5, sequential_tail_edges=0, max_levels=1, checkpointer=ck1)
     partial.count()
     assert ck1.has_table("level=0/mapping")
     assert len(ck1.metrics()) > 0
@@ -37,7 +37,7 @@ def test_leiden_resume_equivalence(spark, tmp_path):
 
     # resumed run continues from the persisted level
     ck2 = Checkpointer(spark, str(tmp_path), "leiden")
-    resumed = _canon(_labels(leiden(g, gamma=0.1, seed=5, checkpointer=ck2)))
+    resumed = _canon(_labels(leiden(g, gamma=0.1, seed=5, sequential_tail_edges=0, checkpointer=ck2)))
     assert resumed == full
     g.unpersist()
 
@@ -46,13 +46,13 @@ def test_louvain_resume_equivalence(spark, tmp_path):
     edges = fixtures.clique_ring_edges()
     g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
 
-    full = _canon(_labels(louvain(g, seed=3)))
+    full = _canon(_labels(louvain(g, seed=3, sequential_tail_edges=0)))
 
     ck1 = Checkpointer(spark, str(tmp_path), "louvain")
-    louvain(g, seed=3, max_levels=1, checkpointer=ck1).count()
+    louvain(g, seed=3, sequential_tail_edges=0, max_levels=1, checkpointer=ck1).count()
     assert ck1.has_table("level=0/vertices")
 
     ck2 = Checkpointer(spark, str(tmp_path), "louvain")
-    resumed = _canon(_labels(louvain(g, seed=3, checkpointer=ck2)))
+    resumed = _canon(_labels(louvain(g, seed=3, sequential_tail_edges=0, checkpointer=ck2)))
     assert resumed == full
     g.unpersist()
