@@ -412,10 +412,50 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked plumbing probe: the DuckDB side derives the
+    expected (media_id, n_bytes) independently from synth_media's
+    documented payload-length formula, so what this verifies is that
+    ids and payload sizes round-trip the Arrow mapInPandas batches
+    (the decode itself is the documented deterministic stub)."""
     from graft.pipeline.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64)
     return extract_features(media, dim=16).select("media_id", "n_bytes")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k with engine-portable
+    md5-Rademacher hyperplanes — the oracle reproduces the bucketing,
+    so the verified plan is the pruned one, not a full scan."""
+    from graft.pipeline.similarity import (
+        lsh_bucket_topk_planes,
+        rademacher_planes,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucket_topk_planes(
+        emb, [float(x) for x in q], rademacher_planes(len(q), 4), k=10
+    )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic centroid sample, broadcast
+    max-cosine assignment, n_probe nearest lists probed — the oracle
+    mirrors the assignment and probe selection, so the verified plan is
+    the IVF-pruned candidate set."""
+    from graft.pipeline.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, [float(x) for x in q], k=10, n_probe=2,
+                    centroid_mod=31)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -440,8 +480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": _q_near_dup_pairs,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_features": _q_media_features,
+        "doc_quality_scores": _q_quality_scores,
     }
 
 
@@ -477,6 +520,9 @@ FROM e WHERE u = v""",
         "near_dup_pairs": _po.SQL_NEAR_DUP_PAIRS,
         "simhash": _po.SQL_SIMHASH,
         "cosine_topk": _po.SQL_COSINE_TOPK,
+        "ann_topk": _po.SQL_ANN_TOPK,
+        "ivf_topk": _po.SQL_IVF_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
-        # media_features: synthetic in-code media table — rows-only.
+        "media_features": _po.SQL_MEDIA_FEATURES,
+        "doc_quality_scores": _po.SQL_QUALITY_SCORES,
     }

@@ -297,64 +297,6 @@ def superstep_conf(spark, n_edge_rows: int):
         spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
 
-def _quality_row(
-    gather: DataFrame,
-    comm_agg: DataFrame,
-    vertices: DataFrame,
-    loop_w: float,
-    objective: str,
-    gamma: float,
-    m: float,
-) -> DataFrame:
-    """One-row ``(q_pre double)``: quality of the *current* partition,
-    derived from the sweep's already-needed gather/comm_agg subtrees
-    (Catalyst reuses their shuffle exchanges), so evaluating quality
-    costs no extra pass over the edge table.
-
-    Identities (loop weight LW is constant for the level):
-      CPM  = 0.5·Σ_v k_own(v) + LW − γ·Σ_c n_c(n_c−1)/2
-      Q    = (Σ_v k_own(v) + 2·LW)/(2m) − Σ_c (stot_c/(2m))²
-    where k_own(v) is the non-loop weight from v into its own community.
-    """
-    own_sum = (
-        vertices.select("id", "community")
-        .join(
-            gather.select(
-                "id",
-                F.col("nbr_comm").alias("community"),
-                F.col("k_vc").alias("k_own"),
-            ),
-            ["id", "community"],
-            "left",
-        )
-        .agg(F.coalesce(F.sum("k_own"), F.lit(0.0)).alias("k_own_sum"))
-    )
-    if objective == "cpm":
-        comm_term = comm_agg.agg(
-            F.coalesce(
-                F.sum(F.lit(gamma) * F.col("n") * (F.col("n") - 1) / 2.0),
-                F.lit(0.0),
-            ).alias("penalty")
-        )
-        return own_sum.crossJoin(comm_term).select(
-            (
-                F.col("k_own_sum") / 2.0 + F.lit(loop_w) - F.col("penalty")
-            ).alias("q_pre")
-        )
-    comm_term = comm_agg.agg(
-        F.coalesce(
-            F.sum((F.col("stot") / (2 * m)) * (F.col("stot") / (2 * m))),
-            F.lit(0.0),
-        ).alias("penalty")
-    )
-    return own_sum.crossJoin(comm_term).select(
-        (
-            (F.col("k_own_sum") + 2.0 * F.lit(loop_w)) / (2 * m)
-            - F.col("penalty")
-        ).alias("q_pre")
-    )
-
-
 def move_nodes(
     level: Level,
     objective: str,
@@ -424,13 +366,24 @@ def _move_nodes_loop(
     for it in range(max_sweeps):
         gather = gather_neighbor_comm_weights(edges, vertices)
         comm_agg = community_aggregates(vertices)
-        moves = _select_moves(vertices, gather, comm_agg, objective, gamma, m)
-        # Materialize the (small) commit set FIRST: the conflict chain
-        # references the moves subtree three times and plans are trees,
-        # not DAGs — folding it unmaterialized into the apply/quality
-        # plan re-expands the gather subtree ~5x and Catalyst analysis
-        # cost (driver CPU) dominates the sweep (measured r2: the
-        # one-big-job variant was ~2x slower per sweep than this).
+        # Materialize the (small) move set FIRST, for two reasons. One:
+        # the conflict chain references the moves subtree three times and
+        # plans are trees, not DAGs — folding it unmaterialized into the
+        # apply/quality plan re-expands the gather subtree ~5x and
+        # Catalyst analysis cost (driver CPU) dominates the sweep
+        # (measured r2: the one-big-job variant was ~2x slower per sweep
+        # than this). Two: the conflict resolution joins the EDGE table
+        # against the movers twice — against an unmaterialized subquery
+        # (no stats, AQE off) Catalyst picks a shuffled join and moves
+        # the whole edge table twice per sweep; against a parquet leaf
+        # whose stats say "a few MB" it broadcasts the movers and the
+        # edge table is only scanned, never exchanged (measured r2:
+        # ~25% off the marginal sweep cost, and less DRAM traffic =
+        # less multi-core cache-contention inflation).
+        moves = truncate(
+            _select_moves(vertices, gather, comm_agg, objective, gamma, m)
+        )
+        spills.append(moves)
         commits = truncate(_resolve_conflicts(moves, edges, it, seed))
         spills.append(commits)
         n_moves = commits.count()

@@ -8,9 +8,11 @@ Usage (north_rule launch shape)::
         --output /path/labels --gamma 0.05 --seed 1234 \
         --checkpoint-dir /path/ckpt
 
-``--input`` is a parquet/Iceberg path with the transcript schema
-(conv_id, turn_idx, role, text, tool, ts); pass ``--input-kind events``
-for the testdata events schema instead. On a cluster, executor count is
+``--input`` is either a catalog table name (``catalog.db.transcripts``
+— the Iceberg read path when the Iceberg runtime is on the cluster
+classpath) or a parquet path, with the transcript schema (conv_id,
+turn_idx, role, text, tool, ts); pass ``--input-kind events`` for the
+testdata events schema instead. On a cluster, executor count is
 whatever the cluster provides — the engine itself only sees shuffle
 partitioning.
 """
@@ -41,6 +43,7 @@ from graft.graph import Graph
 from graft.io import (
     actor_edges_to_long,
     events_to_transcripts,
+    read_transcript_source,
     transcripts_to_edges,
 )
 
@@ -50,7 +53,7 @@ ALGOS = {
 
 
 def build_graph(spark: SparkSession, args) -> tuple[Graph, "DataFrame"]:
-    df = spark.read.parquet(args.input)
+    df = read_transcript_source(spark, args.input)
     if args.input_kind == "events":
         df = events_to_transcripts(df)
     uv = transcripts_to_edges(df)

@@ -76,8 +76,14 @@ def dense_ids(ids: DataFrame, n_buckets: int = 1024) -> DataFrame:
     )
     counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     # cumulative offsets over at most n_buckets rows — bounded, not
-    # data-sized, so the global window here is safe at any scale
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    # data-sized, so a one-partition window here is safe at any scale
+    # (the constant partition key states that explicitly and keeps the
+    # "No Partition Defined" warning out of the logs)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
@@ -238,3 +244,21 @@ def events_to_transcripts(events: DataFrame) -> DataFrame:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_transcript_source(spark: SparkSession, source: str) -> DataFrame:
+    """Load the transcript table from either an Iceberg/catalog table
+    name or a parquet path (the north-rule input is an Iceberg table of
+    (conv_id, turn_idx, role, text, tool, ts) rows).
+
+    A ``source`` with no path separator is treated as a catalog table
+    (``catalog.db.table``) and read via ``spark.read.table`` — with the
+    Iceberg runtime on the cluster classpath this is the Iceberg read
+    path, and snapshot/partition pruning happen inside the source.
+    Anything else is a parquet directory/file path (the local testdata
+    shape; this sandbox ships no Iceberg jar, so the catalog path is
+    exercised on clusters, not in the test suite).
+    """
+    if "/" not in source and not source.endswith(".parquet"):
+        return spark.read.table(source)
+    return spark.read.parquet(source)

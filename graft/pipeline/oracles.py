@@ -175,6 +175,149 @@ WITH q AS (
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
+SQL_QUALITY_SCORES = f"""
+WITH raw AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars >= 50 AND n_chars <= 20000
+              THEN 1.0 ELSE 0.25 END AS len_ok,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END
+           AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.5
+                   AND n_alpha / n_tokens <= 12.0
+              THEN 1.0 ELSE 0.5 END AS wl_ok
+  FROM raw
+)
+SELECT doc_id,
+       round(0.3 * len_ok + 0.3 * alpha_ratio
+             + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0))
+             + 0.2 * wl_ok, 6) AS quality,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       n_tokens
+FROM feat
+"""
+
+# media_features: synth_media documents payload length 64 + (i % 5) * 32
+# bytes for media_id i (graft/pipeline/multimodal.py:37) — the oracle
+# derives the expected (media_id, n_bytes) table independently, which
+# verifies the Arrow mapInPandas plumbing round-trips ids and payload
+# sizes (the decode itself is the documented deterministic stub).
+SQL_MEDIA_FEATURES = """
+SELECT CAST(range AS BIGINT) AS media_id,
+       CAST(64 + (range % 5) * 32 AS INTEGER) AS n_bytes
+FROM range(64)
+"""
+
+
+def _sig_sql(planes, vec: str) -> str:
+    """±1-plane sign signature of a DOUBLE[] expression — term-for-term
+    the same multiply/add order as similarity._signature, so the float
+    decisions agree bit-for-bit."""
+    bits = []
+    for j in range(len(planes)):
+        terms = " + ".join(
+            f"({planes[j][d]:+.1f}) * {vec}[{d + 1}]"
+            for d in range(len(planes[j]))
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _ann_topk_sql(dim: int = 64, n_planes: int = 4, k: int = 10) -> str:
+    """Mirror of similarity.lsh_bucket_topk_planes with the query's own
+    bucket computed in SQL from the same md5-Rademacher planes."""
+    from graft.pipeline.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    cos = (
+        "round(list_dot_product(s.ev, q.qv) / "
+        "(sqrt(list_dot_product(s.ev, s.ev)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (
+  SELECT ev AS qv FROM base WHERE vec_id = 0
+), sig AS (
+  SELECT vec_id, ev, {_sig_sql(planes, 'ev')} AS s FROM base
+), qs AS (
+  SELECT {_sig_sql(planes, 'qv')} AS s FROM q
+)
+SELECT s.vec_id, {cos} AS cosine
+FROM sig s, q, qs
+WHERE s.s = qs.s
+ORDER BY cosine DESC, s.vec_id
+LIMIT {k}
+"""
+
+
+SQL_ANN_TOPK = _ann_topk_sql()
+
+
+def _ivf_topk_sql(centroid_mod: int = 31, n_probe: int = 2,
+                  k: int = 10) -> str:
+    """Mirror of similarity.ivf_topk: centroids are the deterministic
+    ``vec_id % centroid_mod = 0`` sample, vectors assign to the
+    max-cosine centroid (6-dp compare, larger cid wins ties — identical
+    to Spark's max(struct(cos, cid))), the query probes its ``n_probe``
+    best centroids, exact top-k over the probed candidates."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, ev AS cv FROM base WHERE vec_id % {centroid_mod} = 0
+), q AS (
+  SELECT ev AS qv FROM base WHERE vec_id = 0
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_dot_product(b.ev, c.cv)
+                            / (sqrt(list_dot_product(b.ev, b.ev))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                      DESC, c.cid DESC
+           ) AS rn
+    FROM base b, cents c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(c.cv, q.qv)
+                            / (sqrt(list_dot_product(c.cv, c.cv))
+                               * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                      DESC, c.cid DESC
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {n_probe}
+)
+SELECT b.vec_id,
+       round(list_dot_product(b.ev, q.qv)
+             / (sqrt(list_dot_product(b.ev, b.ev))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM base b
+JOIN assign a ON a.vec_id = b.vec_id
+JOIN qprobe p ON p.cid = a.cid, q
+ORDER BY cosine DESC, b.vec_id
+LIMIT {k}
+"""
+
+
+SQL_IVF_TOPK = _ivf_topk_sql()
+
+
 def _simhash_sql(bits: int = 32) -> str:
     """Mirrors dedup.simhash: token hash = first 8 hex chars of md5; bit
     b of that 32-bit value lives in hex char ``8 - b//4`` (md5 hex is

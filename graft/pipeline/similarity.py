@@ -117,6 +117,108 @@ def lsh_bucket_topk(
     return cosine_topk(bucketed, query, k, vec_col, id_col)
 
 
+def lsh_bucket_topk_planes(
+    emb: DataFrame,
+    query: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`lsh_bucket_topk` with caller-supplied hyperplanes (e.g.
+    :func:`rademacher_planes`) so the bucketing is engine-portable and
+    the DuckDB oracle can reproduce the exact candidate set."""
+    qv = np.asarray(query, dtype=float)
+    qsig = "".join(
+        "1" if float(planes[j] @ qv) >= 0 else "0" for j in range(len(planes))
+    )
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = emb.withColumn("_sig", _signature(v, planes)).where(
+        F.col("_sig") == qsig
+    )
+    return cosine_topk(bucketed, query, k, vec_col, id_col)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_mod: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its max-cosine
+    centroid. Centroids are the deterministic sample
+    ``vec_id % centroid_mod == 0`` (no training loop — a seeded sample
+    is the standard cheap IVF initialization, and determinism is what
+    makes the assignment oracle-checkable). The centroid table is tiny
+    by construction (nlist rows), so it broadcasts — at 100 TB the scan
+    side streams once past an in-memory centroid list, the correct IVF
+    build shape. Ties broken toward the larger centroid id (cosines
+    compared at 6 dp so the argmax decision is engine-portable).
+
+    Returns ``(id_col, centroid_id)``.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = emb.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), v.alias("cv")
+    )
+    scored = (
+        emb.select(F.col(id_col), v.alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "cid",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (_norm(F.col("v")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct("cos", "cid")).alias("m"))
+        .select(id_col, F.col("m.cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    centroid_mod: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose centroid is among
+    the query's ``n_probe`` nearest centroids. Probe selection collects
+    ``n_probe`` centroid ids (bounded by the parameter, not the data);
+    the candidate filter is a semi-join on the assignment table, so the
+    whole plan is scan + broadcast-assign + filtered exact top-k."""
+    qv = [float(x) for x in query]
+    q = F.array(*[F.lit(x) for x in qv])
+    qn = float(np.linalg.norm(qv))
+    cents = emb.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cos_q = F.round(
+        _dot(F.col("cv"), q) / (_norm(F.col("cv")) * F.lit(qn)), 6
+    )
+    probe = [
+        r["cid"]
+        for r in cents.select("cid", cos_q.alias("cos"))
+        .orderBy(F.desc("cos"), F.desc("cid"))
+        .limit(n_probe)
+        .collect()
+    ]
+    assign = ivf_assign(emb, centroid_mod, vec_col, id_col)
+    cand = emb.join(
+        assign.where(F.col("centroid_id").isin(probe)).select(id_col), id_col
+    )
+    return cosine_topk(cand, qv, k, vec_col, id_col)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -149,3 +149,19 @@ def test_actor_edges_to_long_roundtrip(spark, transcripts):
         e.agg(F.sum("weight")).first()[0]
         == uv.agg(F.sum("weight")).first()[0]
     )
+
+
+def test_read_transcript_source_paths(spark, transcripts, tmp_path):
+    """Catalog-name inputs route through spark.read.table (the Iceberg
+    path on clusters with the runtime jar); path inputs through parquet.
+    A temp view stands in for the catalog table locally."""
+    from graft.io import read_transcript_source
+
+    p = str(tmp_path / "tx.parquet")
+    transcripts.write.mode("overwrite").parquet(p)
+    via_path = read_transcript_source(spark, p)
+    transcripts.createOrReplaceTempView("tx_catalog_standin")
+    via_table = read_transcript_source(spark, "tx_catalog_standin")
+    assert via_path.count() == transcripts.count()
+    assert via_table.count() == transcripts.count()
+    assert set(via_path.columns) == set(via_table.columns)

@@ -128,6 +128,36 @@ def test_lsh_bucket_topk_finds_duplicate(spark, emb):
     assert top and top[0].vec_id == 100  # exact copy shares every bucket
 
 
+def test_lsh_bucket_topk_planes_portable(spark, emb):
+    from graft.pipeline.similarity import (
+        lsh_bucket_topk_planes,
+        rademacher_planes,
+    )
+
+    df, q = emb
+    top = lsh_bucket_topk_planes(df, q, rademacher_planes(8, 3), k=3).collect()
+    assert top and top[0].vec_id == 100  # exact copy shares every bucket
+    assert top[0].cosine == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ivf_assign_and_topk(spark, emb):
+    from graft.pipeline.similarity import ivf_assign, ivf_topk
+
+    df, q = emb
+    # centroid_mod=10 -> centroids {0, 10, 20, 30, 100} (ids % 10 == 0)
+    assign = {r.vec_id: r.centroid_id for r in
+              ivf_assign(df, centroid_mod=10).collect()}
+    assert len(assign) == df.count()  # every vector assigned exactly once
+    for cid in (0, 10, 20, 30, 100):
+        assert assign[cid] == cid  # a centroid's nearest centroid is itself
+    top = ivf_topk(df, q, k=3, n_probe=2, centroid_mod=10).collect()
+    # 100 is a centroid equal to the query: probe finds its list, and the
+    # planted near-copy 101 assigns to centroid 100 (cosine ~1)
+    ids = [r.vec_id for r in top]
+    assert ids[0] == 100 and 101 in ids
+    assert top[0].cosine == pytest.approx(1.0, abs=1e-5)
+
+
 def test_embedding_near_dups(spark, emb):
     df, _ = emb
     pairs = {(r.a, r.b): r.cosine for r in

@@ -1,7 +1,13 @@
-"""Find a reproducible >=0.8 N->4N configuration: vary input size and
-reducer count for the copartitioned chained pagerank scaling job.
+"""Sweep the N->4N scaling job across input sizes / core counts /
+reducer counts to find where the copartitioned PageRank superstep is
+compute-bound on this host (the regime bench.py's official scaling
+evidence runs in).
 
-Usage: python tools/prof_scaling4.py
+Usage: python tools/profile_scaling.py [n_edges_millions ...]
+       (default: 8 16; each size runs cores x reducers combos)
+
+Prints one JSON object {config: seconds}. Fresh SparkSession per
+config; one Spark JVM at a time (sandbox constraint).
 """
 from __future__ import annotations
 
@@ -12,9 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession  # noqa: E402
-
-from bench import synth_powerlaw_parquet, PR_ITERS  # noqa: E402
+from bench import PR_ITERS, synth_powerlaw_parquet  # noqa: E402
 from graft.algos.pagerank import pagerank  # noqa: E402
 from graft.graph import Graph  # noqa: E402
 from graft.session import get_spark  # noqa: E402
@@ -22,7 +26,7 @@ from graft.session import get_spark  # noqa: E402
 
 def run(cores: int, n_edges: int, sp: int) -> float:
     spark = get_spark(
-        f"p4-{cores}-{n_edges}-{sp}", master=f"local[{cores}]",
+        f"prof-{cores}-{n_edges}-{sp}", master=f"local[{cores}]",
         extra_conf={
             "spark.sql.shuffle.partitions": str(sp),
             "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -46,15 +50,17 @@ def run(cores: int, n_edges: int, sp: int) -> float:
 
 
 def main() -> None:
+    sizes = [int(a) * 1_000_000 for a in sys.argv[1:]] or [8_000_000,
+                                                          16_000_000]
     out = {}
-    for n_edges in (8_000_000, 16_000_000):
-        for cores, sp in ((1, 8), (4, 8), (4, 16)):
-            key = f"e{n_edges//1_000_000}m-c{cores}-sp{sp}"
+    for n_edges in sizes:
+        for cores, sp in ((1, 8), (4, 8), (4, 16), (16, 32), (32, 32)):
+            key = f"e{n_edges // 1_000_000}m-c{cores}-sp{sp}"
             try:
                 out[key] = run(cores, n_edges, sp)
             except Exception as e:  # noqa: BLE001
                 out[key] = f"ERR {e}"[:120]
-            print(f"[p4] {key}: {out[key]}", file=sys.stderr, flush=True)
+            print(f"[profile] {key}: {out[key]}", file=sys.stderr, flush=True)
             time.sleep(5)
     print(json.dumps(out), flush=True)
 
