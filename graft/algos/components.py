@@ -40,13 +40,78 @@ def _min_neighbor_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _sequential_cc(graph: Graph) -> DataFrame:
+    """Sequential-tail execution (same pattern/rationale as
+    graft.algos.seq_tail): union-find over the whole edge table as ONE
+    cogrouped ``applyInPandas`` task, labels = min id per component —
+    identical output to both distributed modes, without paying
+    O(diameter) or O(log n) job rounds on a graph that fits one Arrow
+    batch."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(vpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        if vpdf.empty:
+            return pd.DataFrame(
+                {"id": vpdf["id"].iloc[:0], "comp": vpdf["id"].iloc[:0]}
+            )
+        ids = np.sort(vpdf["id"].to_numpy())
+        pos = pd.Series(np.arange(len(ids)), index=ids)
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(pos[epdf["src"].to_numpy()].to_numpy(),
+                        pos[epdf["dst"].to_numpy()].to_numpy()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min position == min id (ids sorted), so every
+                # root is already the component's minimum
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        comp = np.array([ids[find(i)] for i in range(len(ids))])
+        return pd.DataFrame({"id": ids, "comp": comp})
+
+    # vertex keys are type-agnostic engine-wide; min-id labels are
+    # lexicographic for string keys, matching F.min/F.least distributed
+    nodes = graph.vertices().select(F.lit(0).alias("_g"), "id")
+    id_type = nodes.schema["id"].dataType.simpleString()
+    edges = graph.without_self_loops().select(
+        F.lit(0).alias("_g"), "src", "dst"
+    )
+    return (
+        nodes.groupBy("_g")
+        .cogroup(edges.groupBy("_g"))
+        .applyInPandas(fn, schema=f"id {id_type}, comp {id_type}")
+    )
+
+
 def connected_components(
     graph: Graph,
     max_iter: int = 200,
     mode: str = "propagate",
     checkpointer: Checkpointer | None = None,
+    sequential_threshold: int = 200_000,
 ) -> DataFrame:
-    """Returns ``(id long, comp long)`` with comp = min id in component."""
+    """Returns ``(id long, comp long)`` with comp = min id in component.
+
+    Graphs at most ``sequential_threshold`` edge rows run as one
+    union-find task (``_sequential_cc``; 0 forces the superstep path);
+    the checkpointed path always runs supersteps."""
+    if (
+        checkpointer is None
+        and sequential_threshold
+        and graph.edges.count() <= sequential_threshold
+    ):
+        return _sequential_cc(graph)
     if mode == "star":
         return _cc_star(graph, max_iter, checkpointer)
     edges = graph.without_self_loops().select("src", "dst").persist()

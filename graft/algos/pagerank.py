@@ -44,6 +44,70 @@ from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
 
+def _sequential_pagerank(
+    verts: DataFrame,
+    trans: DataFrame,
+    n: int,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    fixed_iterations: int | None,
+) -> DataFrame:
+    """Sequential-tail execution: the whole power iteration as ONE
+    cogrouped ``applyInPandas`` task (same pattern and rationale as
+    graft.algos.seq_tail — below ~200k transition rows every distributed
+    superstep costs more in job latency than the entire remaining
+    computation; the vectorized kernel runs on an executor, the driver
+    never touches row data). Semantics identical to the superstep loop:
+    dangling mass redistributed uniformly, missing-inflow vertices keep
+    their teleport share, L1-delta stopping (or an exact
+    ``fixed_iterations`` count)."""
+    import numpy as np
+    import pandas as pd
+
+    iters = fixed_iterations if fixed_iterations is not None else max_iter
+    probe = fixed_iterations is None
+
+    def fn(vpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        if vpdf.empty:
+            return pd.DataFrame(
+                {
+                    "id": vpdf["id"].iloc[:0],
+                    "rank": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = np.sort(vpdf["id"].to_numpy())
+        pos = pd.Series(np.arange(len(ids)), index=ids)
+        src = pos[epdf["src"].to_numpy()].to_numpy()
+        dst = pos[epdf["dst"].to_numpy()].to_numpy()
+        p = epdf["p"].to_numpy(dtype=np.float64)
+        has_out = np.zeros(len(ids), dtype=bool)
+        has_out[src] = True
+        teleport = (1.0 - alpha) / n
+        r = np.full(len(ids), 1.0 / n)
+        for _ in range(iters):
+            dangling = float(r[~has_out].sum())
+            inflow = np.zeros(len(ids))
+            np.add.at(inflow, dst, r[src] * p)
+            new_r = (teleport + alpha * dangling / n) + alpha * inflow
+            delta = float(np.abs(new_r - r).sum())
+            r = new_r
+            if probe and delta < tol:
+                break
+        return pd.DataFrame({"id": ids, "rank": r})
+
+    # vertex keys are type-agnostic engine-wide (long-renumbered or raw
+    # string actors) — mirror the input id type in the output schema
+    id_type = verts.schema["id"].dataType.simpleString()
+    nodes = verts.select(F.lit(0).alias("_g"), "id")
+    edges = trans.select(F.lit(0).alias("_g"), "src", "dst", "p")
+    return (
+        nodes.groupBy("_g")
+        .cogroup(edges.groupBy("_g"))
+        .applyInPandas(fn, schema=f"id {id_type}, rank double")
+    )
+
+
 def pagerank(
     graph: Graph,
     alpha: float = 0.85,
@@ -53,18 +117,35 @@ def pagerank(
     truncate_every: int = 1,
     join_strategy: str = "auto",
     checkpointer: Checkpointer | None = None,
+    sequential_threshold: int = 200_000,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``; ranks sum to 1.
 
     Convergence: L1 norm of the rank delta < ``tol`` (the cuGraph
     epsilon convention the reference uses), unless ``fixed_iterations``
     runs an exact superstep count probe-free.
+
+    Graphs whose transition table fits one Arrow batch
+    (≤ ``sequential_threshold`` rows) run as ONE executor task
+    (see _sequential_pagerank; 0 forces the superstep path). The
+    checkpointed path always runs supersteps — per-superstep resume is
+    the point of checkpointing.
     """
     spark = graph.edges.sparkSession
     verts = graph.vertices_cached()
     n = graph.num_vertices()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
+
+    if (
+        checkpointer is None
+        and sequential_threshold
+        and graph.edges.count() <= sequential_threshold
+    ):
+        return _sequential_pagerank(
+            verts, graph.transition(), n, alpha, tol, max_iter,
+            fixed_iterations,
+        )
 
     out_w = graph.edges.groupBy("src").agg(F.sum("weight").alias("s"))
     if join_strategy == "copartition":

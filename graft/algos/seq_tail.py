@@ -223,7 +223,12 @@ def run_tail_distributed(
 
     def fn(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         if nodes_pdf.empty:
-            return pd.DataFrame({"id": [], "community": []})
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="int64"),
+                    "community": pd.Series([], dtype="int64"),
+                }
+            )
         return seq_community_tail(
             nodes_pdf.drop(columns=["_g"]),
             edges_pdf.drop(columns=["_g"]) if len(edges_pdf) else

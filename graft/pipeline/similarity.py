@@ -144,16 +144,27 @@ def ivf_assign(
     centroid_mod: int = 31,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "matmul",
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its max-cosine
     centroid. Centroids are the deterministic sample
     ``vec_id % centroid_mod == 0`` (no training loop — a seeded sample
     is the standard cheap IVF initialization, and determinism is what
-    makes the assignment oracle-checkable). The centroid table is tiny
-    by construction (nlist rows), so it broadcasts — at 100 TB the scan
-    side streams once past an in-memory centroid list, the correct IVF
-    build shape. Ties broken toward the larger centroid id (cosines
-    compared at 6 dp so the argmax decision is engine-portable).
+    makes the assignment oracle-checkable). Ties broken toward the
+    larger centroid id (cosines compared at 6 dp so the argmax decision
+    is engine-portable).
+
+    Two equivalent physical plans, identical output:
+
+    - ``method="matmul"`` (default, the 100-TB shape): the centroid
+      matrix is collected once (nlist × dim floats — in-memory by
+      construction) and shipped inside an Arrow-batched ``mapInPandas``
+      kernel; each batch does ONE numpy matmul + argmax. The embedding
+      scan is never shuffled and no n×nlist intermediate ever
+      materializes.
+    - ``method="crossjoin"``: the relational formulation (broadcast
+      cross join + struct-max argmax) — Catalyst-native, useful as a
+      differential check of the kernel.
 
     Returns ``(id_col, centroid_id)``.
     """
@@ -161,23 +172,65 @@ def ivf_assign(
     cents = emb.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cid"), v.alias("cv")
     )
-    scored = (
-        emb.select(F.col(id_col), v.alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "cid",
-            F.round(
-                _dot(F.col("v"), F.col("cv"))
-                / (_norm(F.col("v")) * _norm(F.col("cv"))),
-                6,
-            ).alias("cos"),
+    if method == "crossjoin":
+        scored = (
+            emb.select(F.col(id_col), v.alias("v"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                "cid",
+                F.round(
+                    _dot(F.col("v"), F.col("cv"))
+                    / (_norm(F.col("v")) * _norm(F.col("cv"))),
+                    6,
+                ).alias("cos"),
+            )
         )
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.max(F.struct("cos", "cid")).alias("m"))
-        .select(id_col, F.col("m.cid").alias("centroid_id"))
+        return (
+            scored.groupBy(id_col)
+            .agg(F.max(F.struct("cos", "cid")).alias("m"))
+            .select(id_col, F.col("m.cid").alias("centroid_id"))
+        )
+    if method != "matmul":
+        raise ValueError(f"unknown ivf_assign method {method!r}")
+
+    rows = sorted(cents.collect(), key=lambda r: -r["cid"])
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, centroid_id long"
+        )
+    # cids in DESCENDING order: np.argmax returns the FIRST maximum, so
+    # scanning larger cids first reproduces the crossjoin/SQL tie-break
+    # (equal 6dp cosine -> larger centroid id wins)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "centroid_id": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            vnorm[vnorm == 0.0] = 1.0
+            cos = np.round(
+                (vm @ cmat.T) / np.outer(vnorm, cnorm), 6
+            )
+            best = cids[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "centroid_id": best}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, centroid_id long"
     )
 
 

@@ -9,15 +9,16 @@ from graft.graph import Graph
 from tests.reference_impls import pagerank_ref, random_graph
 
 
-def _run(spark, edges, **kw):
+def _run(spark, edges, sequential_threshold=200_000, **kw):
     g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
-    got = {r.id: r.rank for r in pagerank(g, **kw).collect()}
+    got = {r.id: r.rank for r in pagerank(
+        g, sequential_threshold=sequential_threshold, **kw).collect()}
     g.unpersist()
     return got
 
 
-def _check(spark, edges, **kw):
-    got = _run(spark, edges, **kw)
+def _check(spark, edges, sequential_threshold=200_000, **kw):
+    got = _run(spark, edges, sequential_threshold=sequential_threshold, **kw)
     want = pagerank_ref(edges, **kw)
     assert set(got) == set(want)
     for v in want:
@@ -25,21 +26,28 @@ def _check(spark, edges, **kw):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
-def test_clique_ring(spark):
-    _check(spark, fixtures.clique_ring_edges())
+# st=0 forces the distributed superstep path; the default runs these
+# small fixtures through the sequential-tail kernel — both must match
+# the numpy oracle
+@pytest.mark.parametrize("st", [0, 200_000])
+def test_clique_ring(spark, st):
+    _check(spark, fixtures.clique_ring_edges(), sequential_threshold=st)
 
 
-def test_clique_ring_weighted(spark):
-    _check(spark, fixtures.clique_ring_weighted_edges())
+@pytest.mark.parametrize("st", [0, 200_000])
+def test_clique_ring_weighted(spark, st):
+    _check(spark, fixtures.clique_ring_weighted_edges(),
+           sequential_threshold=st)
 
 
 def test_weighted_triangle(spark):
     _check(spark, fixtures.weighted_triangle_edges())
 
 
-def test_random_graph_with_self_loop(spark):
+@pytest.mark.parametrize("st", [0, 200_000])
+def test_random_graph_with_self_loop(spark, st):
     edges = random_graph(30, 0.15, seed=7) + [(3, 3, 2.0)]
-    _check(spark, edges)
+    _check(spark, edges, sequential_threshold=st)
 
 
 def test_symmetric_graph_uniform_on_regular(spark):

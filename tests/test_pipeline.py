@@ -150,6 +150,12 @@ def test_ivf_assign_and_topk(spark, emb):
     assert len(assign) == df.count()  # every vector assigned exactly once
     for cid in (0, 10, 20, 30, 100):
         assert assign[cid] == cid  # a centroid's nearest centroid is itself
+    # the Arrow matmul kernel and the relational crossjoin plan are the
+    # same quantizer — bit-identical assignments
+    relational = {r.vec_id: r.centroid_id for r in
+                  ivf_assign(df, centroid_mod=10,
+                             method="crossjoin").collect()}
+    assert assign == relational
     top = ivf_topk(df, q, k=3, n_probe=2, centroid_mod=10).collect()
     # 100 is a centroid equal to the query: probe finds its list, and the
     # planted near-copy 101 assigns to centroid 100 (cosine ~1)

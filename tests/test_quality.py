@@ -57,43 +57,3 @@ def test_singleton_partition_modularity_negative_or_zero(spark):
     got = modularity(g.edges, _assign(spark, labels))
     assert got == pytest.approx(modularity_ref(edges, labels), abs=1e-9)
     assert got < 0
-
-
-def test_quality_row_matches_direct_quality(spark):
-    """The in-sweep gather-based quality identity (_quality_row) must
-    equal the direct double-join _quality on graphs with self-loops,
-    multi-size agg_counts and random labels — it drives best-partition
-    selection inside move_nodes."""
-    import pyspark.sql.functions as F
-
-    from graft.algos.community import (
-        _quality,
-        _quality_row,
-        community_aggregates,
-        gather_neighbor_comm_weights,
-    )
-
-    edges = random_graph(24, 0.25, seed=5) + [(3, 3, 2.0), (11, 11, 0.75)]
-    g = Graph.from_undirected(fixtures.edges_df(spark, edges))
-    labels = {v: (v * 7) % 4 for v in range(24)}
-    verts = spark.createDataFrame(
-        [(int(v), int(c), 1 + v % 3) for v, c in labels.items()],
-        "id long, community long, agg_count long",
-    ).join(
-        g.strength().select("id", "k"), "id", "left"
-    ).na.fill({"k": 0.0})
-
-    gather = gather_neighbor_comm_weights(g.edges, verts)
-    comm_agg = community_aggregates(verts)
-    loop_w = float(
-        g.edges.where(F.col("src") == F.col("dst"))
-        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
-        .first()[0]
-    )
-    m = g.total_edge_weight()
-    for objective, gamma in [("cpm", 0.15), ("modularity", 0.0)]:
-        fast = _quality_row(
-            gather, comm_agg, verts, loop_w, objective, gamma, m
-        ).first()["q_pre"]
-        direct = _quality(g.edges, verts, objective, gamma, m)
-        assert fast == pytest.approx(direct, abs=1e-9), objective
