@@ -52,8 +52,52 @@ def _oriented(graph: Graph) -> DataFrame:
     )
 
 
-def triangle_count(graph: Graph) -> int:
-    """Total number of triangles in the graph."""
+def _sequential_triangle_count(graph: Graph) -> int:
+    """Sequential-tail execution (same rationale as graft.algos.seq_tail):
+    the whole count as ONE executor task — degree-ranked orientation +
+    out-neighbor set intersections, the in-memory twin of the wedge-close
+    join (each triangle counted once at its lowest-rank corner)."""
+    import pandas as pd
+
+    def fn(key, epdf: pd.DataFrame) -> pd.DataFrame:
+        deg: dict = {}
+        pairs = set()
+        for u, v in zip(epdf["src"], epdf["dst"]):
+            if u == v or (u, v) in pairs:
+                continue
+            pairs.add((u, v))
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        out: dict = {}
+        for u, v in pairs:
+            a, b = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+            out.setdefault(a, set()).add(b)
+        n = 0
+        for a, nbrs in out.items():
+            for b in nbrs:
+                ob = out.get(b)
+                if ob:
+                    n += len(nbrs & ob)
+        return pd.DataFrame({"n": [n]})
+
+    e = (
+        graph.without_self_loops()
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .withColumn("_g", F.lit(0))
+    )
+    row = e.groupBy("_g").applyInPandas(fn, schema="n long").first()
+    return int(row["n"]) if row is not None else 0
+
+
+def triangle_count(graph: Graph, sequential_threshold: int = 200_000) -> int:
+    """Total number of triangles in the graph. Graphs at most
+    ``sequential_threshold`` edge rows count in one task
+    (``_sequential_triangle_count``; 0 forces the distributed joins)."""
+    if sequential_threshold and graph.edges.count() <= sequential_threshold:
+        return _sequential_triangle_count(graph)
     o = _oriented(graph).persist()
     o1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
     o2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
