@@ -339,15 +339,22 @@ def move_nodes(
     edges = level.edges
     spark = edges.sparkSession
     with superstep_conf(spark, edges.count()) as sp_sweep:
+        loop_level = level
         if edges.rdd.getNumPartitions() > sp_sweep * 2:
             # narrow (no shuffle) so map stages stop paying one task
             # launch per idle core on small levels
-            level = Level(
+            loop_level = Level(
                 edges=edges.coalesce(sp_sweep), vertices=level.vertices
             )
-        return _move_nodes_loop(
-            level, objective, gamma, m, max_sweeps, seed, patience, on_sweep
+        out, total = _move_nodes_loop(
+            loop_level, objective, gamma, m, max_sweeps, seed, patience,
+            on_sweep,
         )
+        # hand back the CALLER's edge frame, not the loop-local coalesced
+        # derivative: callers unpersist level.edges when the level is
+        # contracted away, and unpersisting a derived frame is a no-op
+        # that would leak the original cached table for the session
+        return Level(edges=edges, vertices=out.vertices), total
 
 
 def _move_nodes_loop(

@@ -184,6 +184,20 @@ def _cc_star(
         ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
         return pairs.where(F.col("u") != F.col("v")).distinct()
 
+    def _sig(df: DataFrame) -> tuple:
+        # cheap fixed-point probe: the star rounds produce DISTINCT edge
+        # sets, so (count, xor of 64-bit row hashes, decimal sum of row
+        # hashes) identifies the set — ONE aggregation per round instead
+        # of two full exceptAll sort/shuffle set-differences (decimal sum
+        # because long sums overflow-error under ANSI mode; the xor+sum
+        # pair makes an accidental collision astronomically unlikely)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["x"], row["s"])
+
     e = (
         graph.without_self_loops()
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -192,14 +206,13 @@ def _cc_star(
     )
     with superstep_conf(graph.edges.sparkSession, graph.edges.count()):
         e = truncate(e)
+        sig = _sig(e)
         for it in range(max_iter):
             new_e = truncate(small_star(large_star(e)))
-            changed = (
-                new_e.exceptAll(e).limit(1).count()
-                + e.exceptAll(new_e).limit(1).count()
-            )
+            new_sig = _sig(new_e)
+            changed = int(new_sig != sig)
             drop_spill(e)
-            e = new_e
+            e, sig = new_e, new_sig
             if checkpointer is not None:
                 e = checkpointer.save(it, e, algo="cc_star", changed=changed)
             if changed == 0:

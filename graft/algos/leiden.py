@@ -228,9 +228,17 @@ def leiden(
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
     sequential_tail_edges: int = 200_000,
+    return_quality: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` final labels on original
     vertices. Deterministic for a fixed seed (SURVEY.md §1.4 item 10).
+
+    ``return_quality=True`` returns ``(labels, cpm_quality)`` — the
+    cugraph.leiden-shaped API (examples/test2.py:71,
+    examples/cugraph-cpp-api/leiden_cugraph.cpp:93-101 both return the
+    (parts, quality) pair); the default stays labels-only for backward
+    compatibility. The quality is one extra closed-form job
+    (graft.quality.cpm) over the final labels, not a per-level cost.
 
     ``max_sweeps`` caps BSP local moving per level (the reference hard-
     caps at 10, csrc/src/leiden_kernel.cu:1211-1213; deeper levels pick
@@ -359,5 +367,11 @@ def leiden(
     ).select("id", F.coalesce("community", "node").alias("community"))
     final = truncate(final)
     base_ids.unpersist()
+    if return_quality:
+        from graft.quality import cpm
+
+        q = cpm(graph.edges, final, gamma)
+        level.edges.unpersist()
+        return final, q
     level.edges.unpersist()
     return final

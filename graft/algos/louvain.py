@@ -31,10 +31,16 @@ def louvain(
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
     sequential_tail_edges: int = 200_000,
+    return_quality: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` — final labels on the
     original vertices; community ids are supernode ids at the coarsest
     level (stable under the deterministic seed).
+
+    ``return_quality=True`` returns ``(labels, modularity)`` — the
+    cugraph.louvain-shaped API (examples/test2.py:75 returns the
+    (parts, modularity) pair); default stays labels-only for backward
+    compatibility.
 
     ``max_sweeps`` caps BSP local moving per level; levels whose edge
     table fits one Arrow batch (≤ ``sequential_tail_edges`` rows) finish
@@ -124,5 +130,11 @@ def louvain(
     result = propagate_labels(base_ids, mappings)
     result = truncate(result)
     base_ids.unpersist()
+    if return_quality:
+        from graft.quality import modularity
+
+        q = modularity(graph.edges, result)
+        level.edges.unpersist()
+        return result, q
     level.edges.unpersist()
     return result

@@ -207,6 +207,14 @@ def seq_community_tail(
         for v in adj:
             for orig in carry[v]:
                 final[orig] = v
+    else:
+        # max_levels exhausted without a convergence break: `final` maps
+        # originals to refined-partition supernode ids — a strictly finer
+        # partition than Leiden's answer for this edge case. The
+        # maintained P community of each supernode is in init_comm
+        # (identity for modularity, whose labels are the supernodes).
+        if objective == "cpm":
+            final = {orig: init_comm[v] for orig, v in final.items()}
     return pd.DataFrame(
         {"id": list(final), "community": [final[v] for v in final]}
     )

@@ -93,8 +93,20 @@ class Graph:
     # --- basic relational blocks (SURVEY.md §2.2) ---
 
     def vertices(self) -> DataFrame:
-        """All vertex ids (C1-style identity vertex table)."""
-        return self.edges.select(F.col("src").alias("id")).distinct()
+        """All vertex ids (C1-style identity vertex table).
+
+        On the symmetrized contract src and dst endpoint sets coincide, so
+        one distinct over src suffices. On raw directed input
+        (``symmetric=False``) dst-only sinks exist — e.g. a page that is
+        only ever linked to — and must be included, or PageRank would drop
+        their rank mass and the dangling probe would never find them.
+        """
+        src_ids = self.edges.select(F.col("src").alias("id"))
+        if self.symmetric:
+            return src_ids.distinct()
+        return src_ids.unionAll(
+            self.edges.select(F.col("dst").alias("id"))
+        ).distinct()
 
     def vertices_cached(self) -> DataFrame:
         """Memoized persisted vertex table — iterative algorithms call

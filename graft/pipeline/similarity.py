@@ -95,6 +95,38 @@ def _signature(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def build_lsh_index(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE full-corpus pass computing every vector's hyperplane
+    signature: ``(id_col, sig string, vec_col)``.
+
+    This is the BUILD half of the LSH index — persist it (e.g.
+    ``graft.checkpoint.truncate`` or a parquet sink, ideally
+    ``.write.partitionBy("sig")`` at scale so probes prune whole
+    files) and hand it to :func:`lsh_bucket_topk_planes` via
+    ``index=``. The index carries the vectors (bucket → vectors, the
+    standard ANN layout), so a probe is ONE scan of the index with the
+    bucket filter pushed down — the corpus table is never touched
+    again, let alone re-signed. The build pass is amortized over all
+    queries.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col), _signature(v, planes).alias("sig"), F.col(vec_col)
+    )
+
+
+def _query_signature(query, planes: np.ndarray) -> str:
+    qv = np.asarray(query, dtype=float)
+    return "".join(
+        "1" if float(planes[j] @ qv) >= 0 else "0" for j in range(len(planes))
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query: list[float],
@@ -103,18 +135,16 @@ def lsh_bucket_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's hyperplane
-    bucket (expected candidate fraction 2^-n_planes of the corpus)."""
-    dim = len(query)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = "".join("1" if planes[i] @ np.asarray(query) >= 0 else "0"
-                   for i in range(n_planes))
-    v = F.col(vec_col).cast("array<double>")
-    bucketed = emb.withColumn("_sig", _signature(v, planes)).where(
-        F.col("_sig") == qsig
+    bucket (expected candidate fraction 2^-n_planes of the corpus).
+    Convenience path — signs the corpus in-query; pass a prebuilt
+    ``index`` (see :func:`build_lsh_index`) to amortize that scan."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    return lsh_bucket_topk_planes(
+        emb, query, planes, k, vec_col, id_col, index=index
     )
-    return cosine_topk(bucketed, query, k, vec_col, id_col)
 
 
 def lsh_bucket_topk_planes(
@@ -124,14 +154,25 @@ def lsh_bucket_topk_planes(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`lsh_bucket_topk` with caller-supplied hyperplanes (e.g.
     :func:`rademacher_planes`) so the bucketing is engine-portable and
-    the DuckDB oracle can reproduce the exact candidate set."""
-    qv = np.asarray(query, dtype=float)
-    qsig = "".join(
-        "1" if float(planes[j] @ qv) >= 0 else "0" for j in range(len(planes))
-    )
+    the DuckDB oracle can reproduce the exact candidate set.
+
+    ``index``: a prebuilt ``(id_col, sig, vec_col)`` table from
+    :func:`build_lsh_index`. When given, the probe plan is ONE scan of
+    the index with filter(sig == qsig) pushed to the source → exact
+    top-k over the bucket — it touches only the index (candidate rows
+    after pushdown/pruning); the corpus table is not read and the
+    signatures are not recomputed. When omitted (convenience /
+    one-shot path) signatures are computed inline, which costs a full
+    corpus pass per query.
+    """
+    qsig = _query_signature(query, planes)
+    if index is not None:
+        bucketed = index.where(F.col("sig") == qsig)
+        return cosine_topk(bucketed, query, k, vec_col, id_col)
     v = F.col(vec_col).cast("array<double>")
     bucketed = emb.withColumn("_sig", _signature(v, planes)).where(
         F.col("_sig") == qsig
@@ -169,9 +210,7 @@ def ivf_assign(
     Returns ``(id_col, centroid_id)``.
     """
     v = F.col(vec_col).cast("array<double>")
-    cents = emb.where(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cid"), v.alias("cv")
-    )
+    cents = build_ivf_centroids(emb, centroid_mod, vec_col, id_col)
     if method == "crossjoin":
         scored = (
             emb.select(F.col(id_col), v.alias("v"))
@@ -234,6 +273,42 @@ def ivf_assign(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    centroid_mod: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "matmul",
+) -> DataFrame:
+    """The BUILD half of the IVF index: the full-corpus coarse-quantizer
+    assignment joined back to the vectors —
+    ``(id_col, centroid_id, vec_col)``, the inverted-list layout (list →
+    vectors). One Arrow-matmul pass (see :func:`ivf_assign`) plus one
+    co-keyed join. Persist it (ideally ``.write.partitionBy
+    ("centroid_id")`` at scale so probes prune whole lists) and hand it
+    to :func:`ivf_topk` via ``index=``: probes then read ONLY the probed
+    lists — no full-corpus quantizer rerun, no corpus scan."""
+    assign = ivf_assign(emb, centroid_mod, vec_col, id_col, method=method)
+    return assign.join(emb.select(id_col, vec_col), id_col)
+
+
+def build_ivf_centroids(
+    emb: DataFrame,
+    centroid_mod: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The (small) centroid table ``(cid, cv array<double>)`` — the other
+    persisted index artifact. Probe selection scores the query against
+    this table only; without it, every probe would rescan the corpus
+    just to re-extract the deterministic centroid sample (the
+    ``id % centroid_mod`` predicate is not a parquet-pushable filter)."""
+    return emb.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query: list[float],
@@ -242,18 +317,27 @@ def ivf_topk(
     centroid_mod: int = 31,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose centroid is among
     the query's ``n_probe`` nearest centroids. Probe selection collects
     ``n_probe`` centroid ids (bounded by the parameter, not the data);
     the candidate filter is a semi-join on the assignment table, so the
-    whole plan is scan + broadcast-assign + filtered exact top-k."""
+    whole plan is scan + assignment filter + filtered exact top-k.
+
+    ``index``: a prebuilt ``(id_col, centroid_id, vec_col)`` inverted
+    list from :func:`build_ivf_index`; ``centroids``: the matching
+    persisted ``(cid, cv)`` table from :func:`build_ivf_centroids`.
+    With both, the probe is centroid-select over the small centroid
+    table + ONE filtered scan of the inverted list — no quantizer
+    rerun, no corpus scan. When omitted, both are derived from the
+    corpus in-query (convenience / one-shot path)."""
     qv = [float(x) for x in query]
     q = F.array(*[F.lit(x) for x in qv])
     qn = float(np.linalg.norm(qv))
-    cents = emb.where(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    cents = centroids if centroids is not None else build_ivf_centroids(
+        emb, centroid_mod, vec_col, id_col
     )
     cos_q = F.round(
         _dot(F.col("cv"), q) / (_norm(F.col("cv")) * F.lit(qn)), 6
@@ -265,9 +349,14 @@ def ivf_topk(
         .limit(n_probe)
         .collect()
     ]
+    if index is not None:
+        cand = index.where(F.col("centroid_id").isin(probe))
+        return cosine_topk(cand, qv, k, vec_col, id_col)
     assign = ivf_assign(emb, centroid_mod, vec_col, id_col)
     cand = emb.join(
-        assign.where(F.col("centroid_id").isin(probe)).select(id_col), id_col
+        assign.where(F.col("centroid_id").isin(probe)).select(id_col),
+        id_col,
+        "left_semi",
     )
     return cosine_topk(cand, qv, k, vec_col, id_col)
 

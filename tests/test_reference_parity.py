@@ -9,8 +9,13 @@ the external engine: we import them READ-ONLY from /root/reference
 (nothing copied into this repo) and require the engine's partition
 quality (CPM / modularity, computed by the clean-room scorer in
 tests/reference_impls.py for both sides) to reach >= 0.95x the
-reference's on mid-size random and planted graphs. Tests skip when the
-reference checkout is absent, so the repo stays standalone.
+reference's on mid-size random and planted graphs.
+
+Executing code from an untrusted external checkout is an explicit
+OPT-IN: set ``GRAFT_REF_PARITY=1`` (CI/driver runs do; a plain
+``pytest`` on a dev box never runs third-party code by default).
+Tests also skip when the reference checkout is absent, so the repo
+stays standalone.
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from __future__ import annotations
 import contextlib
 import importlib.util
 import io
+import os
 import pathlib
 import random
 
@@ -36,10 +42,17 @@ from tests.reference_impls import (
 
 REF = pathlib.Path("/root/reference")
 
-pytestmark = pytest.mark.skipif(
-    not (REF / "custom_leiden.py").exists(),
-    reason="reference checkout not available (dev-only differential)",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not (REF / "custom_leiden.py").exists(),
+        reason="reference checkout not available (dev-only differential)",
+    ),
+    pytest.mark.skipif(
+        os.environ.get("GRAFT_REF_PARITY") != "1",
+        reason="set GRAFT_REF_PARITY=1 to opt in to executing the "
+        "untrusted reference checkout as a differential oracle",
+    ),
+]
 
 
 def _load_ref_module(name: str):

@@ -1,0 +1,132 @@
+"""ANN index build/probe split (VERDICT r2 'what's wrong' #1).
+
+Two guarantees:
+
+1. Correctness — the prebuilt-index probe returns exactly the rows the
+   inline (rescan-the-corpus) path returns, for both LSH and IVF.
+2. Plan shape — the probe plan against a persisted index touches ONLY
+   the index (bucket/list filter pushed into the parquet scan); it
+   contains no quantizer ``MapInPandas`` rerun and no corpus-table scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graft.checkpoint import truncate
+from graft.pipeline.similarity import (
+    build_ivf_centroids,
+    build_ivf_index,
+    build_lsh_index,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk_planes,
+    rademacher_planes,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    """The physical plan as a string (what .explain prints). Count node
+    occurrences in ``mode="simple"`` (formatted lists every node twice:
+    once in the tree, once in the per-node details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_lsh_index_probe_matches_inline(spark, emb, query):
+    planes = rademacher_planes(8, 4)
+    index = truncate(build_lsh_index(emb, planes))
+    via_index = lsh_bucket_topk_planes(emb, query, planes, k=10, index=index)
+    inline = lsh_bucket_topk_planes(emb, query, planes, k=10)
+    assert _rows(via_index) == _rows(inline)
+    assert len(_rows(via_index)) > 0
+
+
+def test_lsh_probe_plan_touches_only_the_index(spark, emb, query):
+    planes = rademacher_planes(8, 4)
+    index = truncate(build_lsh_index(emb, planes))
+    probe = lsh_bucket_topk_planes(emb, query, planes, k=10, index=index)
+    # exactly one scan — the index parquet; the bucket filter is pushed
+    # into the source, so only candidate row groups are read
+    assert _plan(probe, "simple").count("Scan parquet") == 1
+    assert "PushedFilters: [IsNotNull(sig), EqualTo(sig," in _plan(probe)
+    # the cached corpus table is never touched at probe time
+    assert "InMemoryTableScan" not in _plan(probe, "simple")
+
+
+def test_ivf_index_probe_matches_inline(spark, emb, query):
+    index = truncate(build_ivf_index(emb, centroid_mod=31))
+    cents = truncate(build_ivf_centroids(emb, centroid_mod=31))
+    via_index = ivf_topk(
+        emb, query, k=10, n_probe=2, centroid_mod=31,
+        index=index, centroids=cents,
+    )
+    inline = ivf_topk(emb, query, k=10, n_probe=2, centroid_mod=31)
+    assert _rows(via_index) == _rows(inline)
+    assert len(_rows(via_index)) == 10
+
+
+def test_ivf_probe_plan_has_no_quantizer_and_no_corpus_scan(
+    spark, emb, query
+):
+    index = truncate(build_ivf_index(emb, centroid_mod=31))
+    cents = truncate(build_ivf_centroids(emb, centroid_mod=31))
+    probe = ivf_topk(
+        emb, query, k=10, n_probe=2, centroid_mod=31,
+        index=index, centroids=cents,
+    )
+    # the quantizer (Arrow matmul mapInPandas) must NOT run at probe time
+    assert "MapInPandas" not in _plan(probe, "simple")
+    # one scan: the inverted-list parquet with the list filter pushed
+    # (centroid selection already happened driver-side on the persisted
+    # centroid table before this plan was built)
+    assert _plan(probe, "simple").count("Scan parquet") == 1
+    assert "PushedFilters: [In(centroid_id," in _plan(probe)
+
+
+def test_index_probe_agrees_with_exact_on_planted_neighbor(spark, emb):
+    """A planted near-duplicate of vector 0 must surface as the top
+    non-identical hit through the index path."""
+    base = emb.where("vec_id = 0").first()["embedding"]
+    rng = np.random.default_rng(11)
+    near = [x + 1e-3 * float(d) for x, d in
+            zip(base, rng.standard_normal(8))]
+    emb2 = emb.union(
+        emb.sparkSession.createDataFrame(
+            [(9999, near)], "vec_id long, embedding array<double>"
+        )
+    )
+    planes = rademacher_planes(8, 4)
+    index = truncate(build_lsh_index(emb2, planes))
+    got = lsh_bucket_topk_planes(
+        emb2, base, planes, k=2, index=index
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0 and ids[1] == 9999
+    exact = cosine_topk(emb2, base, k=2).collect()
+    assert [r["vec_id"] for r in exact] == ids
