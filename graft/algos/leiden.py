@@ -53,12 +53,15 @@ def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
     are grouped by key, not intra-group ordered, so the seeded visit
     permutation (and float accumulation order) must be anchored to a
     canonical vertex order or results drift across parallelism levels.
+
+    Thin pandas adapter over :func:`_refine_core` (shared with the
+    sequential-tail kernel, which skips the per-community DataFrame
+    construction entirely — pandas object overhead dominated the tail's
+    refinement cost at 40k+ small communities).
     """
     nodes = nodes.sort_values("id")
     if len(edges):
         edges = edges.sort_values(["u", "v"])
-    ids = nodes["id"].to_numpy()
-    n_v = dict(zip(nodes["id"], nodes["agg_count"]))
     # s_tot of the FULL community: when an oversized community is split
     # into hash sub-buckets (scale guard), each batch still gates
     # well-connectedness against the whole-S total the reference uses
@@ -67,11 +70,32 @@ def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
         s_tot = int(nodes["s_tot_full"].iloc[0])
     else:
         s_tot = int(nodes["agg_count"].sum())
-    comm_id = int(nodes["community"].iloc[0])
+    refined = _refine_core(
+        [int(v) for v in nodes["id"]],
+        [int(x) for x in nodes["agg_count"]],
+        s_tot,
+        int(nodes["community"].iloc[0]),
+        zip(edges["u"], edges["v"], edges["weight"]) if len(edges) else (),
+        gamma,
+        seed,
+    )
+    return pd.DataFrame(
+        {"id": list(refined), "refined": [refined[v] for v in refined]}
+    )
+
+
+def _refine_core(
+    ids: list, sizes: list, s_tot: int, comm_id: int, edges_uvw,
+    gamma: float, seed: int,
+) -> dict:
+    """merge_nodes_subset semantics on plain python/numpy structures:
+    ``ids`` sorted ascending, ``edges_uvw`` an iterable of single-counted
+    (u, v, weight) pairs sorted by (u, v). Returns {id: refined_id}."""
+    n_v = dict(zip(ids, sizes))
 
     # adjacency within S (single-counted pairs, loops excluded from v_in)
-    adj: dict[int, dict[int, float]] = {int(v): {} for v in ids}
-    for u, v, w in zip(edges["u"], edges["v"], edges["weight"]):
+    adj: dict[int, dict[int, float]] = {v: {} for v in ids}
+    for u, v, w in edges_uvw:
         u, v, w = int(u), int(v), float(w)
         if u == v:
             continue
@@ -79,15 +103,15 @@ def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
         adj[v][u] = adj[v].get(u, 0.0) + w
     v_in = {v: sum(adj[v].values()) for v in adj}
 
-    refined = {int(v): int(v) for v in ids}
-    rc_n = {int(v): int(n_v[v]) for v in ids}
-    rc_size = {int(v): 1 for v in ids}
-    rc_cut = {int(v): v_in[int(v)] for v in ids}
+    refined = {v: v for v in ids}
+    rc_n = {v: int(n_v[v]) for v in ids}
+    rc_size = {v: 1 for v in ids}
+    rc_cut = {v: v_in[v] for v in ids}
 
     import numpy as np
 
     rng = np.random.default_rng((seed * 1_000_003 + comm_id) % (2**63))
-    order = [int(ids[i]) for i in rng.permutation(len(ids))]
+    order = [ids[i] for i in rng.permutation(len(ids))]
     for v in order:
         nv = int(n_v[v])
         if v_in[v] < gamma * nv * (s_tot - nv):
@@ -116,9 +140,7 @@ def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
             rc_size[best] += 1
             rc_cut[best] += v_in[v] - 2.0 * k_to[best]
             del rc_n[old], rc_size[old], rc_cut[old]
-    return pd.DataFrame(
-        {"id": list(refined), "refined": [refined[v] for v in refined]}
-    )
+    return refined
 
 
 def refine_partition(
@@ -227,7 +249,7 @@ def leiden(
     max_sweeps: int = 15,
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
-    sequential_tail_edges: int = 200_000,
+    sequential_tail_edges: int = 1_000_000,
     return_quality: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` final labels on original
@@ -246,8 +268,12 @@ def leiden(
     ``sequential_tail_edges`` rows it fits one Arrow batch, and the
     remaining levels run as ONE executor task via the sequential tail
     kernel (graft.algos.seq_tail) — at that size every distributed sweep
-    costs more in job latency than the whole remaining computation.
-    Set it to 0 to force the BSP path at every level."""
+    costs more in job latency than the whole remaining computation. The
+    1M default is backed by the r3 CSR/queue kernel rewrite: a full
+    multi-level CPM tail over 500k symmetrized rows measures ~4 s in
+    one task (was ~60 s as dict-of-dict loops), versus tens of seconds
+    for the BSP sweeps it replaces. Set it to 0 to force the BSP path
+    at every level."""
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)
     level.edges = level.edges.persist()

@@ -30,7 +30,7 @@ def louvain(
     max_sweeps: int = 15,
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
-    sequential_tail_edges: int = 200_000,
+    sequential_tail_edges: int = 1_000_000,
     return_quality: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` — final labels on the
@@ -45,7 +45,8 @@ def louvain(
     ``max_sweeps`` caps BSP local moving per level; levels whose edge
     table fits one Arrow batch (≤ ``sequential_tail_edges`` rows) finish
     as ONE executor task via the sequential tail kernel (see
-    graft.algos.leiden.leiden docstring; 0 forces BSP everywhere)."""
+    graft.algos.leiden.leiden docstring for the 1M-row default's
+    timing justification; 0 forces BSP everywhere)."""
     m = graph.total_edge_weight()
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)

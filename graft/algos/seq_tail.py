@@ -2,21 +2,32 @@
 contracted graph fits one Arrow batch.
 
 Multi-level algorithms shrink the graph geometrically; after a few BSP
-levels the supernode graph is thousands of rows, where every distributed
-sweep costs more in job latency than the whole remaining computation.
-The honest scale design (same pattern as the refinement kernel,
-SURVEY.md §7 item 2) is to ship that tail to ONE executor task as an
-Arrow batch and run the exact sequential algorithm there — vectorized
-kernel on an executor, not a driver-side loop; the driver never touches
-row data. The BSP path still handles every level above the threshold
-(bench: louvain over the 16M-row power-law graph runs pure BSP).
+levels the supernode graph is under a million rows, where every
+distributed sweep costs more in job latency than the whole remaining
+computation. The honest scale design (same pattern as the refinement
+kernel, SURVEY.md §7 item 2) is to ship that tail to ONE executor task
+as an Arrow batch and run the exact sequential algorithm there —
+vectorized kernel on an executor, not a driver-side loop; the driver
+never touches row data. The BSP path still handles every level above
+the threshold (bench: louvain over the 16M-row power-law graph runs
+pure BSP).
+
+Kernel layout (r3 rewrite, VERDICT r2 'next round' #7): the level graph
+lives in numpy CSR arrays (half-edge list + both-direction CSR with
+neighbor ids ascending); the greedy local-moving pass visits nodes in
+the seeded permutation order and does each node's neighbor-community
+gather / delta argmax as small vectorized ops; contraction is one
+lexsort + segment-sum. No dict-of-dict state anywhere, which is what
+lets the tail threshold sit at ~1M edge rows instead of 200k.
 
 Semantics: greedy pass-until-stable local moving (CPM or modularity,
-same closed-form deltas as community._select_moves) + for CPM the
-reference's refinement via leiden._refine_community (differentially
-tested against custom_leiden.py:349-459 semantics in
+same closed-form deltas as community._select_moves, tie-break toward
+the smallest community label) + for CPM the reference's refinement via
+leiden._refine_community (differentially tested against
+custom_leiden.py:349-459 semantics in
 tests/test_refine_differential.py) + aggregation, for max_levels.
-Deterministic: inputs sorted by id, seeded generator.
+Deterministic: inputs sorted by id, seeded generator, one permutation
+draw per pass.
 """
 
 from __future__ import annotations
@@ -25,50 +36,226 @@ import numpy as np
 import pandas as pd
 
 
+def _half_edges(
+    edges: pd.DataFrame, ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(eu, ev, ew, loop_w): deduped half edges (u_pos < v_pos) and the
+    per-node self-loop weight, from a SYMMETRIZED edge table (each
+    non-loop pair in both directions — counted once via src < dst —
+    loops once)."""
+    n = len(ids)
+    loop_w = np.zeros(n, dtype=np.float64)
+    if not len(edges):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64), loop_w
+    src = np.searchsorted(ids, edges["src"].to_numpy(dtype=np.int64))
+    dst = np.searchsorted(ids, edges["dst"].to_numpy(dtype=np.int64))
+    w = edges["weight"].to_numpy(dtype=np.float64)
+    loops = src == dst
+    np.add.at(loop_w, src[loops], w[loops])
+    keep = src < dst
+    eu, ev, ew = src[keep], dst[keep], w[keep]
+    # dedup parallel rows (sorted order => deterministic accumulation)
+    key = eu.astype(np.int64) * n + ev
+    uniq, inv = np.unique(key, return_inverse=True)
+    out_w = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(out_w, inv, ew)
+    return (uniq // n).astype(np.int64), (uniq % n).astype(np.int64), out_w, loop_w
+
+
+def _csr(
+    n: int, eu: np.ndarray, ev: np.ndarray, ew: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Both-direction CSR (indptr, nbr, wgt) with each row's neighbors
+    ascending — the canonical accumulation order the distributed
+    refinement kernel uses too."""
+    su = np.concatenate([eu, ev])
+    sv = np.concatenate([ev, eu])
+    sw = np.concatenate([ew, ew])
+    order = np.lexsort((sv, su))
+    su, sv, sw = su[order], sv[order], sw[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, su + 1, 1)
+    indptr = np.cumsum(indptr)
+    return indptr, sv, sw
+
+
+_VEC_DEGREE = 64  # per-visit gather: numpy beats dicts above this degree
+
+
 def _local_move(
-    adj: dict, size: dict, strength: dict, comm: dict,
-    objective: str, gamma: float, m: float, rng, max_passes: int = 20,
-) -> dict:
-    """Greedy sequential local moving; mutates and returns ``comm``."""
-    n_c: dict = {}
-    stot: dict = {}
-    for v, c in comm.items():
-        n_c[c] = n_c.get(c, 0) + size[v]
-        stot[c] = stot.get(c, 0.0) + strength[v]
-    nodes = sorted(adj)
-    for _ in range(max_passes):
-        moved = False
-        for v in [nodes[i] for i in rng.permutation(len(nodes))]:
-            cv = comm[v]
-            k_to: dict = {}
-            for u, w in adj[v].items():
-                k_to[comm[u]] = k_to.get(comm[u], 0.0) + w
-            k_own = k_to.get(cv, 0.0)
-            kv = strength[v]
-            best, best_delta = None, 0.0
-            for c, k in sorted(k_to.items()):
-                if c == cv:
-                    continue
+    indptr: np.ndarray,
+    nbr: np.ndarray,
+    wgt: np.ndarray,
+    size: np.ndarray,
+    strength: np.ndarray,
+    comm: np.ndarray,
+    labels: np.ndarray,
+    objective: str,
+    gamma: float,
+    m: float,
+    rng,
+) -> np.ndarray:
+    """Queue-based greedy local moving over the CSR graph — the actual
+    Leiden `move_nodes_fast` schedule (custom_leiden.py:533-598): seed a
+    FIFO queue with all nodes in seeded-shuffle order; after a move,
+    re-enqueue the mover's neighbors outside its new community. Each
+    node is revisited only when its neighborhood changed, instead of
+    full pass-until-stable sweeps — strictly-positive deltas make the
+    objective monotone, so the queue drains.
+
+    ``comm`` holds community SLOTS (indices into ``labels``, the sorted
+    distinct community labels — slot order == label order, so both
+    gather branches tie-break toward the smallest label, like the
+    distributed argmax). Mutates and returns ``comm``. One
+    ``rng.permutation`` draw per call.
+
+    Per-visit gather is hybrid: plain dict accumulation below
+    ``_VEC_DEGREE`` neighbors (lower constant), vectorized
+    unique+segment-sum above it (hub-proof) — both accumulate in
+    ascending-neighbor order over ascending candidate labels, so the
+    branches are numerically identical.
+    """
+    from collections import deque
+
+    n = len(comm)
+    n_slots = len(labels)
+    n_c = np.zeros(n_slots, dtype=np.int64)
+    np.add.at(n_c, comm, size)
+    stot = np.zeros(n_slots, dtype=np.float64)
+    np.add.at(stot, comm, strength)
+    comm_py = comm.tolist()
+    q = deque(rng.permutation(n).tolist())
+    in_q = bytearray([1]) * n
+    two_m_sq = 2.0 * m * m
+    while q:
+        v = q.popleft()
+        in_q[v] = 0
+        s, e = int(indptr[v]), int(indptr[v + 1])
+        if s == e:
+            continue
+        cv = comm_py[v]
+        sv_ = int(size[v])
+        kv = float(strength[v])
+        best = -1
+        best_delta = 0.0
+        if e - s >= _VEC_DEGREE:
+            nsl = comm[nbr[s:e]]
+            cand, inv = np.unique(nsl, return_inverse=True)
+            k_to = np.zeros(len(cand), dtype=np.float64)
+            np.add.at(k_to, inv, wgt[s:e])
+            oh = int(np.searchsorted(cand, cv))
+            k_own = (
+                float(k_to[oh]) if oh < len(cand) and cand[oh] == cv else 0.0
+            )
+            mask = cand != cv
+            if mask.any():
+                c_arr = cand[mask]
+                k_arr = k_to[mask]
                 if objective == "cpm":
-                    delta = (k - gamma * size[v] * n_c[c]) - (
-                        k_own - gamma * size[v] * (n_c[cv] - size[v])
+                    delta = (k_arr - gamma * sv_ * n_c[c_arr]) - (
+                        k_own - gamma * sv_ * (int(n_c[cv]) - sv_)
                     )
                 else:
+                    delta = (k_arr - k_own) / m - kv * (
+                        stot[c_arr] - float(stot[cv]) + kv
+                    ) / two_m_sq
+                j = int(np.argmax(delta))
+                if delta[j] > 0.0:
+                    best = int(c_arr[j])
+                    best_delta = float(delta[j])
+        else:
+            kt: dict = {}
+            for u, w in zip(nbr[s:e].tolist(), wgt[s:e].tolist()):
+                c = comm_py[u]
+                kt[c] = kt.get(c, 0.0) + w
+            k_own = kt.get(cv, 0.0)
+            if objective == "cpm":
+                base = k_own - gamma * sv_ * (int(n_c[cv]) - sv_)
+                for c, k in sorted(kt.items()):
+                    if c == cv:
+                        continue
+                    delta = (k - gamma * sv_ * int(n_c[c])) - base
+                    if delta > best_delta:
+                        best, best_delta = c, delta
+            else:
+                sc = float(stot[cv])
+                for c, k in sorted(kt.items()):
+                    if c == cv:
+                        continue
                     delta = (k - k_own) / m - kv * (
-                        stot[c] - stot[cv] + kv
-                    ) / (2.0 * m * m)
-                if delta > best_delta:
-                    best, best_delta = c, delta
-            if best is not None:
-                n_c[cv] -= size[v]
-                n_c[best] += size[v]
-                stot[cv] -= kv
-                stot[best] += kv
-                comm[v] = best
-                moved = True
-        if not moved:
-            break
+                        float(stot[c]) - sc + kv
+                    ) / two_m_sq
+                    if delta > best_delta:
+                        best, best_delta = c, delta
+        if best >= 0 and best_delta > 0.0:
+            n_c[cv] -= sv_
+            n_c[best] += sv_
+            stot[cv] -= kv
+            stot[best] += kv
+            comm[v] = best
+            comm_py[v] = best
+            for u in nbr[s:e].tolist():
+                if comm_py[u] != best and not in_q[u]:
+                    q.append(u)
+                    in_q[u] = 1
     return comm
+
+
+def _refine_groups(
+    ids: np.ndarray,
+    eu: np.ndarray,
+    ev: np.ndarray,
+    ew: np.ndarray,
+    size: np.ndarray,
+    comm_label: np.ndarray,
+    gamma: float,
+    seed: int,
+) -> np.ndarray:
+    """CPM refinement: run leiden._refine_core per community (the exact
+    reference semantics, shared with the distributed kernel's pandas
+    adapter) and return each node's refined community label (= founding
+    member id). Communities and their intra edges are grouped by one
+    argsort each — no per-edge Python, no per-community DataFrames."""
+    from graft.algos.leiden import _refine_core
+
+    n = len(ids)
+    order = np.argsort(comm_label, kind="stable")
+    bounds = np.flatnonzero(
+        np.diff(comm_label[order], prepend=comm_label[order[0]] - 1)
+    )
+    # intra-community half edges grouped the same way
+    intra = comm_label[eu] == comm_label[ev]
+    ieu, iev, iew = eu[intra], ev[intra], ew[intra]
+    ic = comm_label[ieu]
+    eorder = np.argsort(ic, kind="stable")
+    ieu, iev, iew, ic = ieu[eorder], iev[eorder], iew[eorder], ic[eorder]
+    ebounds = np.searchsorted(ic, comm_label[order][bounds])
+    refined = np.empty(n, dtype=np.int64)
+    starts = list(bounds) + [n]
+    for gi in range(len(bounds)):
+        lo, hi = starts[gi], starts[gi + 1]
+        members = order[lo:hi]
+        member_ids = ids[members].tolist()
+        c = int(comm_label[members[0]])
+        s_tot_full = int(size[members].sum())
+        elo = ebounds[gi]
+        ehi = ebounds[gi + 1] if gi + 1 < len(ebounds) else len(ic)
+        lut = _refine_core(
+            member_ids,
+            size[members].tolist(),
+            s_tot_full,
+            c,
+            zip(
+                ids[ieu[elo:ehi]].tolist(),
+                ids[iev[elo:ehi]].tolist(),
+                iew[elo:ehi].tolist(),
+            ),
+            gamma,
+            seed,
+        )
+        refined[members] = [lut[x] for x in member_ids]
+    return refined
 
 
 def seq_community_tail(
@@ -90,134 +277,106 @@ def seq_community_tail(
     partition with maintained P communities. For modularity it is
     sequential Louvain.
     """
-    from graft.algos.leiden import _refine_community
-
     nodes = nodes.sort_values("id")
-    edges = edges.sort_values(["src", "dst"])
     rng = np.random.default_rng(seed)
 
-    ids = [int(v) for v in nodes["id"]]
-    size = dict(zip(ids, (int(x) for x in nodes["agg_count"])))
-    strength = dict(zip(ids, (float(x) for x in nodes["k"])))
-    adj: dict = {v: {} for v in ids}
-    loop_w: dict = {v: 0.0 for v in ids}
-    for u, v, w in zip(edges["src"], edges["dst"], edges["weight"]):
-        u, v, w = int(u), int(v), float(w)
-        if u == v:
-            loop_w[u] += w
-        elif u < v:  # symmetrized input: count each pair once
-            adj[u][v] = adj[u].get(v, 0.0) + w
-            adj[v][u] = adj[v].get(u, 0.0) + w
+    ids = nodes["id"].to_numpy(dtype=np.int64)
+    size = nodes["agg_count"].to_numpy(dtype=np.int64)
+    strength = nodes["k"].to_numpy(dtype=np.float64)
+    eu, ev, ew, loop_w = _half_edges(edges, ids)
 
-    carry = {v: [v] for v in ids}
-    final = {v: v for v in ids}
+    n0 = len(ids)
+    # orig→current supernode position; labels of the final partition
+    orig_to_cur = np.arange(n0, dtype=np.int64)
+    final_label = ids.copy()
     # CPM levels maintain P across levels; a community column on the
     # input seeds it (handoff from the distributed levels above)
     if "community" in nodes.columns:
-        init_comm = dict(
-            zip((int(v) for v in nodes["id"]),
-                (int(c) for c in nodes["community"]))
-        )
+        init_label = nodes["community"].to_numpy(dtype=np.int64)
     else:
-        init_comm = {v: v for v in ids}
+        init_label = ids.copy()
+
+    converged = False
     for _ in range(max_levels):
-        comm = _local_move(
-            adj, size, strength, dict(init_comm),
+        n = len(ids)
+        indptr, nbr, wgt = _csr(n, eu, ev, ew)
+        labels = np.unique(init_label)
+        comm_slot = np.searchsorted(labels, init_label).astype(np.int64)
+        comm_slot = _local_move(
+            indptr, nbr, wgt, size, strength, comm_slot, labels,
             objective, gamma, m, rng,
         )
-        members: dict = {}
-        for v, c in comm.items():
-            members.setdefault(c, []).append(v)
-        if len(members) == len(adj):
-            break  # no compression — converged
+        comm_label = labels[comm_slot]
+        n_comms = len(np.unique(comm_label))
+        if n_comms == n:
+            # no compression: every community is a singleton, so the
+            # supernode ids already carried by final_label ARE the
+            # partition (one node per community)
+            converged = True
+            break
         if objective == "cpm":
-            # refinement: restart from singletons within each community
-            refined: dict = {}
-            for c, ms in sorted(members.items()):
-                npdf = pd.DataFrame(
-                    {
-                        "id": ms,
-                        "community": [c] * len(ms),
-                        "agg_count": [size[v] for v in ms],
-                        "s_tot_full": [sum(size[v] for v in ms)] * len(ms),
-                    }
-                )
-                mset = set(ms)
-                intra = [
-                    (u, v, w)
-                    for u in ms
-                    for v, w in adj[u].items()
-                    if u < v and v in mset
-                ]
-                epdf = pd.DataFrame(
-                    intra, columns=["u", "v", "weight"]
-                ) if intra else pd.DataFrame(
-                    {"u": [], "v": [], "weight": []}
-                )
-                out = _refine_community(npdf, epdf, gamma, seed)
-                refined.update(dict(zip(out["id"], out["refined"])))
-            if len(set(refined.values())) == len(adj):
+            refined = _refine_groups(
+                ids, eu, ev, ew, size, comm_label, gamma, seed
+            )
+            if len(np.unique(refined)) == n:
                 # refinement kept every node singleton — no compression;
                 # the P communities local moving just found ARE the
                 # answer (same exit as the distributed level loop)
-                for v in adj:
-                    for orig in carry[v]:
-                        final[orig] = comm[v]
+                converged = True
+                final_label = comm_label[orig_to_cur]
                 break
-            # contract by the refined partition (maintain_p: members of
-            # a refined community share their P community by
-            # construction, and the next level restarts from singleton
-            # supernodes exactly like the distributed loop)
-            group = refined
+            group_label = refined
         else:
-            group = comm
+            group_label = comm_label
 
-        g_members: dict = {}
-        for v, gid in group.items():
-            g_members.setdefault(gid, []).append(v)
-        new_adj: dict = {gid: {} for gid in g_members}
-        new_loop = {gid: 0.0 for gid in g_members}
-        new_size = {gid: 0 for gid in g_members}
-        new_carry: dict = {gid: [] for gid in g_members}
-        for gid, ms in g_members.items():
-            for v in ms:
-                new_size[gid] += size[v]
-                new_carry[gid].extend(carry[v])
-                new_loop[gid] += loop_w[v]
-        for v, nbrs in adj.items():
-            gv = group[v]
-            for u, w in nbrs.items():
-                gu = group[u]
-                if gu != gv:
-                    new_adj[gv][gu] = new_adj[gv].get(gu, 0.0) + w
-                else:
-                    new_loop[gv] += w / 2.0
-        adj, loop_w, size, carry = new_adj, new_loop, new_size, new_carry
-        strength = {
-            v: sum(adj[v].values()) + 2.0 * loop_w[v] for v in adj
-        }
+        # --- contraction (one lexsort + segment sums) ---
+        new_ids, group_idx = np.unique(group_label, return_inverse=True)
+        gn = len(new_ids)
+        new_size = np.zeros(gn, dtype=np.int64)
+        np.add.at(new_size, group_idx, size)
+        new_loop = np.zeros(gn, dtype=np.float64)
+        np.add.at(new_loop, group_idx, loop_w)
+        gu, gv = group_idx[eu], group_idx[ev]
+        intra = gu == gv
+        np.add.at(new_loop, gu[intra], ew[intra])
+        cu = np.minimum(gu[~intra], gv[~intra])
+        cv_ = np.maximum(gu[~intra], gv[~intra])
+        cw = ew[~intra]
+        key = cu * gn + cv_
+        ukey, kinv = np.unique(key, return_inverse=True)
+        new_ew = np.zeros(len(ukey), dtype=np.float64)
+        np.add.at(new_ew, kinv, cw)
+        new_eu = (ukey // gn).astype(np.int64)
+        new_ev = (ukey % gn).astype(np.int64)
+        # maintain_p: refined supernodes start the next level inside the
+        # P community local moving just assigned their members (all
+        # members of a refined community share it by construction); for
+        # modularity the next level restarts from singletons
         if objective == "cpm":
-            # maintain_p: refined supernodes start the next level inside
-            # the P community local moving just assigned their members
-            init_comm = {
-                gid: comm[ms[0]] for gid, ms in g_members.items()
-            }
+            new_init = np.empty(gn, dtype=np.int64)
+            new_init[group_idx] = comm_label  # any member's P community
         else:
-            init_comm = {v: v for v in adj}
-        for v in adj:
-            for orig in carry[v]:
-                final[orig] = v
-    else:
-        # max_levels exhausted without a convergence break: `final` maps
-        # originals to refined-partition supernode ids — a strictly finer
-        # partition than Leiden's answer for this edge case. The
-        # maintained P community of each supernode is in init_comm
-        # (identity for modularity, whose labels are the supernodes).
-        if objective == "cpm":
-            final = {orig: init_comm[v] for orig, v in final.items()}
-    return pd.DataFrame(
-        {"id": list(final), "community": [final[v] for v in final]}
-    )
+            new_init = new_ids.copy()
+        # strength from the contracted half edges + doubled loops
+        new_strength = np.zeros(gn, dtype=np.float64)
+        np.add.at(new_strength, new_eu, new_ew)
+        np.add.at(new_strength, new_ev, new_ew)
+        new_strength += 2.0 * new_loop
+
+        orig_to_cur = group_idx[orig_to_cur]
+        final_label = new_ids[orig_to_cur]
+        ids, size, strength, loop_w = new_ids, new_size, new_strength, new_loop
+        eu, ev, ew = new_eu, new_ev, new_ew
+        init_label = new_init
+    if not converged and objective == "cpm":
+        # max_levels exhausted without a convergence break: final labels
+        # are refined-partition supernode ids — a strictly finer
+        # partition than Leiden's answer for this edge case. Map each
+        # supernode through its maintained P community (identity for
+        # modularity, whose labels are the supernodes).
+        final_label = init_label[orig_to_cur]
+    orig_ids = nodes["id"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"id": orig_ids, "community": final_label})
 
 
 def run_tail_distributed(
