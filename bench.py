@@ -151,11 +151,11 @@ def powerlaw_throughput() -> dict[str, float]:
     t = _timed(lambda: pagerank(big, fixed_iterations=PR_ITERS).count(),
                "pagerank_powerlaw")
     # community detection through the BSP path: a fixed 5-sweep
-    # local-moving budget on the ~4M-row edge table (far above the
-    # sequential-tail threshold) — measures the distributed gather →
-    # argmax → conflict-resolve → apply machinery itself; the synthetic
-    # powerlaw graph has no real community structure to converge to, so
-    # a fixed sweep budget is the comparable statistic
+    # local-moving budget on the ~4M-row edge table (BSP forced via
+    # move_nodes directly) — measures the distributed gather → argmax →
+    # conflict-resolve → apply machinery itself; the synthetic powerlaw
+    # graph has no real community structure to converge to, so a fixed
+    # sweep budget is the comparable statistic
     from graft.algos.community import init_level, move_nodes
 
     t_louv = _timed(
@@ -165,11 +165,32 @@ def powerlaw_throughput() -> dict[str, float]:
         )[1],
         "louvain_bsp_5sweeps",
     )
+    # full multi-level Leiden, default engine path: level 0 (200k
+    # vertices / 4M sym rows) runs distributed BSP local moving +
+    # cogrouped refinement + contraction; the contracted level (~90k
+    # vertices) finishes via the sequential tail. The apples-to-apples
+    # CPU baseline is leidenalg's full find_partition: 53.1 s on the
+    # ~3M-edge youtube-links graph (reference report.txt:15).
+    t_leiden = _timed(
+        lambda: leiden(big, gamma=0.05, seed=1234).count(),
+        "leiden_powerlaw",
+    )
+    # the same graph entirely through the sequential-tail kernel (the
+    # single-task regime a 2M-edge graph honestly belongs in): direct
+    # single-node comparison cell vs leidenalg's 53.1 s
+    t_tail = _timed(
+        lambda: leiden(
+            big, gamma=0.05, seed=1234, sequential_tail_edges=10**9
+        ).count(),
+        "leiden_tail",
+    )
     big.unpersist()
     spark.stop()
     return {
         "pagerank_powerlaw_2m_edges": t,
         "louvain_bsp_5sweeps_2m_edges": t_louv,
+        "leiden_powerlaw_2m_edges": t_leiden,
+        "leiden_tail_2m_edges": t_tail,
         "_powerlaw_edges_per_sec_per_superstep": round(
             n_edges * PR_ITERS / t, 1
         ),
@@ -203,7 +224,9 @@ SCALE_REPS = 3
 SCALE_EDGES = 4_000_000
 
 
-def scaling_run(n_cores: int, n_edges_in: int = SCALE_EDGES) -> dict:
+def scaling_run(
+    n_cores: int, n_edges_in: int = SCALE_EDGES, reps: int = SCALE_REPS
+) -> dict:
     """Marginal per-sweep local-moving throughput at a given
     parallelism (see module comment above for the protocol).
 
@@ -244,19 +267,70 @@ def scaling_run(n_cores: int, n_edges_in: int = SCALE_EDGES) -> dict:
         ]
 
     _sweep_durations()  # warm JIT + caches
-    reps = [_sweep_durations() for _ in range(SCALE_REPS)]
-    _log(f"scaling local[{n_cores}] sweep durations: {reps}")
-    n_idx = min(len(r) for r in reps)
-    per_index_min = [min(r[i] for r in reps) for i in range(n_idx)]
+    rep_durs = [_sweep_durations() for _ in range(reps)]
+    _log(f"scaling local[{n_cores}] sweep durations: {rep_durs}")
+    n_idx = min(len(r) for r in rep_durs)
+    per_index_min = [min(r[i] for r in rep_durs) for i in range(n_idx)]
     marginal = sum(per_index_min) / len(per_index_min)
     g.unpersist()
     spark.stop()
     return {
         "cores": n_cores,
         "k": SCALE_K,
-        "sweep_durations_per_rep": reps,
+        "sweep_durations_per_rep": rep_durs,
         "per_index_min_sec": per_index_min,
         "marginal_sec_per_sweep": round(marginal, 3),
+        "sym_edge_rows": n_edges,
+        "edges_per_sec_per_superstep": round(n_edges / marginal, 1),
+    }
+
+
+def pagerank_scaling_run(n_cores: int, k: int = 6, reps: int = 2) -> dict:
+    """PageRank superstep marginal at a given parallelism (ADVICE r2:
+    report the PageRank half of the north-rule metric too). Copartition
+    join strategy (the can't-broadcast 10^12-vertex configuration);
+    marginal = (min t_k - min t_1)/(k-1) over ``reps`` in-session pairs.
+    Single-box caveat documented in BENCH/BASELINE.md: this job is
+    DRAM-bandwidth-bound, so one shared memory bus caps it near-flat
+    beyond a few cores — a per-node resource on a real cluster."""
+    import time as _t
+
+    spark = get_spark(
+        f"graft-bench-pr-{n_cores}",
+        master=f"local[{n_cores}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    g = Graph.from_undirected(
+        spark.read.parquet(synth_powerlaw_parquet(SCALE_EDGES))
+    ).cache()
+    n_edges = g.edges.count()
+
+    def run(iters: int) -> float:
+        t0 = _t.perf_counter()
+        pagerank(
+            g, fixed_iterations=iters, truncate_every=iters,
+            join_strategy="copartition", sequential_threshold=0,
+        ).count()
+        return round(_t.perf_counter() - t0, 3)
+
+    run(1)  # warm: builds + caches the copartitioned transition table
+    t1s = [run(1) for _ in range(reps)]
+    tks = [run(k) for _ in range(reps)]
+    _log(f"pagerank scaling local[{n_cores}] t1={t1s} t{k}={tks}")
+    marginal = max((min(tks) - min(t1s)) / (k - 1), 1e-9)
+    g.unpersist()
+    spark.stop()
+    return {
+        "cores": n_cores,
+        "k": k,
+        "t1_sec": t1s,
+        "tk_sec": tks,
+        "marginal_sec_per_superstep": round(marginal, 3),
         "sym_edge_rows": n_edges,
         "edges_per_sec_per_superstep": round(n_edges / marginal, 1),
     }
@@ -280,6 +354,32 @@ def main() -> None:
         / (4.0 * lo["edges_per_sec_per_superstep"]),
         3,
     )
+    # secondary evidence (SURVEY §6 / VERDICT r2 #3): the same sweep job
+    # at 8 vs 32 cores — on this single-socket box (one memory
+    # controller for all 32 cores) the shuffle-bound sweep hits the
+    # DRAM ceiling, so the ratio measures the memory bus, not the
+    # engine; reported for honesty with the CPU-bound counterpoint
+    # (Leiden refinement stage) in BENCH/BASELINE.md
+    time.sleep(5)
+    s8 = scaling_run(8, reps=2)
+    time.sleep(5)
+    s32 = scaling_run(32, reps=2)
+    eff_8_32 = round(
+        s32["edges_per_sec_per_superstep"]
+        / (4.0 * s8["edges_per_sec_per_superstep"]),
+        3,
+    )
+    # the PageRank half of the north-rule metric (ADVICE r2), same N→4N
+    # pair as the official statistic
+    time.sleep(5)
+    pr_lo = pagerank_scaling_run(SCALE_N)
+    time.sleep(5)
+    pr_hi = pagerank_scaling_run(SCALE_N * 4)
+    pr_eff = round(
+        pr_hi["edges_per_sec_per_superstep"]
+        / (4.0 * pr_lo["edges_per_sec_per_superstep"]),
+        3,
+    )
     result = {
         "metric": "headline query wall time at sf (lower is better)",
         "value": total,
@@ -297,6 +397,20 @@ def main() -> None:
             "low": lo,
             "high": hi,
             "efficiency_n_to_4n": eff,
+            "sweep_8_to_32": {
+                "low": s8,
+                "high": s32,
+                "efficiency": eff_8_32,
+                "note": "single-socket box: all 32 cores share ONE "
+                        "memory controller, so the shuffle-bound sweep "
+                        "saturates DRAM near 8 cores — a per-node "
+                        "resource on a real cluster (BENCH/BASELINE.md)",
+            },
+            "pagerank_n_to_4n": {
+                "low": pr_lo,
+                "high": pr_hi,
+                "efficiency": pr_eff,
+            },
         },
     }
     print(json.dumps(result))

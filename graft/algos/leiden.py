@@ -241,6 +241,24 @@ def _maintained_vertices(
     )
 
 
+# a level whose VERTEX set fits one task goes sequential even when its
+# edge multigraph is still wide (contracted levels of structureless
+# graphs shrink vertices geometrically but keep most edges distinct) —
+# bounded by a hard edge-row guard so the Arrow batch stays ~100-200 MB
+_TAIL_MAX_VERTICES = 100_000
+_TAIL_MAX_EDGE_ROWS = 8_000_000
+
+
+def _tail_ready(n_edge_rows: int, n_verts: int, tail_edges: int) -> bool:
+    """True when the remaining levels should finish as ONE executor task
+    (see the leiden docstring; 0 for ``tail_edges`` forces BSP)."""
+    if not tail_edges:
+        return False
+    return n_edge_rows <= tail_edges or (
+        n_verts <= _TAIL_MAX_VERTICES and n_edge_rows <= _TAIL_MAX_EDGE_ROWS
+    )
+
+
 def leiden(
     graph: Graph,
     gamma: float = 0.05,
@@ -262,18 +280,24 @@ def leiden(
     compatibility. The quality is one extra closed-form job
     (graft.quality.cpm) over the final labels, not a per-level cost.
 
-    ``max_sweeps`` caps BSP local moving per level (the reference hard-
-    caps at 10, csrc/src/leiden_kernel.cu:1211-1213; deeper levels pick
-    up what a capped level leaves). Once a level's edge table is at most
-    ``sequential_tail_edges`` rows it fits one Arrow batch, and the
-    remaining levels run as ONE executor task via the sequential tail
-    kernel (graft.algos.seq_tail) — at that size every distributed sweep
-    costs more in job latency than the whole remaining computation. The
-    1M default is backed by the r3 CSR/queue kernel rewrite: a full
+    ``max_sweeps`` caps BSP local moving per level (default mirrors the
+    reference's hard 10-iteration cap, csrc/src/leiden_kernel.cu:1211-
+    1213; deeper levels pick up what a capped level leaves). Once a
+    level fits one Arrow batch — edge table at most
+    ``sequential_tail_edges`` rows, OR vertex set under
+    ``_TAIL_MAX_VERTICES`` with the edge multigraph under the
+    ``_TAIL_MAX_EDGE_ROWS`` byte guard — the remaining levels run as
+    ONE executor task via the sequential tail kernel
+    (graft.algos.seq_tail): at that size every distributed sweep costs
+    more in job latency than the whole remaining computation. The 1M
+    row default is backed by the r3 CSR/queue kernel rewrite: a full
     multi-level CPM tail over 500k symmetrized rows measures ~4 s in
     one task (was ~60 s as dict-of-dict loops), versus tens of seconds
-    for the BSP sweeps it replaces. Set it to 0 to force the BSP path
-    at every level."""
+    for the BSP sweeps it replaces; the vertex trigger covers
+    contracted levels of structureless graphs, whose vertex count
+    shrinks geometrically while the edge multigraph stays wide (BSP
+    sweeps there burn seconds of latency per handful of movers). Set
+    ``sequential_tail_edges=0`` to force the BSP path at every level."""
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)
     level.edges = level.edges.persist()
@@ -303,7 +327,10 @@ def leiden(
             )
             start_lvl = done + 1
     for lvl in range(start_lvl, max_levels):
-        if level.edges.count() <= sequential_tail_edges:
+        if _tail_ready(
+            level.edges.count(), level.vertices.count(),
+            sequential_tail_edges,
+        ):
             from graft.algos.seq_tail import run_tail_distributed
 
             tail = truncate(
@@ -338,8 +365,20 @@ def leiden(
         import time as _time
 
         _t0 = _time.time()
-        with superstep_conf(level.edges.sparkSession, level.edges.count()):
+        spark = level.edges.sparkSession
+        with superstep_conf(spark, level.edges.count()):
+            # the refinement cogroup is PYTHON-bound (one _refine_core
+            # call per community), not shuffle-bound: run it at full
+            # core parallelism even when the superstep reducers are
+            # sized smaller for shuffle latency (measured r3 on the 4M-
+            # row powerlaw level: 16 reducers left half the cores idle)
+            sp_now = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(int(sp_now), spark.sparkContext.defaultParallelism)),
+            )
             refined = truncate(refine_partition(level, gamma, seed + lvl))
+            spark.conf.set("spark.sql.shuffle.partitions", sp_now)
             n_refined = refined.agg(F.countDistinct("refined")).first()[0]
             if _os.environ.get("GRAFT_SWEEP_LOG"):
                 print(

@@ -74,7 +74,12 @@ def louvain(
             )
             start_lvl = done + 1
     for lvl in range(start_lvl, max_levels):
-        if level.edges.count() <= sequential_tail_edges:
+        from graft.algos.leiden import _tail_ready
+
+        if _tail_ready(
+            level.edges.count(), level.vertices.count(),
+            sequential_tail_edges,
+        ):
             from graft.algos.seq_tail import run_tail_distributed
 
             tail = truncate(
