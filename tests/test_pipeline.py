@@ -195,3 +195,47 @@ def test_multimodal_frames_and_stats(spark):
     assert all(kinds[m] == "video" for m in vids)
     stats = {r.kind: r.n for r in media_stats(media).collect()}
     assert stats == {"image": 10, "audio": 10, "video": 10}
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_extract_features_real_decode_guard(spark):
+    """fake=False must be an honest NotImplementedError on hosts
+    without codec libraries (never a silent fake)."""
+    media = synth_media(spark, n=4)
+    if _has_pil():
+        pytest.skip("Pillow installed — guard not reachable")
+    with pytest.raises(NotImplementedError):
+        extract_features(media, dim=16, fake=False)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_extract_features_real_decode(spark):
+    """With Pillow present, image payloads decode for real; schema and
+    row count match the fake path exactly."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    rows = [(0, "image", buf.getvalue(), 8, 8, None, 100),
+            (1, "audio", b"\x00" * 64, None, None, 16000, 100)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, sample_rate int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in
+           extract_features(media, dim=16, fake=False).collect()}
+    assert len(out) == 2
+    # the 8x8 gray-128 PNG decodes to constant 128/255 pixels
+    assert abs(out[0]["feature"][0] - 128 / 255) < 1e-6
+    assert len(out[0]["feature"]) == 16
