@@ -404,6 +404,18 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, k=3, threshold=0.5)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: the graph engine's
+    connected-components operator applied to the verified LSH near-dup
+    pairs, with canonical-doc selection — the oracle reproduces the
+    full chain (shingles → MinHash → banded buckets → Jaccard →
+    WITH RECURSIVE reachability), so the cross-operator composition is
+    value-hash verified end to end."""
+    from graft.pipeline.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graft.pipeline.dedup import simhash
 
@@ -528,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_lang_id,
         "minhash_signatures": _q_minhash,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
@@ -570,6 +583,7 @@ FROM e WHERE u = v""",
         "doc_lang_id": _po.SQL_LANG_ID,
         "minhash_signatures": _po.SQL_MINHASH,
         "near_dup_pairs": _po.SQL_NEAR_DUP_PAIRS,
+        "near_dup_clusters": _po.SQL_NEAR_DUP_CLUSTERS,
         "simhash": _po.SQL_SIMHASH,
         "cosine_topk": _po.SQL_COSINE_TOPK,
         "ann_topk": _po.SQL_ANN_TOPK,

@@ -195,3 +195,62 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 50,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS: the graph engine applied to
+    the dedup pipeline. Verified near-dup pairs (MinHash → banded LSH →
+    exact shingle Jaccard) become an edge table; the engine's
+    connected-components operator closes them transitively; the cluster
+    id is the minimum doc_id in the component and ``keep`` marks that
+    canonical representative — the standard "keep one per duplicate
+    cluster" selection a training-data pipeline runs before sampling.
+
+    Returns ``(doc_id, cluster_id, keep boolean)`` covering EVERY
+    document (non-duplicated docs are their own singleton cluster).
+    Pass a precomputed ``pairs`` (a, b[, ...]) table to reuse an
+    existing candidate-verification run.
+
+    Scale shape: the pair table is tiny relative to the corpus (bounded
+    LSH buckets upstream), so components runs on the pair graph only —
+    never on corpus-sized data — and the final labeling is one
+    left join against the corpus ids.
+    """
+    from graft.algos.components import connected_components
+    from graft.graph import Graph
+
+    if pairs is None:
+        sigs = minhash_signatures(docs, text_col, n_hashes=n_hashes, k=k)
+        cands = lsh_candidate_pairs(
+            sigs, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket
+        )
+        pairs = ngram_jaccard_pairs(
+            docs, cands, text_col, k=k, threshold=threshold
+        )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comp = connected_components(Graph.from_undirected(edges)).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -124,8 +124,9 @@ def _near_dup_sql(
             "FROM sig"
         )
     bands_union = " UNION ALL ".join(band_selects)
+    # WITH-less body so callers can prepend WITH or WITH RECURSIVE
     return f"""
-WITH {_SQL_SHINGLES}
+{_SQL_SHINGLES}
 , sig AS (SELECT doc_id, {sig_aggs} FROM sh GROUP BY doc_id)
 , buckets AS ({bands_union})
 , capped AS (
@@ -146,17 +147,49 @@ WITH {_SQL_SHINGLES}
   JOIN sh sa ON sa.doc_id = c.a
   JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY c.a, c.b
+), pairs AS (
+  SELECT i.a, i.b,
+         round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+  WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= {threshold}
+)"""
+
+
+SQL_NEAR_DUP_PAIRS = (
+    "WITH " + _near_dup_sql() + "\nSELECT a, b, jaccard FROM pairs"
 )
-SELECT i.a, i.b,
-       round(n_inter / (za.n + zb.n - n_inter), 6) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.a
-JOIN sizes zb ON zb.doc_id = i.b
-WHERE round(n_inter / (za.n + zb.n - n_inter), 6) >= {threshold}
-"""
 
 
-SQL_NEAR_DUP_PAIRS = _near_dup_sql()
+def _near_dup_clusters_sql(**kwargs) -> str:
+    """Transitive closure of the verified near-dup pairs (mirrors
+    graft.pipeline.dedup.near_dup_clusters): recursive reachability over
+    the symmetrized pair edges, cluster id = min doc_id reachable,
+    singletons = every unpaired document."""
+    return (
+        "WITH RECURSIVE "
+        + _near_dup_sql(**kwargs)
+        + """
+, sym AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+), reach(v, u) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.v, s.v FROM reach r JOIN sym s ON r.u = s.u
+), labels AS (
+  SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id"""
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = _near_dup_clusters_sql()
 
 SQL_COSINE_TOPK = """
 WITH q AS (

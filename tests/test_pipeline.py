@@ -239,3 +239,18 @@ def test_extract_features_real_decode(spark):
     # the 8x8 gray-128 PNG decodes to constant 128/255 pixels
     assert abs(out[0]["feature"][0] - 128 / 255) < 1e-6
     assert len(out[0]["feature"]) == 16
+
+
+def test_near_dup_clusters(spark, docs):
+    from graft.pipeline.dedup import near_dup_clusters
+
+    out = {r.doc_id: r for r in
+           near_dup_clusters(docs, threshold=0.5).collect()}
+    assert len(out) == len(DOCS)  # every doc labeled
+    # docs 0/1 are identical, 2 a near-copy: transitively one cluster,
+    # canonical = min id, only the canonical kept
+    assert out[1].cluster_id == 0 and out[2].cluster_id == 0
+    assert out[0].keep and not out[1].keep and not out[2].keep
+    # unrelated docs stay singleton clusters
+    assert out[3].cluster_id == 3 and out[3].keep
+    assert out[4].cluster_id == 4 and out[4].keep
