@@ -285,7 +285,7 @@ def scaling_run(
     }
 
 
-def pagerank_scaling_run(n_cores: int, k: int = 6, reps: int = 2) -> dict:
+def pagerank_scaling_run(n_cores: int, k: int = 6, reps: int = 3) -> dict:
     """PageRank superstep marginal at a given parallelism (ADVICE r2:
     report the PageRank half of the north-rule metric too). Copartition
     join strategy (the can't-broadcast 10^12-vertex configuration);
