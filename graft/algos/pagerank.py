@@ -117,7 +117,7 @@ def pagerank(
     truncate_every: int = 1,
     join_strategy: str = "auto",
     checkpointer: Checkpointer | None = None,
-    sequential_threshold: int = 200_000,
+    sequential_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``; ranks sum to 1.
 

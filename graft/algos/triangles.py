@@ -92,10 +92,13 @@ def _sequential_triangle_count(graph: Graph) -> int:
     return int(row["n"]) if row is not None else 0
 
 
-def triangle_count(graph: Graph, sequential_threshold: int = 200_000) -> int:
+def triangle_count(graph: Graph, sequential_threshold: int = 1_000_000) -> int:
     """Total number of triangles in the graph. Graphs at most
     ``sequential_threshold`` edge rows count in one task
-    (``_sequential_triangle_count``; 0 forces the distributed joins)."""
+    (``_sequential_triangle_count``; 0 forces the distributed joins).
+    The 1M default (r3): the set-intersection kernel measures ~4 s on
+    1M symmetrized rows — under the wedge-join path's shuffle cost at
+    that size."""
     if sequential_threshold and graph.edges.count() <= sequential_threshold:
         return _sequential_triangle_count(graph)
     o = _oriented(graph).persist()

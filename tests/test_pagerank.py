@@ -74,3 +74,38 @@ def test_checkpoint_resume_equivalence(spark, tmp_path):
     resumed = _run(spark, edges, max_iter=30, checkpointer=ck2)
     for v in full:
         assert resumed[v] == pytest.approx(full[v], abs=1e-9)
+
+
+@pytest.mark.parametrize("st", [0, 200_000])
+def test_directed_graph_with_sink(spark, st):
+    """Raw directed input (symmetric=False): dst-only sink vertices must
+    be part of the vertex set — their rank mass previously vanished
+    because Graph.vertices() derived ids from src endpoints only
+    (ADVICE r2, graft/graph.py). Chain 0→1→2 plus 3→2: vertex 2 is a
+    pure sink (dangling), 0 and 3 are pure sources."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (3, 2, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph(edges, symmetric=False)
+    got = {r.id: r.rank for r in
+           pagerank(g, sequential_threshold=st).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # the sink accumulates the most mass; sources keep only teleport+share
+    assert got[2] == max(got.values())
+    # oracle: networkx-convention power iteration on the directed graph
+    import numpy as np
+
+    n, alpha = 4, 0.85
+    out_w = {0: 1.0, 1: 1.0, 3: 1.0}
+    r = {v: 1 / n for v in range(n)}
+    for _ in range(200):
+        dangling = r[2]
+        base = (1 - alpha) / n + alpha * dangling / n
+        new = {v: base for v in range(n)}
+        new[1] += alpha * r[0]
+        new[2] += alpha * (r[1] + r[3])
+        r = new
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-6), v
