@@ -229,6 +229,30 @@ JOIN und b ON a.u = b.u AND a.v < b.v
 JOIN und c ON c.u = a.v AND c.v = b.v"""
 )
 
+_SQL_TRIANGLES_PER_VERTEX = (
+    _SQL_ACTORS
+    + """
+, und AS (SELECT u, v FROM e WHERE u < v)
+, tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM und a
+  JOIN und b ON a.u = b.u AND a.v < b.v
+  JOIN und c ON c.u = a.v AND c.v = b.v
+), corners AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  )
+), counts AS (
+  SELECT id, count(*) AS n FROM corners GROUP BY id
+)
+SELECT v.id, coalesce(c.n, 0) AS triangles
+FROM verts v LEFT JOIN counts c ON v.id = c.id"""
+)
+
 
 def _q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges_uv(spark, sf_dir)
@@ -304,6 +328,15 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _actor_graph(spark, sf_dir).cache()
     n = triangle_count(g)
     return spark.createDataFrame([(n,)], "triangles long")
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts via the degree-ranked wedge-close join
+    (each triangle contributes once to each of its three corners)."""
+    from graft.algos.triangles import triangles_per_vertex
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return triangles_per_vertex(g)
 
 
 def _q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
         "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
@@ -572,6 +606,7 @@ FROM e WHERE u = v""",
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
         "triangle_count": _SQL_TRIANGLES,
+        "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
         # leiden_communities / louvain_communities / leiden_quality /
         # louvain_quality: iterative multi-level algorithms — intentionally
         # no SQL oracle (driver rows-only check); exact-label correctness
