@@ -100,3 +100,17 @@ def test_refinement_splits_disconnected_community(spark):
         groups.setdefault(r.refined, set()).add(r.id)
     blocks = sorted(map(frozenset, groups.values()), key=min)
     assert blocks == [frozenset({0, 1, 2}), frozenset({10, 11, 12})]
+
+
+def test_tail_ready_trigger():
+    """The tail engages on small edge tables OR small vertex sets (with
+    the Arrow byte guard), and never when disabled (VERDICT r3: the
+    vertex trigger is what catches contracted levels of structureless
+    graphs whose edge multigraph stays wide)."""
+    from graft.algos.leiden import _tail_ready
+
+    assert _tail_ready(500_000, 400_000, 1_000_000)       # small edges
+    assert _tail_ready(3_850_000, 90_000, 1_000_000)      # small vertices
+    assert not _tail_ready(4_000_000, 200_000, 1_000_000)  # both large
+    assert not _tail_ready(9_000_000, 50_000, 1_000_000)   # byte guard
+    assert not _tail_ready(10, 2, 0)                       # disabled
