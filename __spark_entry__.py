@@ -159,6 +159,41 @@ _SQL_PAGERANK_3ITER = (
     + "\nSELECT id, round(rank, 6) AS rank FROM r3"
 )
 
+def _sql_ppr_iter(prev: str, cur: str, alpha: float = 0.85) -> str:
+    """One unrolled personalized-PageRank superstep (teleport mass on
+    the single source vertex; no dangling on a symmetric graph)."""
+    return f"""
+, {cur} AS (
+  SELECT v.id,
+         (1 - {alpha}) * (CASE WHEN v.id = (SELECT sid FROM srcv)
+                          THEN 1.0 ELSE 0.0 END)
+           + {alpha} * coalesce(i.s, 0.0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e2.dst AS id, sum(r.rank * e2.weight / ow.s) AS s
+    FROM sym2 e2
+    JOIN {prev} r ON e2.src = r.id
+    JOIN outw ow ON e2.src = ow.src
+    GROUP BY e2.dst
+  ) i ON v.id = i.id
+)"""
+
+
+_SQL_PPR_3ITER = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", srcv AS (SELECT min(id) AS sid FROM verts)"
+    + """
+, p0 AS (
+  SELECT id, CASE WHEN id = (SELECT sid FROM srcv) THEN 1.0 ELSE 0.0 END
+           AS rank
+  FROM verts
+)"""
+    + _sql_ppr_iter("p0", "p1")
+    + _sql_ppr_iter("p1", "p2")
+    + _sql_ppr_iter("p2", "p3")
+    + "\nSELECT id, round(rank, 6) AS rank FROM p3"
+)
+
 _SQL_CC = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -303,6 +338,15 @@ def _actor_graph(spark: SparkSession, sf_dir: str) -> Graph:
 def _q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _actor_graph(spark, sf_dir).cache()
     pr = pagerank(g, fixed_iterations=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank restarted at the lexicographically-first
+    actor (deterministic source choice the oracle reproduces)."""
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    pr = pagerank(g, fixed_iterations=3, sources=[src])
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -559,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_edge_weight_m": _q_total_edge_weight,
         "self_loops": _q_self_loops,
         "pagerank_3iter": _q_pagerank_3iter,
+        "ppr_3iter": _q_ppr_3iter,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
@@ -602,6 +647,7 @@ SELECT count(*) AS n_self_loops,
        coalesce(sum(weight), 0.0) AS loop_weight
 FROM e WHERE u = v""",
         "pagerank_3iter": _SQL_PAGERANK_3ITER,
+        "ppr_3iter": _SQL_PPR_3ITER,
         "connected_components": _SQL_CC,
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,

@@ -52,21 +52,25 @@ def _sequential_pagerank(
     tol: float,
     max_iter: int,
     fixed_iterations: int | None,
+    sources: list | None = None,
 ) -> DataFrame:
     """Sequential-tail execution: the whole power iteration as ONE
     cogrouped ``applyInPandas`` task (same pattern and rationale as
-    graft.algos.seq_tail — below ~200k transition rows every distributed
+    graft.algos.seq_tail — below the threshold every distributed
     superstep costs more in job latency than the entire remaining
     computation; the vectorized kernel runs on an executor, the driver
     never touches row data). Semantics identical to the superstep loop:
-    dangling mass redistributed uniformly, missing-inflow vertices keep
-    their teleport share, L1-delta stopping (or an exact
-    ``fixed_iterations`` count)."""
+    dangling mass redistributed along the teleport vector,
+    missing-inflow vertices keep their teleport share, L1-delta stopping
+    (or an exact ``fixed_iterations`` count). With ``sources`` the
+    teleport vector concentrates on the source set (personalized
+    PageRank; r0 = e)."""
     import numpy as np
     import pandas as pd
 
     iters = fixed_iterations if fixed_iterations is not None else max_iter
     probe = fixed_iterations is None
+    source_set = set(sources) if sources else None
 
     def fn(vpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
         if vpdf.empty:
@@ -83,13 +87,24 @@ def _sequential_pagerank(
         p = epdf["p"].to_numpy(dtype=np.float64)
         has_out = np.zeros(len(ids), dtype=bool)
         has_out[src] = True
-        teleport = (1.0 - alpha) / n
-        r = np.full(len(ids), 1.0 / n)
+        if source_set is None:
+            teleport = (1.0 - alpha) / n
+            r = np.full(len(ids), 1.0 / n)
+        else:
+            e = np.zeros(len(ids))
+            hits = np.array([v in source_set for v in ids])
+            e[hits] = 1.0 / int(hits.sum())
+            r = e.copy()
         for _ in range(iters):
             dangling = float(r[~has_out].sum())
             inflow = np.zeros(len(ids))
             np.add.at(inflow, dst, r[src] * p)
-            new_r = (teleport + alpha * dangling / n) + alpha * inflow
+            if source_set is None:
+                new_r = (teleport + alpha * dangling / n) + alpha * inflow
+            else:
+                new_r = (
+                    (1.0 - alpha) * e + alpha * dangling * e + alpha * inflow
+                )
             delta = float(np.abs(new_r - r).sum())
             r = new_r
             if probe and delta < tol:
@@ -118,12 +133,19 @@ def pagerank(
     join_strategy: str = "auto",
     checkpointer: Checkpointer | None = None,
     sequential_threshold: int = 1_000_000,
+    sources: list | None = None,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``; ranks sum to 1.
 
     Convergence: L1 norm of the rank delta < ``tol`` (the cuGraph
     epsilon convention the reference uses), unless ``fixed_iterations``
     runs an exact superstep count probe-free.
+
+    ``sources``: personalized PageRank — the teleport vector
+    concentrates uniformly on the given source vertices (restart set)
+    instead of the whole graph, dangling mass restarts there too, and
+    r0 = e. The per-superstep plan only changes by one broadcast join
+    against the (tiny, materialized) source table.
 
     Graphs whose transition table fits one Arrow batch
     (≤ ``sequential_threshold`` rows) run as ONE executor task
@@ -144,8 +166,16 @@ def pagerank(
     ):
         return _sequential_pagerank(
             verts, graph.transition(), n, alpha, tol, max_iter,
-            fixed_iterations,
+            fixed_iterations, sources=sources,
         )
+
+    e_df = None
+    if sources:
+        hits = verts.where(F.col("id").isin(list(sources)))
+        n_src = hits.count()
+        if n_src == 0:
+            raise ValueError("no source vertex present in the graph")
+        e_df = truncate(hits.select("id", F.lit(1.0 / n_src).alias("e")))
 
     out_w = graph.edges.groupBy("src").agg(F.sum("weight").alias("s"))
     if join_strategy == "copartition":
@@ -170,7 +200,14 @@ def pagerank(
             start, ranks = resumed
             start += 1
     if ranks is None:
-        ranks = truncate(verts.select("id", F.lit(1.0 / n).alias("rank")))
+        if e_df is not None:
+            ranks = truncate(
+                verts.join(e_df, "id", "left").select(
+                    "id", F.coalesce("e", F.lit(0.0)).alias("rank")
+                )
+            )
+        else:
+            ranks = truncate(verts.select("id", F.lit(1.0 / n).alias("rank")))
 
     # Structural probes, skipped entirely on the symmetrized Graph
     # contract (graph.symmetric: src/dst vertex sets coincide, so every
@@ -215,7 +252,25 @@ def pagerank(
                 .groupBy(trans.dst.alias("id"))
                 .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
             )
-            if needs_fill:
+            if e_df is not None:
+                # personalized teleport: base mass lands on the source
+                # set only (tiny broadcast join), everyone else keeps
+                # just their alpha-damped inflow
+                new_ranks = (
+                    verts.join(inflow, "id", "left")
+                    .join(e_df, "id", "left")
+                    .select(
+                        "id",
+                        (
+                            F.lit(1.0 - alpha) * F.coalesce("e", F.lit(0.0))
+                            + F.lit(alpha * dangling)
+                            * F.coalesce("e", F.lit(0.0))
+                            + F.lit(alpha)
+                            * F.coalesce("inflow", F.lit(0.0))
+                        ).alias("rank"),
+                    )
+                )
+            elif needs_fill:
                 new_ranks = verts.join(inflow, "id", "left").select(
                     "id",
                     (

@@ -109,3 +109,38 @@ def test_directed_graph_with_sink(spark, st):
         r = new
     for v in range(n):
         assert got[v] == pytest.approx(r[v], abs=1e-6), v
+
+
+@pytest.mark.parametrize("st", [0, 200_000])
+def test_personalized_pagerank(spark, st):
+    """PPR: teleport mass concentrated on a 2-vertex source set, both
+    execution paths vs an unrolled numpy oracle."""
+    import numpy as np
+
+    edges = fixtures.clique_ring_edges()
+    sources = [0, 10]
+    got = _run(spark, edges, sequential_threshold=st, sources=sources,
+               fixed_iterations=8)
+    # numpy oracle on the symmetrized weighted graph
+    verts = sorted({v for e in edges for v in e[:2]})
+    pos = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    W = np.zeros((n, n))
+    for u, v, w in edges:
+        W[pos[u]][pos[v]] += w
+        if u != v:
+            W[pos[v]][pos[u]] += w
+    P = W / W.sum(axis=1, keepdims=True)
+    e = np.zeros(n)
+    for s in sources:
+        e[pos[s]] = 1.0 / len(sources)
+    alpha = 0.85
+    r = e.copy()
+    for _ in range(8):
+        r = (1 - alpha) * e + alpha * (P.T @ r)
+    for v in verts:
+        assert got[v] == pytest.approx(r[pos[v]], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # sources hold the most rank mass (restart set)
+    top2 = sorted(got, key=got.get, reverse=True)[:2]
+    assert set(top2) == set(sources)
