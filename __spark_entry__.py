@@ -264,6 +264,31 @@ JOIN und b ON a.u = b.u AND a.v < b.v
 JOIN und c ON c.u = a.v AND c.v = b.v"""
 )
 
+_SQL_JACCARD = (
+    _SQL_ACTORS
+    + """
+, adj AS (
+  SELECT u AS src, v AS dst FROM e WHERE u <> v
+  UNION
+  SELECT v AS src, u AS dst FROM e WHERE u <> v
+), und AS (SELECT u, v FROM e WHERE u < v)
+, degs AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY src)
+, com AS (
+  SELECT p.u, p.v, count(*) AS nc
+  FROM und p
+  JOIN adj a1 ON a1.src = p.u
+  JOIN adj a2 ON a2.src = p.v AND a2.dst = a1.dst
+  GROUP BY p.u, p.v
+)
+SELECT p.u, p.v,
+       round(coalesce(c.nc, 0) / (du.d + dv.d - coalesce(c.nc, 0)), 6)
+         AS jaccard
+FROM und p
+LEFT JOIN com c ON c.u = p.u AND c.v = p.v
+JOIN degs du ON du.id = p.u
+JOIN degs dv ON dv.id = p.v"""
+)
+
 _SQL_TRIANGLES_PER_VERTEX = (
     _SQL_ACTORS
     + """
@@ -381,6 +406,15 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _actor_graph(spark, sf_dir).cache()
     return triangles_per_vertex(g)
+
+
+def _q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge Jaccard similarity of endpoint neighborhoods (the
+    cugraph.jaccard-shaped link-prediction scorer)."""
+    from graft.algos.jaccard import vertex_jaccard
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return vertex_jaccard(g)
 
 
 def _q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_2rounds": _q_lpa_2rounds,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "vertex_jaccard": _q_vertex_jaccard,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
@@ -653,6 +688,7 @@ FROM e WHERE u = v""",
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
         "triangle_count": _SQL_TRIANGLES,
         "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
+        "vertex_jaccard": _SQL_JACCARD,
         # leiden_communities / louvain_communities / leiden_quality /
         # louvain_quality: iterative multi-level algorithms — intentionally
         # no SQL oracle (driver rows-only check); exact-label correctness

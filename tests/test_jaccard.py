@@ -1,0 +1,38 @@
+"""Vertex Jaccard similarity (cugraph.jaccard-shaped edge scorer)."""
+
+from graft import fixtures
+from graft.algos.jaccard import vertex_jaccard
+from graft.graph import Graph
+
+
+def test_clique_ring_jaccard(spark):
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    got = {(r.u, r.v): r.jaccard for r in vertex_jaccard(g).collect()}
+    g.unpersist()
+    # one row per undirected edge (ring of five 4-cliques: 5*6 + 5)
+    assert len(got) == 35
+    # intra-clique edge (1,2): N(1)={0,2,3}, N(2)={0,1,3} -> common
+    # {0,3}, union 3+3-2=4 -> 0.5
+    assert got[(1, 2)] == 0.5
+    # clique edge touching a bridge vertex (0,1): N(0)={1,2,3,19},
+    # N(1)={0,2,3} -> common {2,3}, union 4+3-2=5 -> 0.4
+    assert got[(0, 1)] == 0.4
+    # bridge edge (3,4): disjoint neighborhoods -> 0
+    assert got[(3, 4)] == 0.0
+
+
+def test_custom_pairs(spark):
+    """Non-edge candidate pairs score too (link prediction)."""
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    pairs = spark.createDataFrame([(0, 2), (0, 8)], "u long, v long")
+    got = {(r.u, r.v): r.jaccard for r in
+           vertex_jaccard(g, pairs=pairs).collect()}
+    g.unpersist()
+    # (0,2) same clique: N(0)={1,2,3,19}, N(2)={0,1,3} -> common {1,3},
+    # union 4+3-2=5 -> 0.4; (0,8) distant -> 0
+    assert got[(0, 2)] == 0.4
+    assert got[(0, 8)] == 0.0
