@@ -194,6 +194,37 @@ _SQL_PPR_3ITER = (
     + "\nSELECT id, round(rank, 6) AS rank FROM p3"
 )
 
+def _sql_bfs_round(prev: str, cur: str) -> str:
+    """One unrolled BFS relaxation round (frontier ∪ relaxed → min)."""
+    return f"""
+, {cur} AS (
+  SELECT v.id, min(x.hop) AS hop
+  FROM verts v LEFT JOIN (
+    SELECT id, hop FROM {prev} WHERE hop IS NOT NULL
+    UNION ALL
+    SELECT e2.dst AS id, min(h.hop) + 1 AS hop
+    FROM sym2 e2 JOIN {prev} h ON e2.src = h.id AND h.hop IS NOT NULL
+    GROUP BY e2.dst
+  ) x ON x.id = v.id
+  GROUP BY v.id
+)"""
+
+
+_SQL_BFS_3HOPS = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", srcv AS (SELECT min(id) AS sid FROM verts)"
+    + """
+, h0 AS (
+  SELECT id, CASE WHEN id = (SELECT sid FROM srcv) THEN 0 END AS hop
+  FROM verts
+)"""
+    + _sql_bfs_round("h0", "h1")
+    + _sql_bfs_round("h1", "h2")
+    + _sql_bfs_round("h2", "h3")
+    + "\nSELECT id, hop FROM h3"
+)
+
 _SQL_CC = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -373,6 +404,16 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = g.vertices().agg(F.min("id")).first()[0]
     pr = pagerank(g, fixed_iterations=3, sources=[src])
     return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_bfs_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (3 rounds) from the lexicographically-first
+    actor; NULL for vertices beyond 3 hops."""
+    from graft.algos.bfs import bfs_hops
+
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    return bfs_hops(g, src, max_hops=3)
 
 
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_loops": _q_self_loops,
         "pagerank_3iter": _q_pagerank_3iter,
         "ppr_3iter": _q_ppr_3iter,
+        "bfs_3hops": _q_bfs_3hops,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
@@ -683,6 +725,7 @@ SELECT count(*) AS n_self_loops,
 FROM e WHERE u = v""",
         "pagerank_3iter": _SQL_PAGERANK_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
+        "bfs_3hops": _SQL_BFS_3HOPS,
         "connected_components": _SQL_CC,
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
