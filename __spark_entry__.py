@@ -449,6 +449,17 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(g)
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership (iterative peeling — a fixpoint of per-round
+    aggregates, not SQL-expressible, so rows-only like the community
+    label tables; correctness is pinned by tests/test_kcore.py against
+    a sequential peeling oracle)."""
+    from graft.algos.kcore import k_core
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return k_core(g, 3)
+
+
 def _q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge Jaccard similarity of endpoint neighborhoods (the
     cugraph.jaccard-shaped link-prediction scorer)."""
@@ -686,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
+        "k_core_3": _q_k_core,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
