@@ -225,6 +225,39 @@ _SQL_BFS_3HOPS = (
     + "\nSELECT id, hop FROM h3"
 )
 
+
+def _sql_sssp_round(prev: str, cur: str) -> str:
+    """One unrolled min-plus SSSP relaxation round — the weighted twin
+    of _sql_bfs_round (frontier ∪ relaxed-by-edge-weight → min)."""
+    return f"""
+, {cur} AS (
+  SELECT v.id, min(x.cost) AS cost
+  FROM verts v LEFT JOIN (
+    SELECT id, cost FROM {prev} WHERE cost IS NOT NULL
+    UNION ALL
+    SELECT e2.dst AS id, min(h.cost + e2.weight) AS cost
+    FROM sym2 e2 JOIN {prev} h ON e2.src = h.id AND h.cost IS NOT NULL
+    GROUP BY e2.dst
+  ) x ON x.id = v.id
+  GROUP BY v.id
+)"""
+
+
+_SQL_SSSP_3ROUNDS = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", srcv AS (SELECT min(id) AS sid FROM verts)"
+    + """
+, c0 AS (
+  SELECT id, CASE WHEN id = (SELECT sid FROM srcv) THEN 0.0 END AS cost
+  FROM verts
+)"""
+    + _sql_sssp_round("c0", "c1")
+    + _sql_sssp_round("c1", "c2")
+    + _sql_sssp_round("c2", "c3")
+    + "\nSELECT id, round(cost, 6) AS cost FROM c3"
+)
+
 _SQL_CC = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -416,6 +449,20 @@ def _q_bfs_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(g, src, max_hops=3)
 
 
+def _q_sssp_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (3 min-plus relaxation rounds) from the
+    lexicographically-first actor; NULL for vertices not yet reached.
+    Certifies bfs_hops(weighted=True) against the unrolled min-plus SQL
+    oracle (_SQL_SSSP_3ROUNDS)."""
+    from graft.algos.bfs import bfs_hops
+
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    return bfs_hops(g, src, max_hops=3, weighted=True).select(
+        "id", F.round("cost", 6).alias("cost")
+    )
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _actor_graph(spark, sf_dir).cache()
     return connected_components(g)
@@ -458,6 +505,19 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _actor_graph(spark, sf_dir).cache()
     return k_core(g, 3)
+
+
+def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition (id, core) for every actor —
+    cugraph.core_number parity in ONE peeling pass. Rows-only like
+    k_core_3 (a peeling fixpoint has no honest SQL twin); exactness is
+    pinned by tests/test_kcore.py against a sequential min-degree
+    peeling oracle on BOTH execution paths, and the deterministic
+    output makes the driver's value-hash a regression pin."""
+    from graft.algos.kcore import core_number
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return core_number(g)
 
 
 def _q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": _q_pagerank_3iter,
         "ppr_3iter": _q_ppr_3iter,
         "bfs_3hops": _q_bfs_3hops,
+        "sssp_3rounds": _q_sssp_3rounds,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
@@ -698,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
         "k_core_3": _q_k_core,
+        "core_numbers": _q_core_numbers,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
@@ -738,6 +800,7 @@ FROM e WHERE u = v""",
         "pagerank_3iter": _SQL_PAGERANK_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
         "bfs_3hops": _SQL_BFS_3HOPS,
+        "sssp_3rounds": _SQL_SSSP_3ROUNDS,
         "connected_components": _SQL_CC,
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,

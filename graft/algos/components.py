@@ -214,6 +214,15 @@ def _cc_star(
             new_e = truncate(small_star(large_star(e)))
             new_sig = _sig(new_e)
             changed = int(new_sig != sig)
+            if changed == 0:
+                # The signature is probabilistic — a collision would
+                # terminate early with wrong labels. Confirm the first
+                # "unchanged" report with ONE exact set-difference (the
+                # rounds produce distinct sets and the counts already
+                # match, so one containment direction proves equality);
+                # this runs once per call, keeping the per-round savings
+                # while making the fixpoint exact.
+                changed = int(new_e.exceptAll(e).limit(1).count() > 0)
             drop_spill(e)
             e, sig = new_e, new_sig
             if checkpointer is not None:

@@ -31,7 +31,10 @@ def vertex_jaccard(
 
     ``pairs``: optional (u, v) candidate table; defaults to the graph's
     undirected edge set (u < v), the cugraph.jaccard convention. Pairs
-    with no common neighbors score 0.
+    with no common neighbors score 0 — including custom candidate pairs
+    whose endpoint has no edges at all (degree joins are LEFT joins with
+    degree coalesced to 0, and a 0 denominator scores 0.0 instead of
+    dividing by zero or dropping the row).
     """
     adj = graph.without_self_loops().select("src", "dst").distinct()
     deg = adj.groupBy(F.col("src").alias("id")).agg(
@@ -53,20 +56,25 @@ def vertex_jaccard(
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    nc = F.coalesce("n_common", F.lit(0))
+    du = F.coalesce("du", F.lit(0))
+    dv = F.coalesce("dv", F.lit(0))
+    denom = du + dv - nc
     return (
         pairs.join(common, ["u", "v"], "left")
-        .join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .join(
+            deg.select(F.col("id").alias("u"), F.col("d").alias("du")),
+            "u", "left",
+        )
+        .join(
+            deg.select(F.col("id").alias("v"), F.col("d").alias("dv")),
+            "v", "left",
+        )
         .select(
             "u",
             "v",
-            F.round(
-                F.coalesce("n_common", F.lit(0))
-                / (
-                    F.col("du") + F.col("dv")
-                    - F.coalesce("n_common", F.lit(0))
-                ),
-                6,
-            ).alias("jaccard"),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(F.round(nc / denom, 6))
+            .alias("jaccard"),
         )
     )

@@ -159,6 +159,17 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
 
+    # Validate the personalization set BEFORE dispatching: both paths
+    # must raise the same clean ValueError (the sequential kernel would
+    # otherwise surface an opaque executor ZeroDivisionError on an empty
+    # restart set).
+    n_src = 0
+    if sources:
+        hits = verts.where(F.col("id").isin(list(sources)))
+        n_src = hits.count()
+        if n_src == 0:
+            raise ValueError("no source vertex present in the graph")
+
     if (
         checkpointer is None
         and sequential_threshold
@@ -171,10 +182,6 @@ def pagerank(
 
     e_df = None
     if sources:
-        hits = verts.where(F.col("id").isin(list(sources)))
-        n_src = hits.count()
-        if n_src == 0:
-            raise ValueError("no source vertex present in the graph")
         e_df = truncate(hits.select("id", F.lit(1.0 / n_src).alias("e")))
 
     out_w = graph.edges.groupBy("src").agg(F.sum("weight").alias("s"))

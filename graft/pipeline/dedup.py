@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graft.checkpoint import truncate
 from graft.pipeline.textstats import fingerprints
 
 
@@ -153,6 +154,11 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize the (small, threshold-filtered) result so the shingle
+    # cache can be released before returning — a session-lifetime
+    # persist() leak otherwise
+    out = truncate(out)
+    sh.unpersist()
     return out
 
 

@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graft.checkpoint import truncate
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -411,4 +413,9 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+    # materialize the (small, threshold-filtered) result so the signature
+    # cache can be released before returning — a session-lifetime
+    # persist() leak otherwise
+    out = truncate(out)
+    sigs.unpersist()
     return out

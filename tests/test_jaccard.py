@@ -36,3 +36,17 @@ def test_custom_pairs(spark):
     # union 4+3-2=5 -> 0.4; (0,8) distant -> 0
     assert got[(0, 2)] == 0.4
     assert got[(0, 8)] == 0.0
+
+
+def test_custom_pairs_with_non_graph_endpoints(spark):
+    """Pairs whose endpoint has no edges still score 0 (not dropped)."""
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    pairs = spark.createDataFrame(
+        [(0, 999), (998, 999), (0, 2)], "u long, v long"
+    )
+    got = {(r.u, r.v): r.jaccard for r in
+           vertex_jaccard(g, pairs=pairs).collect()}
+    g.unpersist()
+    assert got == {(0, 999): 0.0, (998, 999): 0.0, (0, 2): 0.4}

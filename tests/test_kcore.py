@@ -1,10 +1,10 @@
-"""k-core extraction (iterative peeling) vs a numpy peeling oracle."""
+"""k-core extraction / core decomposition vs sequential peeling oracles."""
 
 import numpy as np
 import pytest
 
 from graft import fixtures
-from graft.algos.kcore import k_core
+from graft.algos.kcore import core_number, k_core
 from graft.graph import Graph
 from tests.reference_impls import random_graph
 
@@ -55,3 +55,73 @@ def test_triangle_with_tail(spark):
 def test_random_graph_matches_peeling_oracle(spark, k):
     edges = random_graph(60, 0.06, seed=17)
     assert _run(spark, edges, k) == _kcore_ref(edges, k)
+
+
+def test_deep_peeling_chain_reaches_fixpoint(spark):
+    # A long path peels ~2 vertices per round: the true 2-core is EMPTY
+    # but any fixed round cap under ~n/2 would return an under-peeled
+    # superset. The fixpoint loop must return the exact empty set.
+    n = 250
+    edges = [(i, i + 1, 1.0) for i in range(n - 1)]
+    assert _run(spark, edges, 2) == set()
+
+
+def test_k_core_max_iter_cap_raises(spark):
+    edges = [(i, i + 1, 1.0) for i in range(49)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(g, 2, max_iter=3)
+    g.unpersist()
+
+
+def _core_number_ref(edges):
+    """Sequential min-degree peeling oracle for core numbers."""
+    adj: dict[int, set[int]] = {}
+    verts = set()
+    for u, v, _ in edges:
+        verts.add(u)
+        verts.add(v)
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core = {v: 0 for v in verts}
+    live = {v: set(adj.get(v, ())) for v in verts}
+    k = 0
+    remaining = set(verts)
+    while remaining:
+        v = min(remaining, key=lambda x: (len(live[x]), x))
+        k = max(k, len(live[v]))
+        core[v] = k
+        for u in live[v]:
+            live[u].discard(v)
+        remaining.discard(v)
+    return core
+
+
+@pytest.mark.parametrize("threshold", [10**6, 0],
+                         ids=["sequential", "distributed"])
+def test_core_number_matches_peeling_oracle(spark, threshold):
+    edges = random_graph(60, 0.06, seed=23)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.core
+           for r in core_number(g, sequential_threshold=threshold).collect()}
+    g.unpersist()
+    assert got == _core_number_ref(edges)
+
+
+@pytest.mark.parametrize("threshold", [10**6, 0],
+                         ids=["sequential", "distributed"])
+def test_core_number_clique_ring_and_tail(spark, threshold):
+    # cliques of 4 joined in a ring: every clique vertex core 3; add a
+    # pendant chain 100-101-102 off vertex 0 (cores 1) plus a self-loop
+    # (ignored) and an isolated-by-self-loop vertex (core 0)
+    edges = fixtures.clique_ring_edges() + [
+        (0, 100, 1.0), (100, 101, 1.0), (101, 102, 1.0), (200, 200, 1.0),
+    ]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.core
+           for r in core_number(g, sequential_threshold=threshold).collect()}
+    g.unpersist()
+    assert got == _core_number_ref(edges)
+    assert got[200] == 0 and got[102] == 1 and got[1] == 3

@@ -144,3 +144,17 @@ def test_personalized_pagerank(spark, st):
     # sources hold the most rank mass (restart set)
     top2 = sorted(got, key=got.get, reverse=True)[:2]
     assert set(top2) == set(sources)
+
+
+@pytest.mark.parametrize("st", [0, 200_000])
+def test_personalized_pagerank_missing_sources_raises(spark, st):
+    """An empty restart set raises the same clean ValueError on BOTH
+    execution paths (the sequential kernel used to surface an opaque
+    executor ZeroDivisionError)."""
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    with pytest.raises(ValueError, match="no source vertex"):
+        pagerank(g, sequential_threshold=st, sources=[777, 888],
+                 fixed_iterations=3)
+    g.unpersist()
