@@ -31,6 +31,7 @@ def louvain(
     seed: int = 1234,
     checkpointer: Checkpointer | None = None,
     sequential_tail_edges: int = 1_000_000,
+    tail_max_vertices: int | None = None,
     return_quality: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` — final labels on the
@@ -78,7 +79,7 @@ def louvain(
 
         if _tail_ready(
             level.edges.count(), level.vertices.count(),
-            sequential_tail_edges,
+            sequential_tail_edges, tail_max_vertices,
         ):
             from graft.algos.seq_tail import run_tail_distributed
 

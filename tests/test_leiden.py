@@ -106,11 +106,15 @@ def test_tail_ready_trigger():
     """The tail engages on small edge tables OR small vertex sets (with
     the Arrow byte guard), and never when disabled (VERDICT r3: the
     vertex trigger is what catches contracted levels of structureless
-    graphs whose edge multigraph stays wide)."""
+    graphs whose edge multigraph stays wide; r4 widened it to 500k
+    vertices — the Arrow EDGE guard is the binding memory bound, so a
+    200k-vertex / 4M-row graph now runs the ~70s tail instead of the
+    ~130s BSP path)."""
     from graft.algos.leiden import _tail_ready
 
     assert _tail_ready(500_000, 400_000, 1_000_000)       # small edges
     assert _tail_ready(3_850_000, 90_000, 1_000_000)      # small vertices
-    assert not _tail_ready(4_000_000, 200_000, 1_000_000)  # both large
+    assert _tail_ready(4_000_000, 200_000, 1_000_000)     # r4 envelope
+    assert not _tail_ready(4_000_000, 600_000, 1_000_000)  # too many verts
     assert not _tail_ready(9_000_000, 50_000, 1_000_000)   # byte guard
     assert not _tail_ready(10, 2, 0)                       # disabled
