@@ -700,19 +700,24 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the verified plan is the pruned one, not a full scan. The
     signature index is BUILT once (one corpus pass, materialized) and
     the probe runs against it — the contract row certifies the
-    amortized-index query path, not a per-query corpus rescan
-    (tests/test_similarity_index.py pins the plan shape)."""
-    from graft.checkpoint import truncate
+    amortized-index query path, not a per-query corpus rescan. Since r4
+    the index persists in the sig-PARTITIONED layout, so the probe's
+    bucket equality is a partition filter (whole-file skipping;
+    tests/test_similarity_index.py pins both plan shapes)."""
+    import tempfile
+
     from graft.pipeline.similarity import (
-        build_lsh_index,
         lsh_bucket_topk_planes,
         rademacher_planes,
+        write_lsh_index,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     planes = rademacher_planes(len(q), 4)
-    index = truncate(build_lsh_index(emb, planes))
+    index = write_lsh_index(
+        emb, planes, tempfile.mkdtemp(prefix="graft-lsh-idx-")
+    )
     return lsh_bucket_topk_planes(
         emb, [float(x) for x in q], planes, k=10, index=index
     )
@@ -724,18 +729,25 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the assignment and probe selection, so the verified plan is
     the IVF-pruned candidate set. The assignment table is BUILT once
     (one Arrow-matmul pass, materialized) and the probe filters it —
-    no full-corpus quantizer rerun per query
-    (tests/test_similarity_index.py pins the plan shape)."""
+    no full-corpus quantizer rerun per query. Since r4 the inverted
+    lists persist in the centroid_id-PARTITIONED layout, so the probe's
+    IN-list is a partition filter reading only the n_probe list
+    directories (tests/test_similarity_index.py pins both plan
+    shapes)."""
+    import tempfile
+
     from graft.checkpoint import truncate
     from graft.pipeline.similarity import (
         build_ivf_centroids,
-        build_ivf_index,
         ivf_topk,
+        write_ivf_index,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    index = truncate(build_ivf_index(emb, centroid_mod=31))
+    index = write_ivf_index(
+        emb, tempfile.mkdtemp(prefix="graft-ivf-idx-"), centroid_mod=31
+    )
     cents = truncate(build_ivf_centroids(emb, centroid_mod=31))
     return ivf_topk(emb, [float(x) for x in q], k=10, n_probe=2,
                     centroid_mod=31, index=index, centroids=cents)

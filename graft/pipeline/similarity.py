@@ -122,6 +122,49 @@ def build_lsh_index(
     )
 
 
+def write_lsh_index(
+    emb: DataFrame,
+    planes: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build AND persist the LSH index in the partition-pruned layout:
+    ``path/sig=<bucket>/...parquet`` (one directory per signature
+    bucket). A probe's ``sig == qsig`` predicate then resolves as a
+    PARTITION filter — Spark's file listing skips every other bucket's
+    files outright (whole-file skipping, strictly stronger than the
+    row-group min/max pushdown an unpartitioned index relies on). At
+    10^11 vectors this is the difference between listing/opening one
+    bucket directory and touching footers across the whole index.
+    Returns the re-read index, ready for ``lsh_bucket_topk_planes
+    (index=...)``."""
+    build_lsh_index(emb, planes, vec_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("sig").parquet(path)
+    return emb.sparkSession.read.parquet(path)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    centroid_mod: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "matmul",
+) -> DataFrame:
+    """Build AND persist the IVF inverted lists in the partition-pruned
+    layout: ``path/centroid_id=<cid>/...parquet`` (one directory per
+    list). A probe's ``centroid_id IN (...)`` predicate resolves as a
+    PARTITION filter, so only the ``n_probe`` probed list directories
+    are listed/read (see :func:`write_lsh_index`). Returns the re-read
+    index, ready for ``ivf_topk(index=...)``."""
+    build_ivf_index(emb, centroid_mod, vec_col, id_col, method).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+    return emb.sparkSession.read.parquet(path)
+
+
 def _query_signature(query, planes: np.ndarray) -> str:
     qv = np.asarray(query, dtype=float)
     return "".join(

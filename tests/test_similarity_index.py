@@ -23,6 +23,8 @@ from graft.pipeline.similarity import (
     ivf_topk,
     lsh_bucket_topk_planes,
     rademacher_planes,
+    write_ivf_index,
+    write_lsh_index,
 )
 
 
@@ -107,6 +109,61 @@ def test_ivf_probe_plan_has_no_quantizer_and_no_corpus_scan(
     # centroid table before this plan was built)
     assert _plan(probe, "simple").count("Scan parquet") == 1
     assert "PushedFilters: [In(centroid_id," in _plan(probe)
+
+
+def test_lsh_partitioned_index_prunes_files(spark, emb, query, tmp_path):
+    """The persisted sig-partitioned layout (VERDICT r3 #7): the probe's
+    bucket equality resolves as a PARTITION filter (whole-file skipping),
+    the on-disk layout isolates each bucket's files in its own directory
+    (files under the probed bucket < total index files), and the probe
+    returns exactly the inline path's rows."""
+    import glob
+
+    from graft.pipeline.similarity import _query_signature
+
+    planes = rademacher_planes(8, 4)
+    path = str(tmp_path / "lsh_idx")
+    index = write_lsh_index(emb, planes, path)
+    probe = lsh_bucket_topk_planes(emb, query, planes, k=10, index=index)
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "sig" in plan
+    # the probed bucket's files are a strict subset of the index files
+    qsig = _query_signature(query, planes)
+    all_files = glob.glob(f"{path}/sig=*/*.parquet")
+    bucket_files = glob.glob(f"{path}/sig={qsig}/*.parquet")
+    assert 0 < len(bucket_files) < len(all_files)
+    inline = lsh_bucket_topk_planes(emb, query, planes, k=10)
+    assert _rows(probe) == _rows(inline)
+
+
+def test_ivf_partitioned_index_prunes_files(spark, emb, query, tmp_path):
+    """centroid_id-partitioned inverted lists: the probe's IN-list
+    resolves as a PARTITION filter and only the probed list directories
+    hold the candidate files."""
+    import glob
+
+    path = str(tmp_path / "ivf_idx")
+    index = write_ivf_index(emb, path, centroid_mod=31)
+    cents = truncate(build_ivf_centroids(emb, centroid_mod=31))
+    probe = ivf_topk(
+        emb, query, k=10, n_probe=2, centroid_mod=31,
+        index=index, centroids=cents,
+    )
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert "MapInPandas" not in _plan(probe, "simple")
+    all_files = glob.glob(f"{path}/centroid_id=*/*.parquet")
+    n_lists = len(glob.glob(f"{path}/centroid_id=*"))
+    assert n_lists > 2  # more lists than n_probe → pruning is real
+    # n_probe=2 lists can hold at most ~2/n_lists of the files
+    per_list = {}
+    for f in all_files:
+        key = f.split("centroid_id=")[1].split("/")[0]
+        per_list.setdefault(key, 0)
+        per_list[key] += 1
+    assert max(per_list.values()) * 2 < len(all_files)
+    inline = ivf_topk(emb, query, k=10, n_probe=2, centroid_mod=31)
+    assert _rows(probe) == _rows(inline)
 
 
 def test_index_probe_agrees_with_exact_on_planted_neighbor(spark, emb):
