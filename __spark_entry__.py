@@ -328,7 +328,9 @@ JOIN und b ON a.u = b.u AND a.v < b.v
 JOIN und c ON c.u = a.v AND c.v = b.v"""
 )
 
-_SQL_JACCARD = (
+# shared base for the cugraph pair-similarity family (jaccard /
+# overlap / sorensen): per-edge common-neighbor counts + endpoint degrees
+_SQL_PAIR_BASE = (
     _SQL_ACTORS
     + """
 , adj AS (
@@ -344,13 +346,88 @@ _SQL_JACCARD = (
   JOIN adj a2 ON a2.src = p.v AND a2.dst = a1.dst
   GROUP BY p.u, p.v
 )
-SELECT p.u, p.v,
-       round(coalesce(c.nc, 0) / (du.d + dv.d - coalesce(c.nc, 0)), 6)
-         AS jaccard
+"""
+)
+
+_SQL_PAIR_TAIL = """
 FROM und p
 LEFT JOIN com c ON c.u = p.u AND c.v = p.v
 JOIN degs du ON du.id = p.u
 JOIN degs dv ON dv.id = p.v"""
+
+_SQL_JACCARD = (
+    _SQL_PAIR_BASE
+    + """SELECT p.u, p.v,
+       round(coalesce(c.nc, 0) / (du.d + dv.d - coalesce(c.nc, 0)), 6)
+         AS jaccard"""
+    + _SQL_PAIR_TAIL
+)
+
+_SQL_OVERLAP = (
+    _SQL_PAIR_BASE
+    + """SELECT p.u, p.v,
+       round(coalesce(c.nc, 0) / least(du.d, dv.d), 6) AS overlap"""
+    + _SQL_PAIR_TAIL
+)
+
+_SQL_SORENSEN = (
+    _SQL_PAIR_BASE
+    + """SELECT p.u, p.v,
+       round(2 * coalesce(c.nc, 0) / (du.d + dv.d), 6) AS sorensen"""
+    + _SQL_PAIR_TAIL
+)
+
+
+def _sql_katz_iter(prev: str, cur: str, alpha: float, beta: float) -> str:
+    """One unrolled Katz superstep: x' = alpha·A·x + beta."""
+    return f"""
+, {cur} AS (
+  SELECT v.id, {alpha} * coalesce(i.s, 0.0) + {beta} AS x
+  FROM verts v LEFT JOIN (
+    SELECT e2.dst AS id, sum(x.x * e2.weight) AS s
+    FROM sym2 e2 JOIN {prev} x ON e2.src = x.id
+    GROUP BY e2.dst
+  ) i ON v.id = i.id
+)"""
+
+
+_SQL_KATZ_3ITER = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + "\n, k0 AS (SELECT id, 1.0 AS x FROM verts)"
+    + _sql_katz_iter("k0", "k1", 0.05, 1.0)
+    + _sql_katz_iter("k1", "k2", 0.05, 1.0)
+    + _sql_katz_iter("k2", "k3", 0.05, 1.0)
+    + """
+SELECT id, round(x / (SELECT sqrt(sum(x * x)) FROM k3), 6) AS katz
+FROM k3"""
+)
+
+
+def _sql_eig_iter(prev: str, cur: str) -> str:
+    """One unrolled power-iteration step: y = A·x ; x' = y/||y||₂."""
+    return f"""
+, {cur}_raw AS (
+  SELECT v.id, coalesce(i.s, 0.0) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e2.dst AS id, sum(x.x * e2.weight) AS s
+    FROM sym2 e2 JOIN {prev} x ON e2.src = x.id
+    GROUP BY e2.dst
+  ) i ON v.id = i.id
+), {cur} AS (
+  SELECT id, x / (SELECT sqrt(sum(x * x)) FROM {cur}_raw) AS x
+  FROM {cur}_raw
+)"""
+
+
+_SQL_EIGENVECTOR_3ITER = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + "\n, g0 AS (SELECT id, 1.0 / sqrt((SELECT n FROM nv)) AS x FROM verts)"
+    + _sql_eig_iter("g0", "g1")
+    + _sql_eig_iter("g1", "g2")
+    + _sql_eig_iter("g2", "g3")
+    + "\nSELECT id, round(x, 6) AS eigenvector FROM g3"
 )
 
 _SQL_TRIANGLES_PER_VERTEX = (
@@ -527,6 +604,59 @@ def _q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _actor_graph(spark, sf_dir).cache()
     return vertex_jaccard(g)
+
+
+def _q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge overlap coefficient |∩|/min(d) (cugraph.overlap-shaped),
+    same wedge machinery as vertex_jaccard."""
+    from graft.algos.jaccard import overlap_coefficient
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return overlap_coefficient(g)
+
+
+def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge Sørensen–Dice coefficient 2|∩|/(du+dv)
+    (cugraph.sorensen-shaped)."""
+    from graft.algos.jaccard import sorensen_coefficient
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return sorensen_coefficient(g)
+
+
+def _q_katz_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 3 probe-free supersteps (alpha=0.05, beta=1,
+    final L2 normalization) against the unrolled SQL recurrence."""
+    from graft.algos.centrality import katz_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return katz_centrality(
+        g, alpha=0.05, beta=1.0, fixed_iterations=3
+    ).select("id", F.round("katz", 6).alias("katz"))
+
+
+def _q_eigenvector_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality: 3 L2-normalized power-iteration steps
+    against the unrolled SQL recurrence."""
+    from graft.algos.centrality import eigenvector_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return eigenvector_centrality(g, fixed_iterations=3).select(
+        "id", F.round("eigenvector", 6).alias("eigenvector")
+    )
+
+
+def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-truss edge set (iterative support peeling — a fixpoint of
+    per-round wedge joins, not SQL-expressible, so rows-only like
+    k_core_3; exactness is pinned by tests/test_ktruss.py against a
+    sequential peeling oracle). k=10 actually peels on the sf0.01
+    actor graph (1665 → 1649 edges; k=4 kept everything and k=16 empties
+    it), so the row-count/hash is a real regression pin."""
+    from graft.algos.ktruss import k_truss
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return k_truss(g, 10)
 
 
 def _q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,8 +900,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
+        "overlap_coefficient": _q_overlap,
+        "sorensen_coefficient": _q_sorensen,
+        "katz_3iter": _q_katz_3iter,
+        "eigenvector_3iter": _q_eigenvector_3iter,
         "k_core_3": _q_k_core,
         "core_numbers": _q_core_numbers,
+        "k_truss_10": _q_k_truss,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
@@ -819,6 +954,10 @@ FROM e WHERE u = v""",
         "triangle_count": _SQL_TRIANGLES,
         "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
         "vertex_jaccard": _SQL_JACCARD,
+        "overlap_coefficient": _SQL_OVERLAP,
+        "sorensen_coefficient": _SQL_SORENSEN,
+        "katz_3iter": _SQL_KATZ_3ITER,
+        "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,
         # leiden_communities / louvain_communities / leiden_quality /
         # louvain_quality: iterative multi-level algorithms — intentionally
         # no SQL oracle (driver rows-only check); exact-label correctness

@@ -443,9 +443,9 @@ def main() -> None:
     # at 8→32 once the job is not bottlenecked on the box's single
     # memory bus
     time.sleep(5)
-    r8 = refine_scaling_run(8, reps=3)
+    r8 = refine_scaling_run(8, reps=2)
     time.sleep(5)
-    r32 = refine_scaling_run(32, reps=3)
+    r32 = refine_scaling_run(32, reps=2)
     refine_eff_8_32 = round(
         r32["edge_rows_per_sec"] / (4.0 * r8["edge_rows_per_sec"]), 3
     )

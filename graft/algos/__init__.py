@@ -4,3 +4,15 @@ from graft.algos.lpa import label_propagation  # noqa: F401
 from graft.algos.triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from graft.algos.louvain import louvain  # noqa: F401
 from graft.algos.leiden import leiden  # noqa: F401
+from graft.algos.bfs import bfs_hops  # noqa: F401
+from graft.algos.jaccard import (  # noqa: F401
+    overlap_coefficient,
+    sorensen_coefficient,
+    vertex_jaccard,
+)
+from graft.algos.kcore import core_number, k_core  # noqa: F401
+from graft.algos.ktruss import k_truss  # noqa: F401
+from graft.algos.centrality import (  # noqa: F401
+    eigenvector_centrality,
+    katz_centrality,
+)

@@ -24,18 +24,14 @@ from pyspark.sql import functions as F
 from graft.graph import Graph
 
 
-def vertex_jaccard(
-    graph: Graph, pairs: DataFrame | None = None
+def _pair_stats(
+    graph: Graph, pairs: DataFrame | None
 ) -> DataFrame:
-    """Returns ``(u, v, jaccard double)`` for each candidate pair.
-
-    ``pairs``: optional (u, v) candidate table; defaults to the graph's
-    undirected edge set (u < v), the cugraph.jaccard convention. Pairs
-    with no common neighbors score 0 — including custom candidate pairs
-    whose endpoint has no edges at all (degree joins are LEFT joins with
-    degree coalesced to 0, and a 0 denominator scores 0.0 instead of
-    dividing by zero or dropping the row).
-    """
+    """Shared machinery for the cugraph pair-similarity family: for each
+    candidate pair, ``(u, v, n_common, du, dv)`` — common-neighbor count
+    and the two endpoint degrees (0 for endpoints with no edges; LEFT
+    joins so no candidate row is ever dropped). ONE wedge join bounded
+    by the candidate list + two degree joins."""
     adj = graph.without_self_loops().select("src", "dst").distinct()
     deg = adj.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d")
@@ -56,10 +52,6 @@ def vertex_jaccard(
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    nc = F.coalesce("n_common", F.lit(0))
-    du = F.coalesce("du", F.lit(0))
-    dv = F.coalesce("dv", F.lit(0))
-    denom = du + dv - nc
     return (
         pairs.join(common, ["u", "v"], "left")
         .join(
@@ -73,8 +65,66 @@ def vertex_jaccard(
         .select(
             "u",
             "v",
-            F.when(denom == 0, F.lit(0.0))
-            .otherwise(F.round(nc / denom, 6))
-            .alias("jaccard"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("du", F.lit(0)).alias("du"),
+            F.coalesce("dv", F.lit(0)).alias("dv"),
         )
+    )
+
+
+def vertex_jaccard(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, jaccard double)`` for each candidate pair.
+
+    ``pairs``: optional (u, v) candidate table; defaults to the graph's
+    undirected edge set (u < v), the cugraph.jaccard convention. Pairs
+    with no common neighbors score 0 — including custom candidate pairs
+    whose endpoint has no edges at all (degree joins are LEFT joins with
+    degree coalesced to 0, and a 0 denominator scores 0.0 instead of
+    dividing by zero or dropping the row).
+    """
+    denom = F.col("du") + F.col("dv") - F.col("n_common")
+    return _pair_stats(graph, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_common") / denom, 6))
+        .alias("jaccard"),
+    )
+
+
+def overlap_coefficient(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, overlap double)`` — |N(u)∩N(v)| / min(|N(u)|,
+    |N(v)|), the cugraph.overlap-shaped containment scorer (1.0 when
+    the smaller neighborhood is fully inside the larger, regardless of
+    size imbalance — the hub-vs-leaf complement to Jaccard). Same
+    candidate semantics and 0-degree handling as :func:`vertex_jaccard`.
+    """
+    denom = F.least("du", "dv")
+    return _pair_stats(graph, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_common") / denom, 6))
+        .alias("overlap"),
+    )
+
+
+def sorensen_coefficient(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, sorensen double)`` — 2|N(u)∩N(v)| / (|N(u)| +
+    |N(v)|), the cugraph.sorensen-shaped dice coefficient. Same
+    candidate semantics and 0-degree handling as :func:`vertex_jaccard`.
+    """
+    denom = F.col("du") + F.col("dv")
+    return _pair_stats(graph, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(2) * F.col("n_common") / denom, 6))
+        .alias("sorensen"),
     )

@@ -1,7 +1,11 @@
-"""Vertex Jaccard similarity (cugraph.jaccard-shaped edge scorer)."""
+"""Vertex pair-similarity family (cugraph jaccard/overlap/sorensen)."""
 
 from graft import fixtures
-from graft.algos.jaccard import vertex_jaccard
+from graft.algos.jaccard import (
+    overlap_coefficient,
+    sorensen_coefficient,
+    vertex_jaccard,
+)
 from graft.graph import Graph
 
 
@@ -50,3 +54,36 @@ def test_custom_pairs_with_non_graph_endpoints(spark):
            vertex_jaccard(g, pairs=pairs).collect()}
     g.unpersist()
     assert got == {(0, 999): 0.0, (998, 999): 0.0, (0, 2): 0.4}
+
+
+def test_overlap_and_sorensen(spark):
+    """Overlap = |∩|/min(d), Sorensen = 2|∩|/(du+dv) on the same wedge
+    machinery; brute-force neighborhood oracle over every edge."""
+    edges = fixtures.clique_ring_edges()
+    adj: dict[int, set[int]] = {}
+    for u, v, _ in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got_o = {(r.u, r.v): r.overlap for r in overlap_coefficient(g).collect()}
+    got_s = {(r.u, r.v): r.sorensen
+             for r in sorensen_coefficient(g).collect()}
+    g.unpersist()
+    assert set(got_o) == set(got_s) and len(got_o) == 35
+    for (u, v), score in got_o.items():
+        nc = len(adj[u] & adj[v])
+        assert score == round(nc / min(len(adj[u]), len(adj[v])), 6), (u, v)
+        assert got_s[(u, v)] == round(
+            2 * nc / (len(adj[u]) + len(adj[v])), 6
+        ), (u, v)
+
+
+def test_overlap_edge_less_endpoints_score_zero(spark):
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    pairs = spark.createDataFrame([(0, 999)], "u long, v long")
+    assert overlap_coefficient(g, pairs=pairs).collect()[0].overlap == 0.0
+    assert sorensen_coefficient(g, pairs=pairs).collect()[0].sorensen == 0.0
+    g.unpersist()
