@@ -325,15 +325,19 @@ def refine_scaling_run(n_cores: int, reps: int = 3) -> dict:
         # mirror the production conf leiden() runs refinement under:
         # AQE off (otherwise its by-size coalescing shrinks the cogroup
         # exchange to a handful of partitions and serializes the
-        # per-community Python — measured 164 s vs ~13 s) and shuffle
-        # parallelism at full core count, because the stage is
-        # Python-bound, not shuffle-bound
+        # per-community Python — measured 164 s vs ~25 s) and shuffle
+        # parallelism at 3x core count (the stage is Python-bound; ~3
+        # waves of smaller tasks amortize stragglers that otherwise set
+        # the wall of an exactly-one-wave stage)
         t0 = _t.perf_counter()
         with superstep_conf(spark, n_edges):
             sp_now = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(max(int(sp_now), spark.sparkContext.defaultParallelism)),
+                str(max(
+                    int(sp_now),
+                    3 * spark.sparkContext.defaultParallelism,
+                )),
             )
             refine_partition(level, gamma=0.05, seed=1234).count()
         return round(_t.perf_counter() - t0, 3)

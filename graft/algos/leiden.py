@@ -396,14 +396,21 @@ def leiden(
         spark = level.edges.sparkSession
         with superstep_conf(spark, level.edges.count()):
             # the refinement cogroup is PYTHON-bound (one _refine_core
-            # call per community), not shuffle-bound: run it at full
-            # core parallelism even when the superstep reducers are
-            # sized smaller for shuffle latency (measured r3 on the 4M-
-            # row powerlaw level: 16 reducers left half the cores idle)
+            # call per community), not shuffle-bound: run it at 3x core
+            # parallelism even when the superstep reducers are sized
+            # smaller for shuffle latency (measured r3 on the 4M-row
+            # powerlaw level: 16 reducers left half the cores idle; r4:
+            # exactly-one-wave scheduling made the stage straggler-bound
+            # — one slow partition set the wall — so ~3 waves of smaller
+            # tasks amortize stragglers, per-task overhead is trivial
+            # against the per-community Python work)
             sp_now = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(max(int(sp_now), spark.sparkContext.defaultParallelism)),
+                str(max(
+                    int(sp_now),
+                    3 * spark.sparkContext.defaultParallelism,
+                )),
             )
             refined = truncate(refine_partition(level, gamma, seed + lvl))
             spark.conf.set("spark.sql.shuffle.partitions", sp_now)
