@@ -357,6 +357,44 @@ def refine_scaling_run(n_cores: int, reps: int = 3) -> dict:
     }
 
 
+def cpu_ceiling_probe(loops: int = 20_000_000) -> dict:
+    """The host's own 8→32 concurrency ceiling, measured with ZERO
+    engine involvement: N concurrent pure-python ALU loops (no Spark,
+    no shuffle, no shared data, ~no memory traffic) and the mean
+    per-process wall at N=8 vs N=32. On this sandbox the per-process
+    time inflates ~1.3× at full 32-way occupancy (host-level
+    oversubscription invisible to the guest: steal time reads 0, no
+    cgroup quota, 1 thread/core per lscpu — yet ~19% idle appears under
+    a 32-process busy-loop). The ratio is the hard upper bound ANY
+    8→32 scaling cell can reach on this box, engine or not — which is
+    why the official north-rule pair is 1→4 (flat per-process walls up
+    to 8 concurrent) and the 8→32 engine numbers are reported relative
+    to this ceiling."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import time\nt0=time.perf_counter()\nx=0\n"
+        f"for i in range({loops}): x+=i\n"
+        "print(time.perf_counter()-t0)"
+    )
+    out: dict = {}
+    for n in (8, 32):
+        ps = [
+            subprocess.Popen(
+                [_sys.executable, "-c", code], stdout=subprocess.PIPE
+            )
+            for _ in range(n)
+        ]
+        per = [float(p.communicate()[0]) for p in ps]
+        out[f"per_proc_sec_at_{n}"] = round(sum(per) / len(per), 3)
+    out["ceiling_8_to_32"] = round(
+        out["per_proc_sec_at_8"] / out["per_proc_sec_at_32"], 3
+    )
+    _log(f"host cpu ceiling 8->32: {out}")
+    return out
+
+
 def pagerank_scaling_run(n_cores: int, k: int = 6, reps: int = 3) -> dict:
     """PageRank superstep marginal at a given parallelism (ADVICE r2:
     report the PageRank half of the north-rule metric too). Copartition
@@ -453,6 +491,7 @@ def main() -> None:
     refine_eff_8_32 = round(
         r32["edge_rows_per_sec"] / (4.0 * r8["edge_rows_per_sec"]), 3
     )
+    ceiling = cpu_ceiling_probe()
     # the PageRank half of the north-rule metric (ADVICE r2), same N→4N
     # pair as the official statistic
     time.sleep(5)
@@ -495,10 +534,18 @@ def main() -> None:
                 "high": r32,
                 "efficiency": refine_eff_8_32,
                 "note": "Leiden refinement stage (cogrouped "
-                        "applyInPandas, CPU-bound): the 8→32 evidence "
-                        "for the engine itself — it does ~10x more "
-                        "compute per shuffled byte than the sweep, so "
-                        "the DRAM ceiling does not bind",
+                        "applyInPandas, Python-bound): the CPU-bound "
+                        "8→32 counterpoint to the shuffle-bound sweep; "
+                        "judge its ratio against host_cpu_ceiling "
+                        "below — the box itself tops out near 0.79",
+            },
+            "host_cpu_ceiling_8_to_32": {
+                **ceiling,
+                "note": "N concurrent pure-python ALU loops, no Spark/"
+                        "shuffle/shared data: the per-process slowdown "
+                        "at 32-way occupancy is the hard upper bound "
+                        "ANY 8→32 job can reach on this host (why the "
+                        "official north-rule pair is 1→4)",
             },
             "pagerank_n_to_4n": {
                 "low": pr_lo,
