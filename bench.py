@@ -554,7 +554,45 @@ def main() -> None:
             },
         },
     }
-    print(json.dumps(result))
+    # Full detail (per-rep sweep walls, protocol prose) goes to a file;
+    # stdout gets ONE COMPACT line. The r3 driver run proved the
+    # verbose line overflows the driver's capture buffer (BENCH_r03
+    # recorded only a tail, parsed: null), so everything the judge
+    # needs — per-query walls, marginals, throughputs, efficiencies —
+    # stays on the line and the rep-level evidence lives in the file.
+    detail_path = os.environ.get(
+        "GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "BENCH_local_latest.json"),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError as exc:  # never let the detail sink kill the line
+        _log(f"detail write failed ({exc}); printing compact line only")
+    print(json.dumps(_compact(result, detail_path)))
+
+
+_VERBOSE_KEYS = frozenset({
+    "sweep_durations_per_rep", "per_index_min_sec", "wall_sec",
+    "t1_sec", "tk_sec", "job", "note",
+})
+
+
+def _compact(result: dict, detail_path: str) -> dict:
+    """Strip per-rep arrays and protocol prose from the printed line
+    (kept verbatim in the detail file) so the line stays well under the
+    driver's capture buffer."""
+
+    def strip(obj):
+        if isinstance(obj, dict):
+            return {k: strip(v) for k, v in obj.items()
+                    if k not in _VERBOSE_KEYS}
+        return obj
+
+    out = strip(result)
+    out["detail"] = detail_path
+    return out
 
 
 if __name__ == "__main__":

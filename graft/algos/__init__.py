@@ -14,5 +14,7 @@ from graft.algos.kcore import core_number, k_core  # noqa: F401
 from graft.algos.ktruss import k_truss  # noqa: F401
 from graft.algos.centrality import (  # noqa: F401
     eigenvector_centrality,
+    hits,
     katz_centrality,
 )
+from graft.algos.scc import strongly_connected_components  # noqa: F401

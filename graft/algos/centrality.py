@@ -95,6 +95,81 @@ def katz_centrality(
     return x.select("id", F.col("x").alias("katz"))
 
 
+def hits(
+    graph: Graph,
+    fixed_iterations: int | None = None,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """HITS hubs & authorities on a DIRECTED graph (cugraph.hits parity).
+
+    Returns ``(id, hub double, authority double)``. Per iteration, from
+    an L2-unit constant hub vector:
+
+        a'(v) = Σ_{u→v} w_uv · h(u);   a = a' / ||a'||₂
+        h'(u) = Σ_{u→v} w_uv · a(v);   h = h' / ||h'||₂
+
+    ``graph.edges`` is taken as directed (pass raw asymmetric input via
+    ``Graph(edges, symmetric=False)``); on a symmetrized table hub and
+    authority coincide with eigenvector centrality. ``fixed_iterations``
+    is the probe-free, SQL-oracle-certified mode; otherwise the loop
+    stops when the hub vector's L1 delta drops below ``tol``. Plan per
+    half-step: the small score table joins into the big edge scan (the
+    edge table is never shuffled), one groupBy-sum, one scalar norm agg
+    — identical shape to the PageRank superstep.
+    """
+    spark = graph.edges.sparkSession
+    verts = graph.vertices_cached()
+    n = graph.num_vertices()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "id long, hub double, authority double"
+        )
+
+    def _norm(df: DataFrame) -> DataFrame:
+        nrm = df.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).first()[0]
+        if not nrm or nrm == 0.0:
+            return df
+        return df.select("id", (F.col("x") / F.lit(nrm)).alias("x"))
+
+    def _atx(x: DataFrame) -> DataFrame:
+        """One Aᵀ·x product: h flows along edge direction into dst."""
+        return (
+            graph.edges.join(x.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("x") * F.col("weight")).alias("ax"))
+        )
+
+    h = truncate(verts.select("id", F.lit(1.0 / float(n) ** 0.5).alias("x")))
+    a = h
+    iters = fixed_iterations if fixed_iterations is not None else max_iter
+    probe = fixed_iterations is None
+    with superstep_conf(spark, graph.edges.count()):
+        for _ in range(iters):
+            new_a = truncate(_norm(
+                verts.join(_ax(graph.edges, h, "ax"), "id", "left")
+                .select("id", F.coalesce("ax", F.lit(0.0)).alias("x"))
+            ))
+            new_h = truncate(_norm(
+                verts.join(_atx(new_a), "id", "left")
+                .select("id", F.coalesce("ax", F.lit(0.0)).alias("x"))
+            ))
+            if probe:
+                delta = (
+                    new_h.join(h.withColumnRenamed("x", "old"), "id")
+                    .agg(F.sum(F.abs(F.col("x") - F.col("old"))))
+                    .first()[0]
+                )
+            drop_spill(h)
+            drop_spill(a)
+            h, a = new_h, new_a
+            if probe and delta < tol:
+                break
+    return h.withColumnRenamed("x", "hub").join(
+        a.select("id", F.col("x").alias("authority")), "id"
+    ).select("id", "hub", "authority")
+
+
 def eigenvector_centrality(
     graph: Graph,
     fixed_iterations: int | None = None,

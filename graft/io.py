@@ -190,6 +190,38 @@ def transcripts_to_edges(
     )
 
 
+def transcripts_to_directed_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed variant of :func:`transcripts_to_edges`: one edge per
+    adjacent turn pair under the stable turn ordering, oriented in
+    CONVERSATION-FLOW direction (the earlier turn's actor → the later
+    turn's actor), weight = transition count. Consecutive same-actor
+    turns produce self-loops (a real signal: an actor holding the
+    floor). No conv↔actor edges — membership has no flow direction.
+
+    This is the input for the direction-aware operators (HITS,
+    strongly_connected_components, directed PageRank): an actor that
+    frequently FOLLOWS many others is a strong authority; one that many
+    others follow next is a strong hub.
+
+    Scale: identical to the undirected derivation — one window shuffle
+    on conv_id + one keyed groupBy, both AQE-coalesced.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    actor = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+    t = transcripts.select(
+        "conv_id", "turn_idx", actor.alias("actor")
+    ).withColumn("prev_actor", F.lag("actor").over(w))
+    return (
+        t.where(F.col("prev_actor").isNotNull())
+        .groupBy(
+            F.col("prev_actor").alias("src"), F.col("actor").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
 def actor_edges_to_long(edges_uv: DataFrame) -> tuple[DataFrame, DataFrame]:
     """String actor edges → long-id edges + mapping(actor, id)."""
     e = edges_uv.select(

@@ -379,3 +379,31 @@ def greedy_louvain_ref(
             for orig in carry[v]:
                 final[orig] = v
     return final
+
+
+def scc_ref(directed_edges) -> dict:
+    """Strongly connected components by explicit mutual reachability
+    (DFS closure per vertex — fine at test scale). Label = min id in
+    the SCC, matching the engine and the driver's transitive-closure
+    oracle."""
+    adj: dict = {}
+    verts: set = set()
+    for e in directed_edges:
+        u, v = e[0], e[1]
+        adj.setdefault(u, set()).add(v)
+        verts.update((u, v))
+
+    def reach(s):
+        seen, stack = set(), [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    r = {v: reach(v) for v in verts}
+    return {
+        v: min([v] + [u for u in r[v] if v in r[u]]) for v in verts
+    }

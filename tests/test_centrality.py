@@ -91,3 +91,87 @@ def test_eigenvector_converges_to_principal(spark):
         principal = -principal
     for v in verts:
         assert got[v] == pytest.approx(principal[pos[v]], abs=1e-4), v
+
+
+def _dadj(rows):
+    """Directed weighted adjacency A[u][v] = w for u→v."""
+    verts = sorted({v for e in rows for v in e[:2]})
+    pos = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for u, v, w in rows:
+        A[pos[u]][pos[v]] += w
+    return verts, A
+
+
+def _hits_oracle(A, iters):
+    n = A.shape[0]
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = h.copy()
+    for _ in range(iters):
+        a = A.T @ h
+        nrm = np.linalg.norm(a)
+        if nrm > 0:
+            a = a / nrm
+        h = A @ a
+        nrm = np.linalg.norm(h)
+        if nrm > 0:
+            h = h / nrm
+    return h, a
+
+
+@pytest.mark.parametrize("rows", [
+    # chain with a hub: 0 points at everyone, 3 pointed at by everyone
+    [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (1, 3, 1.0), (2, 3, 2.0)],
+    # cycle + shortcut
+    [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (0, 2, 3.0)],
+])
+def test_hits_fixed_iterations_directed(spark, rows):
+    from graft.algos.centrality import hits
+    from graft.graph import Graph
+
+    iters = 4
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph(e, symmetric=False)
+    got = {r.id: (r.hub, r.authority)
+           for r in hits(g, fixed_iterations=iters).collect()}
+    verts, A = _dadj(rows)
+    h, a = _hits_oracle(A, iters)
+    assert set(got) == set(verts)
+    for i, v in enumerate(verts):
+        assert got[v][0] == pytest.approx(h[i], abs=1e-9)
+        assert got[v][1] == pytest.approx(a[i], abs=1e-9)
+
+
+def test_hits_converged_matches_power_iteration(spark):
+    from graft.algos.centrality import hits
+    from graft.graph import Graph
+
+    rows = [(u, v, w) for u, v, w in random_graph(30, 0.12, seed=9)]
+    # make it directed: keep the (u, v, w) orientation as emitted
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph(e, symmetric=False)
+    got = {r.id: (r.hub, r.authority)
+           for r in hits(g, tol=1e-12).collect()}
+    verts, A = _dadj(rows)
+    h, a = _hits_oracle(A, 200)
+    for i, v in enumerate(verts):
+        assert got[v][0] == pytest.approx(h[i], abs=1e-6)
+        assert got[v][1] == pytest.approx(a[i], abs=1e-6)
+
+
+def test_hits_symmetric_equals_eigenvector(spark):
+    """On a symmetrized table hub == authority == the principal
+    eigenvector (same power iteration)."""
+    from graft.algos.centrality import hits
+    from graft.graph import Graph
+
+    edges = fixtures.clique_ring_weighted_edges()
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: (r.hub, r.authority)
+           for r in hits(g, tol=1e-12).collect()}
+    eig = {r.id: r.eigenvector
+           for r in eigenvector_centrality(g, tol=1e-12).collect()}
+    g.unpersist()
+    for v, (h, a) in got.items():
+        assert h == pytest.approx(a, abs=1e-6)
+        assert h == pytest.approx(eig[v], abs=1e-5)

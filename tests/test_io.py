@@ -165,3 +165,26 @@ def test_read_transcript_source_paths(spark, transcripts, tmp_path):
     assert via_path.count() == transcripts.count()
     assert via_table.count() == transcripts.count()
     assert set(via_path.columns) == set(via_table.columns)
+
+
+def test_transcripts_to_directed_edges_flow_orientation(spark):
+    from graft.io import transcripts_to_directed_edges
+
+    rows = [
+        ("c1", 0, "user", "t0", None, None),
+        ("c1", 1, "assistant", "t1", None, None),
+        ("c1", 2, "tool", "t2", "search", None),
+        ("c1", 3, "assistant", "t3", None, None),
+        ("c1", 4, "assistant", "t4", None, None),
+        ("c2", 0, "user", "t0", None, None),
+        ("c2", 1, "assistant", "t1", None, None),
+    ]
+    t = spark.createDataFrame(rows, schema=fixtures.TRANSCRIPT_SCHEMA)
+    got = {(r.src, r.dst): r.weight
+           for r in transcripts_to_directed_edges(t).collect()}
+    assert got == {
+        ("role:user", "role:assistant"): 2.0,       # c1 0→1, c2 0→1
+        ("role:assistant", "tool:search"): 1.0,     # c1 1→2
+        ("tool:search", "role:assistant"): 1.0,     # c1 2→3
+        ("role:assistant", "role:assistant"): 1.0,  # c1 3→4 self-loop
+    }
