@@ -455,6 +455,99 @@ FROM verts v LEFT JOIN counts c ON v.id = c.id"""
 )
 
 
+# directed actor graph: flow orientation (earlier turn's actor → later
+# turn's actor), no conv edges — mirrors graft.io.transcripts_to_directed_edges
+# (_SQL_DIRECTED_BODY carries no WITH keyword so recursive queries can
+# prepend WITH RECURSIVE)
+_SQL_DIRECTED_BODY = r"""t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN 't' || cast(try_cast(regexp_extract(props, '(\d+)', 1)
+                                        AS bigint)
+                               % 8 AS varchar)
+         END AS tool
+  FROM events
+), a AS (
+  SELECT conv_id, turn_idx,
+         coalesce('tool:' || tool, 'role:' || role) AS actor
+  FROM t
+), p AS (
+  SELECT conv_id, actor,
+         lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_actor
+  FROM a
+), de AS (
+  SELECT prev_actor AS src, actor AS dst, cast(count(*) AS double) AS weight
+  FROM p WHERE prev_actor IS NOT NULL GROUP BY prev_actor, actor
+), dverts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM de UNION ALL SELECT dst AS id FROM de
+  )
+), dnv AS (
+  SELECT count(*) AS n FROM dverts
+)
+"""
+
+_SQL_DIRECTED = "WITH " + _SQL_DIRECTED_BODY
+
+
+def _sql_hits_iter(prev_h: str, cur_a: str, cur_h: str) -> str:
+    """One unrolled HITS iteration: a = norm₂(Aᵀh); h = norm₂(A·a)."""
+    return f"""
+, {cur_a}_raw AS (
+  SELECT v.id, coalesce(i.s, 0.0) AS x
+  FROM dverts v LEFT JOIN (
+    SELECT de.dst AS id, sum(h.x * de.weight) AS s
+    FROM de JOIN {prev_h} h ON de.src = h.id
+    GROUP BY de.dst
+  ) i ON v.id = i.id
+), {cur_a} AS (
+  SELECT id, x / (SELECT sqrt(sum(x * x)) FROM {cur_a}_raw) AS x
+  FROM {cur_a}_raw
+), {cur_h}_raw AS (
+  SELECT v.id, coalesce(i.s, 0.0) AS x
+  FROM dverts v LEFT JOIN (
+    SELECT de.src AS id, sum(a2.x * de.weight) AS s
+    FROM de JOIN {cur_a} a2 ON de.dst = a2.id
+    GROUP BY de.src
+  ) i ON v.id = i.id
+), {cur_h} AS (
+  SELECT id, x / (SELECT sqrt(sum(x * x)) FROM {cur_h}_raw) AS x
+  FROM {cur_h}_raw
+)"""
+
+
+_SQL_HITS_3ITER = (
+    _SQL_DIRECTED
+    + "\n, h0 AS (SELECT id, 1.0 / sqrt((SELECT n FROM dnv)) AS x"
+      " FROM dverts)"
+    + _sql_hits_iter("h0", "a1", "h1")
+    + _sql_hits_iter("h1", "a2", "h2")
+    + _sql_hits_iter("h2", "a3", "h3")
+    + """
+SELECT h.id, round(h.x, 6) AS hub, round(a.x, 6) AS authority
+FROM h3 h JOIN a3 a ON h.id = a.id"""
+)
+
+# SCC oracle: reflexive transitive closure over the directed edge set;
+# comp(v) = min u with v→*u AND u→*v (mutual reachability)
+_SQL_SCC = (
+    "WITH RECURSIVE "
+    + _SQL_DIRECTED_BODY
+    + """
+, reach(v, u) AS (
+  SELECT id, id FROM dverts
+  UNION
+  SELECT r.v, d.dst FROM reach r JOIN de d ON r.u = d.src
+)
+SELECT r1.v AS id, min(r1.u) AS comp
+FROM reach r1 JOIN reach r2 ON r2.v = r1.u AND r2.u = r1.v
+GROUP BY r1.v"""
+)
+
+
 def _q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges_uv(spark, sf_dir)
 
@@ -538,6 +631,44 @@ def _q_sssp_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(g, src, max_hops=3, weighted=True).select(
         "id", F.round("cost", 6).alias("cost")
     )
+
+
+def _directed_actor_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Flow-directed string-keyed actor graph (earlier turn's actor →
+    later turn's actor) — input for the direction-aware operators."""
+    from graft.io import transcripts_to_directed_edges
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return Graph(transcripts_to_directed_edges(t), symmetric=False)
+
+
+def _q_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed derivation itself (src, dst, weight) — certifies
+    graft.io.transcripts_to_directed_edges against the lag-window SQL."""
+    return _directed_actor_graph(spark, sf_dir).edges
+
+
+def _q_hits_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 3 probe-free iterations on the directed
+    actor graph (L2 normalization per half-step, mirrored by the
+    unrolled _SQL_HITS_3ITER oracle)."""
+    from graft.algos.centrality import hits
+
+    g = _directed_actor_graph(spark, sf_dir).cache()
+    return hits(g, fixed_iterations=3).select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed actor graph;
+    comp = min actor id in the SCC, certified against the
+    reflexive-transitive-closure mutual-reachability oracle (_SQL_SCC)."""
+    from graft.algos.scc import strongly_connected_components
+
+    g = _directed_actor_graph(spark, sf_dir).cache()
+    return strongly_connected_components(g)
 
 
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,6 +1035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorensen_coefficient": _q_sorensen,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
+        "directed_edges": _q_directed_edges,
+        "hits_3iter": _q_hits_3iter,
+        "scc_components": _q_scc,
         "k_core_3": _q_k_core,
         "core_numbers": _q_core_numbers,
         "k_truss_10": _q_k_truss,
@@ -958,6 +1092,10 @@ FROM e WHERE u = v""",
         "sorensen_coefficient": _SQL_SORENSEN,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,
+        "directed_edges": _SQL_DIRECTED
+        + "SELECT src, dst, weight FROM de",
+        "hits_3iter": _SQL_HITS_3ITER,
+        "scc_components": _SQL_SCC,
         # leiden_communities / louvain_communities / leiden_quality /
         # louvain_quality: iterative multi-level algorithms — intentionally
         # no SQL oracle (driver rows-only check); exact-label correctness
