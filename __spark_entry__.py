@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import graft.pipeline.oracles as _po
@@ -375,6 +375,154 @@ _SQL_SORENSEN = (
     + """SELECT p.u, p.v,
        round(2 * coalesce(c.nc, 0) / (du.d + dv.d), 6) AS sorensen"""
     + _SQL_PAIR_TAIL
+)
+
+# degree-weighted common-neighbor sums (Adamic-Adar / resource
+# allocation): the same wedge as `com`, with the midpoint's degree
+# joined in before the pair groupBy
+_SQL_WCOM = """
+, wcom AS (
+  SELECT p.u, p.v, sum(1.0 / ln(dw.d)) AS aa, sum(1.0 / dw.d) AS ra
+  FROM und p
+  JOIN adj a1 ON a1.src = p.u
+  JOIN adj a2 ON a2.src = p.v AND a2.dst = a1.dst
+  JOIN degs dw ON dw.id = a1.dst
+  GROUP BY p.u, p.v
+)
+"""
+
+_SQL_ADAMIC_ADAR = (
+    _SQL_PAIR_BASE
+    + _SQL_WCOM
+    + """SELECT p.u, p.v, round(coalesce(w.aa, 0.0), 6) AS adamic_adar
+FROM und p LEFT JOIN wcom w ON w.u = p.u AND w.v = p.v"""
+)
+
+_SQL_RESOURCE_ALLOCATION = (
+    _SQL_PAIR_BASE
+    + _SQL_WCOM
+    + """SELECT p.u, p.v,
+       round(coalesce(w.ra, 0.0), 6) AS resource_allocation
+FROM und p LEFT JOIN wcom w ON w.u = p.u AND w.v = p.v"""
+)
+
+def _sql_walk_step(t: int, seed: int) -> str:
+    """One unrolled LCG walk transition (graft.algos.walks draw)."""
+    k = t * 12345 + seed
+    return f"""
+, w{t} AS (
+  SELECT w.walk_id, a.dst AS vid
+  FROM w{t - 1} w
+  JOIN wdeg g ON g.src = w.vid
+  JOIN wiadj a ON a.src = w.vid
+   AND a.idx = (w.walk_id % 2147483647 * 1103515245 + {k})
+                % 2147483647 % g.d
+)"""
+
+
+_SQL_RANDOM_WALKS = (
+    _SQL_ACTORS
+    + """
+, averts AS (
+  SELECT DISTINCT id FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  )
+), wmap AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS nid FROM averts
+), wadj AS (
+  SELECT mu.nid AS src, mv.nid AS dst
+  FROM e JOIN wmap mu ON mu.id = e.u JOIN wmap mv ON mv.id = e.v
+  WHERE e.u <> e.v
+  UNION ALL
+  SELECT mv.nid, mu.nid
+  FROM e JOIN wmap mu ON mu.id = e.u JOIN wmap mv ON mv.id = e.v
+  WHERE e.u <> e.v
+), wdeg AS (SELECT src, count(*) AS d FROM wadj GROUP BY src
+), wiadj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM wadj
+), w0 AS (
+  SELECT m.nid * 2 + r.r AS walk_id, m.nid AS vid
+  FROM wmap m CROSS JOIN (SELECT 0 AS r UNION ALL SELECT 1) r
+)"""
+    + "".join(_sql_walk_step(t, seed=11) for t in range(1, 5))
+    + """
+SELECT u.walk_id, u.step, m.id AS actor
+FROM (
+  SELECT walk_id, 0 AS step, vid FROM w0
+  UNION ALL SELECT walk_id, 1, vid FROM w1
+  UNION ALL SELECT walk_id, 2, vid FROM w2
+  UNION ALL SELECT walk_id, 3, vid FROM w3
+  UNION ALL SELECT walk_id, 4, vid FROM w4
+) u JOIN wmap m ON m.nid = u.vid"""
+)
+
+
+# structural metrics share the simple adjacency (adj/degs from
+# _SQL_PAIR_BASE's CTE set) plus the ascending triangle enumeration and
+# the full vertex set (self-loop-only vertices included)
+_SQL_STRUCT_BASE = (
+    _SQL_PAIR_BASE
+    + """
+, tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM und a
+  JOIN und b ON a.u = b.u AND a.v < b.v
+  JOIN und c ON c.u = a.v AND c.v = b.v
+), averts AS (
+  SELECT DISTINCT id FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  )
+)
+"""
+)
+
+_SQL_CLUSTERING = (
+    _SQL_STRUCT_BASE
+    + """
+, counts AS (
+  SELECT id, count(*) AS n FROM (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY id
+)
+SELECT v.id,
+       CASE WHEN coalesce(d.d, 0) < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(c.n, 0) / (d.d * (d.d - 1)), 6)
+       END AS clustering
+FROM averts v
+LEFT JOIN counts c ON v.id = c.id
+LEFT JOIN degs d ON v.id = d.id"""
+)
+
+_SQL_TRANSITIVITY = (
+    _SQL_STRUCT_BASE
+    + """
+SELECT round(
+  3.0 * (SELECT count(*) FROM tri)
+      / (SELECT sum(d * (d - 1)) / 2 FROM degs), 6) AS transitivity"""
+)
+
+_SQL_ASSORTATIVITY = (
+    _SQL_PAIR_BASE
+    + """SELECT round(corr(da.d, db.d), 6) AS assortativity
+FROM adj j
+JOIN degs da ON j.src = da.id
+JOIN degs db ON j.dst = db.id"""
+)
+
+_SQL_AVG_NEIGHBOR_DEGREE = (
+    _SQL_STRUCT_BASE
+    + """
+, knn AS (
+  SELECT j.src AS id, avg(db.d) AS knn
+  FROM adj j JOIN degs db ON j.dst = db.id
+  GROUP BY j.src
+)
+SELECT v.id, round(coalesce(k.knn, 0.0), 6) AS knn
+FROM averts v LEFT JOIN knn k ON v.id = k.id"""
 )
 
 
@@ -746,6 +894,111 @@ def _q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_coefficient(g)
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge Adamic–Adar index Σ 1/ln d(w) over common neighbors
+    (link-prediction scorer; networkx adamic_adar_index semantics)."""
+    from graft.algos.jaccard import adamic_adar
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return adamic_adar(g)
+
+
+def _q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge resource-allocation index Σ 1/d(w) over common
+    neighbors (Zhou et al. 2009)."""
+    from graft.algos.jaccard import resource_allocation
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return resource_allocation(g)
+
+
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient 2T(v)/(d(v)(d(v)−1)) on
+    the simple actor graph (networkx.clustering semantics)."""
+    from graft.algos.structure import clustering_coefficient
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return clustering_coefficient(g)
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity 3·triangles / wedges (scalar)."""
+    from graft.algos.structure import transitivity
+
+    g = _actor_graph(spark, sf_dir).cache()
+    t = transitivity(g)
+    # F.round (half-up, matching DuckDB) — python round() is banker's
+    return spark.createDataFrame([(t,)], "transitivity double").select(
+        F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Pearson correlation of endpoint
+    degrees over the simple edge list, both orientations; scalar)."""
+    from graft.algos.structure import degree_assortativity
+
+    g = _actor_graph(spark, sf_dir).cache()
+    r = degree_assortativity(g)
+    return spark.createDataFrame([(r,)], "assortativity double").select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def _q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex mean neighbor degree on the simple actor graph
+    (networkx.average_neighbor_degree, unweighted)."""
+    from graft.algos.structure import avg_neighbor_degree
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return avg_neighbor_degree(g)
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus: 2 walks × 4 steps from every
+    actor, counter-based LCG transitions over the renumbered simple
+    graph (graft.algos.walks). The contract renumbers actors by sorted
+    order (row_number window — fine at contract scale; production uses
+    graft.io.actor_edges_to_long) so the unrolled SQL oracle can
+    replay the exact same draws."""
+    from graft.algos.walks import random_walks
+
+    uv = _edges_uv(spark, sf_dir)
+    averts = (
+        uv.select(F.col("u").alias("aid"))
+        .unionAll(uv.select(F.col("v").alias("aid")))
+        .distinct()
+    )
+    mapping = averts.select(
+        "aid",
+        (F.row_number().over(Window.orderBy("aid")) - 1).alias("nid"),
+    )
+    edges_long = (
+        uv.join(mapping.withColumnRenamed("aid", "u"), "u")
+        .withColumnRenamed("nid", "src")
+        .join(mapping.withColumnRenamed("aid", "v"), "v")
+        .withColumnRenamed("nid", "dst")
+        .select("src", "dst", "weight")
+    )
+    g = Graph.from_undirected(edges_long).cache()
+    walks = random_walks(g, walk_length=4, num_walks=2, seed=11)
+    return walks.join(
+        mapping.withColumnRenamed("nid", "id"), "id"
+    ).select("walk_id", "step", F.col("aid").alias("actor"))
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-sources betweenness centrality (multi-source Brandes
+    as DataFrame supersteps). A shortest-path-counting fixpoint with a
+    descending back-propagation — not SQL-expressible, so rows-only;
+    correctness is pinned by tests/test_betweenness.py against the
+    textbook Brandes oracle."""
+    from graft.algos.betweenness import betweenness_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return betweenness_centrality(g, normalized=True)
+
+
 def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge Sørensen–Dice coefficient 2|∩|/(du+dv)
     (cugraph.sorensen-shaped)."""
@@ -1033,6 +1286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_jaccard": _q_vertex_jaccard,
         "overlap_coefficient": _q_overlap,
         "sorensen_coefficient": _q_sorensen,
+        "adamic_adar": _q_adamic_adar,
+        "resource_allocation": _q_resource_allocation,
+        "clustering_coefficient": _q_clustering,
+        "transitivity": _q_transitivity,
+        "degree_assortativity": _q_assortativity,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "betweenness": _q_betweenness,
+        "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
         "directed_edges": _q_directed_edges,
@@ -1090,6 +1351,16 @@ FROM e WHERE u = v""",
         "vertex_jaccard": _SQL_JACCARD,
         "overlap_coefficient": _SQL_OVERLAP,
         "sorensen_coefficient": _SQL_SORENSEN,
+        "adamic_adar": _SQL_ADAMIC_ADAR,
+        "resource_allocation": _SQL_RESOURCE_ALLOCATION,
+        "clustering_coefficient": _SQL_CLUSTERING,
+        "transitivity": _SQL_TRANSITIVITY,
+        "degree_assortativity": _SQL_ASSORTATIVITY,
+        "avg_neighbor_degree": _SQL_AVG_NEIGHBOR_DEGREE,
+        "random_walks_4": _SQL_RANDOM_WALKS,
+        # betweenness: shortest-path-counting fixpoint + descending
+        # back-propagation — rows-only (tests/test_betweenness.py pins
+        # values against the textbook Brandes oracle)
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,
         "directed_edges": _SQL_DIRECTED

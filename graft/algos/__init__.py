@@ -6,9 +6,17 @@ from graft.algos.louvain import louvain  # noqa: F401
 from graft.algos.leiden import leiden  # noqa: F401
 from graft.algos.bfs import bfs_hops  # noqa: F401
 from graft.algos.jaccard import (  # noqa: F401
+    adamic_adar,
     overlap_coefficient,
+    resource_allocation,
     sorensen_coefficient,
     vertex_jaccard,
+)
+from graft.algos.structure import (  # noqa: F401
+    avg_neighbor_degree,
+    clustering_coefficient,
+    degree_assortativity,
+    transitivity,
 )
 from graft.algos.kcore import core_number, k_core  # noqa: F401
 from graft.algos.ktruss import k_truss  # noqa: F401
@@ -18,3 +26,5 @@ from graft.algos.centrality import (  # noqa: F401
     katz_centrality,
 )
 from graft.algos.scc import strongly_connected_components  # noqa: F401
+from graft.algos.betweenness import betweenness_centrality  # noqa: F401
+from graft.algos.walks import random_walks  # noqa: F401

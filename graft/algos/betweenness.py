@@ -1,0 +1,171 @@
+"""Betweenness centrality (Brandes) — multi-source BFS as DataFrame
+supersteps.
+
+The cugraph API family ships ``cugraph.betweenness_centrality`` with
+optional source sampling (k); the engine mirrors that surface. The
+classic Brandes algorithm runs one BFS per source plus a dependency
+back-propagation; here ALL sources advance in the same superstep by
+keying the state on ``(s, id)`` — one edge join per DEPTH, not per
+source, so the round count is the graph eccentricity bound, independent
+of how many sources are in flight:
+
+- forward: frontier(s, id, sigma) joins the edge table on the vertex
+  key; new reach rows are anti-joined against the visited set and
+  groupBy-summed (sigma accumulates shortest-path counts);
+- backward: depths processed descending; delta(v) = Σ over successors
+  w one level deeper: sigma_v/sigma_w · (1 + delta_w) — one join of
+  adjacent frontier levels per depth.
+
+State is O(k·V) rows and every step is a keyed join + hash agg —
+shuffle-partitioned, map-side combinable, no driver data. Source
+sampling (``k``) is the 100-TB path: exact betweenness is O(V·E) work
+regardless of engine, so at scale you sample sources and rescale by
+n/k exactly as networkx/cugraph do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graft.algos.community import superstep_conf
+from graft.checkpoint import drop_spill, truncate
+from graft.graph import Graph
+
+
+def betweenness_centrality(
+    graph: Graph,
+    k: int | None = None,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns ``(id, betweenness double)`` — unweighted betweenness on
+    the undirected simple graph (networkx.betweenness_centrality
+    semantics: normalized by 2/((n−1)(n−2)) when ``normalized``, else
+    the raw undirected pair counts halved).
+
+    ``k``: sample that many sources (deterministic xxhash64 order by
+    ``seed``) and rescale by n/k — the networkx/cugraph estimator.
+    ``sources``: explicit one-column ``(id)`` source table (overrides
+    ``k``; no rescaling — partial betweenness from those sources).
+    """
+    verts = graph.vertices_cached()
+    n = graph.num_vertices()
+    spark = graph.edges.sparkSession
+    if n < 3:
+        return verts.select("id", F.lit(0.0).alias("betweenness"))
+    adj = truncate(
+        graph.without_self_loops().select("src", "dst").distinct()
+    )
+
+    explicit_sources = sources is not None
+    if sources is None:
+        src_pool = verts
+        if k is not None and k < n:
+            src_pool = (
+                verts.orderBy(F.xxhash64("id", F.lit(seed))).limit(k)
+            )
+        sources = src_pool
+    sources = sources.select(F.col("id").alias("s"))
+    n_src = sources.count()
+    if n_src == 0:
+        drop_spill(adj)
+        return verts.select("id", F.lit(0.0).alias("betweenness"))
+
+    spills: list[DataFrame] = []
+
+    def _t(df: DataFrame) -> DataFrame:
+        out = truncate(df)
+        spills.append(out)
+        return out
+
+    with superstep_conf(spark, adj.count()):
+        # ---- forward: multi-source BFS carrying sigma ----
+        frontier = _t(
+            sources.select("s", F.col("s").alias("id"),
+                           F.lit(1.0).alias("sigma"))
+        )
+        visited = frontier.select("s", "id")
+        levels: list[DataFrame] = [frontier]
+        while True:
+            reached = (
+                levels[-1]
+                .join(adj.withColumnRenamed("src", "id"), "id")
+                .select("s", F.col("dst").alias("id"), "sigma")
+                .join(visited, ["s", "id"], "left_anti")
+                .groupBy("s", "id")
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            nxt = _t(reached)
+            if nxt.limit(1).count() == 0:
+                break
+            levels.append(nxt)
+            visited = _t(visited.unionAll(nxt.select("s", "id")))
+
+        # ---- backward: dependency accumulation, depths descending ----
+        # delta at the deepest level is 0; each shallower level gathers
+        # sigma_v/sigma_w * (1 + delta_w) from its successors
+        acc: list[DataFrame] = []
+        delta = levels[-1].select(
+            "s", "id", F.lit(0.0).alias("delta")
+        )
+        for d in range(len(levels) - 2, -1, -1):
+            below = levels[d + 1].join(delta, ["s", "id"]).select(
+                "s",
+                F.col("id").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                "delta",
+            )
+            gathered = (
+                levels[d]
+                .join(adj.withColumnRenamed("src", "id"), "id")
+                .select("s", "id", "sigma", F.col("dst").alias("w"))
+                .join(below, ["s", "w"])
+                .groupBy("s", "id")
+                .agg(
+                    F.sum(
+                        F.col("sigma") / F.col("sigma_w")
+                        * (F.lit(1.0) + F.col("delta"))
+                    ).alias("delta")
+                )
+            )
+            delta = _t(
+                levels[d]
+                .join(gathered, ["s", "id"], "left")
+                .select("s", "id", "sigma",
+                        F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            )
+            if d >= 1:  # Brandes: the source's own delta is discarded
+                acc.append(delta.select("s", "id", "delta"))
+            delta = delta.select("s", "id", "delta")
+
+        if acc:
+            total = acc[0]
+            for a in acc[1:]:
+                total = total.unionAll(a)
+            bc = total.groupBy("id").agg(F.sum("delta").alias("b"))
+        else:
+            bc = verts.select("id", F.lit(0.0).alias("b")).limit(0)
+
+        # undirected: every (s, t) pair is counted from both endpoints
+        # when sources cover the graph, so halve; then the networkx
+        # rescale (sampled estimator multiplies back by n/k)
+        factor = 0.5
+        if normalized:
+            factor = 1.0 / ((n - 1) * (n - 2))
+        if not explicit_sources and n_src < n:
+            factor *= n / n_src
+        out = truncate(
+            verts.join(bc, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.coalesce("b", F.lit(0.0)) * F.lit(factor), 6
+                ).alias("betweenness"),
+            )
+        )
+        for df in spills:
+            drop_spill(df)
+        drop_spill(adj)
+    return out

@@ -113,6 +113,65 @@ def overlap_coefficient(
     )
 
 
+def _wedge_degree_sum(
+    graph: Graph, pairs: DataFrame | None, term, alias: str
+) -> DataFrame:
+    """Shared machinery for the weighted-common-neighbor scorers
+    (Adamic–Adar, resource allocation): for each candidate pair, sum
+    ``term(d(w))`` over the common neighbors w. Same single bounded
+    wedge join as :func:`_pair_stats`, plus one broadcast-able degree
+    join on the wedge midpoint; pairs with no common neighbors (or
+    edge-less endpoints) score 0.0, never dropped."""
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    deg = adj.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("dw")
+    )
+    if pairs is None:
+        pairs = adj.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    scores = (
+        pairs.join(
+            adj.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u"
+        )
+        .join(
+            adj.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+        )
+        .join(deg, "w")
+        .groupBy("u", "v")
+        .agg(F.sum(term(F.col("dw"))).alias("s"))
+    )
+    return pairs.join(scores, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.round(F.coalesce("s", F.lit(0.0)), 6).alias(alias),
+    )
+
+
+def adamic_adar(graph: Graph, pairs: DataFrame | None = None) -> DataFrame:
+    """Returns ``(u, v, adamic_adar double)`` — Σ_{w∈N(u)∩N(v)}
+    1/ln d(w), the Adamic–Adar link-prediction index (networkx
+    adamic_adar_index semantics; common neighbors always have d ≥ 2 so
+    the log is never 0). Same candidate conventions as
+    :func:`vertex_jaccard`."""
+    return _wedge_degree_sum(
+        graph, pairs, lambda d: 1.0 / F.log(d), "adamic_adar"
+    )
+
+
+def resource_allocation(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, resource_allocation double)`` — Σ_{w∈N(u)∩N(v)}
+    1/d(w), the resource-allocation index (Zhou et al. 2009; networkx
+    resource_allocation_index). Same candidate conventions as
+    :func:`vertex_jaccard`."""
+    return _wedge_degree_sum(
+        graph, pairs, lambda d: 1.0 / d, "resource_allocation"
+    )
+
+
 def sorensen_coefficient(
     graph: Graph, pairs: DataFrame | None = None
 ) -> DataFrame:

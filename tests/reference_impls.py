@@ -407,3 +407,51 @@ def scc_ref(directed_edges) -> dict:
     return {
         v: min([v] + [u for u in r[v] if v in r[u]]) for v in verts
     }
+
+
+def brandes_betweenness_ref(
+    edges, normalized: bool = True, sources=None
+) -> dict:
+    """Textbook Brandes betweenness on the undirected simple graph
+    (networkx.betweenness_centrality semantics). ``sources`` restricts
+    the accumulation (no rescale) for partial-betweenness checks."""
+    from collections import deque
+
+    adj: dict = {}
+    verts: set = set()
+    for e in edges:
+        u, v = e[0], e[1]
+        verts.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    bc = {v: 0.0 for v in verts}
+    for s in (sources if sources is not None else verts):
+        stack, preds = [], {v: [] for v in verts}
+        sigma = {v: 0.0 for v in verts}
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in verts}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    n = len(verts)
+    if normalized and n > 2:
+        scale = 1.0 / ((n - 1) * (n - 2))
+    else:
+        scale = 0.5
+    return {v: bc[v] * scale for v in verts}

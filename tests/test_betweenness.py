@@ -1,0 +1,93 @@
+"""Betweenness centrality vs the textbook Brandes oracle."""
+
+import pytest
+
+from graft import fixtures
+from graft.algos.betweenness import betweenness_centrality
+from graft.graph import Graph
+from tests.reference_impls import brandes_betweenness_ref, random_graph
+
+
+def _run(spark, edges, **kw):
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.betweenness
+           for r in betweenness_centrality(g, **kw).collect()}
+    g.unpersist()
+    return got
+
+
+def test_path_graph_golden(spark):
+    """On a 5-path the middle vertex carries the most shortest paths:
+    normalized betweenness (2,3,4 pairs excluding endpoints) is
+    exactly the networkx values."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    got = _run(spark, edges, normalized=True)
+    want = brandes_betweenness_ref(edges, normalized=True)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
+    # sanity: the exact classic values
+    assert got[2] == pytest.approx(4 / 6, abs=1e-6)
+    assert got[0] == 0.0
+
+
+@pytest.mark.parametrize("normalized", [True, False])
+def test_clique_ring_matches_brandes(spark, normalized):
+    edges = fixtures.clique_ring_edges()
+    got = _run(spark, edges, normalized=normalized)
+    want = brandes_betweenness_ref(edges, normalized=normalized)
+    assert set(got) == set(want)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
+
+
+def test_random_graph_matches_brandes(spark):
+    edges = random_graph(35, 0.12, seed=21, weighted=False)
+    got = _run(spark, edges, normalized=True)
+    want = brandes_betweenness_ref(edges, normalized=True)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
+
+
+def test_disconnected_components(spark):
+    """BFS from each source stays inside its component; vertices in
+    other components contribute nothing."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (10, 11, 1.0), (11, 12, 1.0)]
+    got = _run(spark, edges, normalized=False)
+    want = brandes_betweenness_ref(edges, normalized=False)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
+    assert got[1] == 1.0 and got[11] == 1.0
+
+
+def test_explicit_sources_partial(spark):
+    """Partial betweenness from an explicit source set matches the
+    oracle restricted to the same sources (no n/k rescale)."""
+    edges = fixtures.clique_ring_edges()
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    srcs = spark.createDataFrame([(0,), (7,), (13,)], "id long")
+    got = {r.id: r.betweenness
+           for r in betweenness_centrality(
+               g, sources=srcs, normalized=False).collect()}
+    g.unpersist()
+    want = brandes_betweenness_ref(
+        edges, normalized=False, sources=[0, 7, 13]
+    )
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
+
+
+def test_k_equal_n_is_exact_and_sampling_bounds(spark):
+    edges = random_graph(25, 0.15, seed=31, weighted=False)
+    n = len({v for e in edges for v in e[:2]})
+    exact = _run(spark, edges, normalized=True)
+    via_k = _run(spark, edges, k=n, normalized=True)
+    assert via_k == exact
+    sampled = _run(spark, edges, k=8, normalized=True, seed=3)
+    # estimator: right shape, right support, nonnegative
+    assert set(sampled) == set(exact)
+    assert all(b >= 0.0 for b in sampled.values())
+    # the estimator should correlate with the exact ranking: the exact
+    # top vertex lands in the sampled top half
+    top = max(exact, key=exact.get)
+    rank = sorted(sampled, key=sampled.get, reverse=True)
+    assert rank.index(top) < len(rank) / 2

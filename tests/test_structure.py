@@ -1,0 +1,180 @@
+"""Structural metrics (clustering, transitivity, assortativity, knn)
+and the weighted-common-neighbor link scorers (Adamic-Adar, resource
+allocation) against brute-force neighborhood oracles."""
+
+import math
+
+import pytest
+
+from graft import fixtures
+from graft.graph import Graph
+from tests.reference_impls import random_graph
+
+
+def _adj(edges):
+    adj: dict[int, set[int]] = {}
+    verts: set[int] = set()
+    for u, v, _ in edges:
+        verts.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    return verts, adj
+
+
+def _triangles_of(adj, v):
+    nb = adj.get(v, set())
+    return sum(1 for x in nb for y in nb if x < y and y in adj.get(x, set()))
+
+
+@pytest.mark.parametrize("edges", [
+    fixtures.clique_ring_edges(),
+    random_graph(40, 0.15, seed=5, weighted=False),
+])
+def test_clustering_coefficient(spark, edges):
+    from graft.algos.structure import clustering_coefficient
+
+    verts, adj = _adj(edges)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.clustering for r in clustering_coefficient(g).collect()}
+    g.unpersist()
+    assert set(got) == verts
+    for v in verts:
+        d = len(adj.get(v, ()))
+        want = 0.0 if d < 2 else round(
+            2.0 * _triangles_of(adj, v) / (d * (d - 1)), 6
+        )
+        assert got[v] == pytest.approx(want, abs=1e-9), v
+
+
+def test_clustering_self_loop_only_vertex_is_zero(spark):
+    from graft.algos.structure import clustering_coefficient
+
+    edges = fixtures.clique_ring_edges() + [(99, 99, 2.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.clustering for r in clustering_coefficient(g).collect()}
+    g.unpersist()
+    assert got[99] == 0.0
+
+
+@pytest.mark.parametrize("edges,want", [
+    # a triangle: every wedge closes
+    ([(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)], 1.0),
+    # a path: no wedge closes
+    ([(0, 1, 1.0), (1, 2, 1.0)], 0.0),
+])
+def test_transitivity_golden(spark, edges, want):
+    from graft.algos.structure import transitivity
+
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assert transitivity(g) == pytest.approx(want)
+    g.unpersist()
+
+
+def test_transitivity_random_matches_oracle(spark):
+    from graft.algos.structure import transitivity
+
+    edges = random_graph(40, 0.15, seed=7, weighted=False)
+    verts, adj = _adj(edges)
+    n_tri = sum(_triangles_of(adj, v) for v in verts) // 3
+    wedges = sum(
+        len(adj.get(v, ())) * (len(adj.get(v, ())) - 1) // 2 for v in verts
+    )
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assert transitivity(g) == pytest.approx(3.0 * n_tri / wedges)
+    g.unpersist()
+
+
+def test_degree_assortativity(spark):
+    from graft.algos.structure import degree_assortativity
+
+    edges = random_graph(40, 0.12, seed=11, weighted=False)
+    verts, adj = _adj(edges)
+    xs, ys = [], []
+    for u in verts:
+        for v in adj.get(u, ()):
+            xs.append(len(adj[u]))
+            ys.append(len(adj[v]))
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    want = cov / (sx * sy)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assert degree_assortativity(g) == pytest.approx(want, abs=1e-9)
+    g.unpersist()
+
+
+def test_degree_assortativity_regular_graph_is_defined(spark):
+    """On a degree-regular graph the correlation is undefined (constant
+    marginals) — the engine returns 0.0, not NaN."""
+    from graft.algos.structure import degree_assortativity
+
+    # a 4-cycle: every vertex has degree 2
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assert degree_assortativity(g) == 0.0
+    g.unpersist()
+
+
+def test_avg_neighbor_degree(spark):
+    from graft.algos.structure import avg_neighbor_degree
+
+    edges = random_graph(35, 0.15, seed=13, weighted=False)
+    verts, adj = _adj(edges)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.knn for r in avg_neighbor_degree(g).collect()}
+    g.unpersist()
+    assert set(got) == verts
+    for v in verts:
+        nb = adj.get(v, set())
+        want = 0.0 if not nb else round(
+            sum(len(adj[x]) for x in nb) / len(nb), 6
+        )
+        assert got[v] == pytest.approx(want, abs=1e-9), v
+
+
+def test_adamic_adar_and_resource_allocation(spark):
+    from graft.algos.jaccard import adamic_adar, resource_allocation
+
+    edges = fixtures.clique_ring_edges()
+    verts, adj = _adj(edges)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got_aa = {(r.u, r.v): r.adamic_adar for r in adamic_adar(g).collect()}
+    got_ra = {(r.u, r.v): r.resource_allocation
+              for r in resource_allocation(g).collect()}
+    g.unpersist()
+    assert set(got_aa) == set(got_ra) and len(got_aa) == 35
+    for (u, v) in got_aa:
+        common = adj[u] & adj[v]
+        assert got_aa[(u, v)] == pytest.approx(
+            round(sum(1.0 / math.log(len(adj[w])) for w in common), 6)
+            if common else 0.0,
+            abs=1e-6,
+        ), (u, v)
+        assert got_ra[(u, v)] == pytest.approx(
+            round(sum(1.0 / len(adj[w]) for w in common), 6)
+            if common else 0.0,
+            abs=1e-6,
+        ), (u, v)
+
+
+def test_adamic_adar_custom_pairs_not_dropped(spark):
+    from graft.algos.jaccard import adamic_adar, resource_allocation
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    pairs = spark.createDataFrame(
+        [(0, 999), (998, 999), (3, 4)], "u long, v long"
+    )
+    got = {(r.u, r.v): r.adamic_adar
+           for r in adamic_adar(g, pairs=pairs).collect()}
+    got_ra = {(r.u, r.v): r.resource_allocation
+              for r in resource_allocation(g, pairs=pairs).collect()}
+    g.unpersist()
+    # bridge edge (3,4): disjoint neighborhoods -> 0; foreign endpoints
+    # -> 0 (kept, not dropped)
+    assert got == {(0, 999): 0.0, (998, 999): 0.0, (3, 4): 0.0}
+    assert got_ra == got
