@@ -420,9 +420,10 @@ def _sql_walk_step(t: int, seed: int) -> str:
 )"""
 
 
-_SQL_RANDOM_WALKS = (
-    _SQL_ACTORS
-    + """
+# the renumbered integer adjacency shared by the draw-replaying oracles
+# (random walks, neighbor sampling): actors sorted → 0..n−1, both
+# orientations of each simple edge
+_SQL_RENUM = """
 , averts AS (
   SELECT DISTINCT id FROM (
     SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
@@ -437,7 +438,13 @@ _SQL_RANDOM_WALKS = (
   SELECT mv.nid, mu.nid
   FROM e JOIN wmap mu ON mu.id = e.u JOIN wmap mv ON mv.id = e.v
   WHERE e.u <> e.v
-), wdeg AS (SELECT src, count(*) AS d FROM wadj GROUP BY src
+)"""
+
+_SQL_RANDOM_WALKS = (
+    _SQL_ACTORS
+    + _SQL_RENUM
+    + """
+, wdeg AS (SELECT src, count(*) AS d FROM wadj GROUP BY src
 ), wiadj AS (
   SELECT src, dst,
          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
@@ -456,6 +463,39 @@ FROM (
   UNION ALL SELECT walk_id, 3, vid FROM w3
   UNION ALL SELECT walk_id, 4, vid FROM w4
 ) u JOIN wmap m ON m.nid = u.vid"""
+)
+
+
+def _sql_sample_hop(hop: int, fanout: int, frontier: str, seed: int) -> str:
+    """One fanout-capped sampling hop (graft.algos.sampling score):
+    rank each frontier vertex's neighbors by the LCG draw, keep top-f."""
+    k = 97 * hop + seed
+    return f"""
+, s{hop} AS (
+  SELECT f.root, f.id AS src, a.dst,
+         row_number() OVER (
+           PARTITION BY f.root, f.id
+           ORDER BY (a.dst + 31 * f.root + {k}) % 2147483647
+                    * 1103515245 % 2147483647, a.dst
+         ) AS rn
+  FROM {frontier} f JOIN wadj a ON a.src = f.id
+), b{hop} AS (
+  SELECT root, {hop} AS hop, src, dst FROM s{hop} WHERE rn <= {fanout}
+), f{hop} AS (SELECT DISTINCT root, dst AS id FROM b{hop})"""
+
+
+_SQL_NEIGHBOR_SAMPLE = (
+    _SQL_ACTORS
+    + _SQL_RENUM
+    + "\n, f0 AS (SELECT nid AS root, nid AS id FROM wmap)"
+    + _sql_sample_hop(1, 3, "f0", seed=7)
+    + _sql_sample_hop(2, 2, "f1", seed=7)
+    + """
+SELECT mr.id AS root, b.hop, ms.id AS src, md.id AS dst
+FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) b
+JOIN wmap mr ON mr.nid = b.root
+JOIN wmap ms ON ms.nid = b.src
+JOIN wmap md ON md.nid = b.dst"""
 )
 
 
@@ -523,6 +563,54 @@ _SQL_AVG_NEIGHBOR_DEGREE = (
 )
 SELECT v.id, round(coalesce(k.knn, 0.0), 6) AS knn
 FROM averts v LEFT JOIN knn k ON v.id = k.id"""
+)
+
+
+# all-pairs hop distances for closeness/harmonic: a recursive BFS whose
+# frontier carries (source, vertex, depth); the d < n guard bounds the
+# row space (shortest paths never exceed n-1 hops) so DuckDB's UNION
+# dedup terminates, and min(d) collapses the longer rediscoveries
+_SQL_APSP_BASE = (
+    "WITH RECURSIVE "
+    + _SQL_ACTORS_BODY
+    + """
+, adj AS (
+  SELECT u AS src, v AS dst FROM e WHERE u <> v
+  UNION
+  SELECT v AS src, u AS dst FROM e WHERE u <> v
+), averts AS (
+  SELECT DISTINCT id FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  )
+), nv AS (SELECT count(*) AS n FROM averts)
+, bfs(s, id, d) AS (
+  SELECT id, id, 0 FROM averts
+  UNION
+  SELECT b.s, a.dst, b.d + 1
+  FROM bfs b JOIN adj a ON a.src = b.id
+  WHERE b.d < (SELECT n FROM nv)
+), dist AS (SELECT s, id, min(d) AS d FROM bfs GROUP BY s, id)
+"""
+)
+
+_SQL_CLOSENESS = (
+    _SQL_APSP_BASE
+    + """
+, agg AS (SELECT id, count(*) AS r, sum(d) AS sd FROM dist GROUP BY id)
+SELECT g.id,
+       round(CASE WHEN coalesce(a.sd, 0) = 0 THEN 0.0
+             ELSE (a.r - 1.0) * (a.r - 1.0)
+                  / (a.sd * ((SELECT n FROM nv) - 1.0))
+             END, 6) AS closeness
+FROM averts g LEFT JOIN agg a ON a.id = g.id"""
+)
+
+_SQL_HARMONIC = (
+    _SQL_APSP_BASE
+    + """
+, hagg AS (SELECT id, sum(1.0 / d) AS h FROM dist WHERE d > 0 GROUP BY id)
+SELECT g.id, round(coalesce(a.h, 0.0), 6) AS harmonic
+FROM averts g LEFT JOIN hagg a ON a.id = g.id"""
 )
 
 
@@ -987,6 +1075,46 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("walk_id", "step", F.col("aid").alias("actor"))
 
 
+def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop fanout sampling (3 then 2 neighbors per
+    frontier vertex, deterministic LCG ranking) from every actor; the
+    oracle replays the exact draws over the same sorted renumbering."""
+    from graft.algos.sampling import neighbor_sample
+
+    uv = _edges_uv(spark, sf_dir)
+    averts = (
+        uv.select(F.col("u").alias("aid"))
+        .unionAll(uv.select(F.col("v").alias("aid")))
+        .distinct()
+    )
+    mapping = averts.select(
+        "aid",
+        (F.row_number().over(Window.orderBy("aid")) - 1).alias("nid"),
+    )
+    edges_long = (
+        uv.join(mapping.withColumnRenamed("aid", "u"), "u")
+        .withColumnRenamed("nid", "src")
+        .join(mapping.withColumnRenamed("aid", "v"), "v")
+        .withColumnRenamed("nid", "dst")
+        .select("src", "dst", "weight")
+    )
+    g = Graph.from_undirected(edges_long).cache()
+    blocks = neighbor_sample(g, [3, 2], seed=7)
+    for col in ("root", "src", "dst"):
+        blocks = blocks.join(
+            mapping.select(
+                F.col("nid").alias(col), F.col("aid").alias(f"{col}_a")
+            ),
+            col,
+        ).drop(col)
+    return blocks.select(
+        F.col("root_a").alias("root"),
+        "hop",
+        F.col("src_a").alias("src"),
+        F.col("dst_a").alias("dst"),
+    )
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-sources betweenness centrality (multi-source Brandes
     as DataFrame supersteps). A shortest-path-counting fixpoint with a
@@ -997,6 +1125,25 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _actor_graph(spark, sf_dir).cache()
     return betweenness_centrality(g, normalized=True)
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closeness centrality (Wasserman–Faust), all sources in
+    flight in one multi-source BFS; the oracle replays the all-pairs
+    hop table with a recursive CTE."""
+    from graft.algos.closeness import closeness_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return closeness_centrality(g, wf_improved=True)
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality Σ 1/d(u, v) over the same multi-source
+    BFS depth table."""
+    from graft.algos.closeness import harmonic_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return harmonic_centrality(g)
 
 
 def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,6 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "betweenness": _q_betweenness,
+        "closeness": _q_closeness,
+        "harmonic_centrality": _q_harmonic,
+        "neighbor_sample_2hop": _q_neighbor_sample,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -1358,6 +1508,9 @@ FROM e WHERE u = v""",
         "degree_assortativity": _SQL_ASSORTATIVITY,
         "avg_neighbor_degree": _SQL_AVG_NEIGHBOR_DEGREE,
         "random_walks_4": _SQL_RANDOM_WALKS,
+        "closeness": _SQL_CLOSENESS,
+        "harmonic_centrality": _SQL_HARMONIC,
+        "neighbor_sample_2hop": _SQL_NEIGHBOR_SAMPLE,
         # betweenness: shortest-path-counting fixpoint + descending
         # back-propagation — rows-only (tests/test_betweenness.py pins
         # values against the textbook Brandes oracle)

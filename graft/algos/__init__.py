@@ -27,4 +27,8 @@ from graft.algos.centrality import (  # noqa: F401
 )
 from graft.algos.scc import strongly_connected_components  # noqa: F401
 from graft.algos.betweenness import betweenness_centrality  # noqa: F401
+from graft.algos.closeness import (  # noqa: F401
+    closeness_centrality,
+    harmonic_centrality,
+)
 from graft.algos.walks import random_walks  # noqa: F401

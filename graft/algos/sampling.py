@@ -1,0 +1,124 @@
+"""Fanout-capped k-hop neighborhood sampling (GraphSAGE-style
+minibatch blocks).
+
+A 100-TB training pipeline feeding a GNN needs per-root sampled
+message-passing blocks: from each root, keep at most ``fanouts[0]``
+neighbors, then at most ``fanouts[1]`` neighbors of those, etc.
+(GraphSAGE/DGL/PyG NeighborSampler semantics). The engine materializes
+the blocks fully distributed AND fully reproducible: instead of a
+stateful RNG, neighbors are ranked by a counter-based LCG score
+
+    score(root, src, dst, hop) =
+        ((dst + 31·root + 97·hop + seed) mod M) · 1103515245 mod M,
+    M = 2^31 − 1, ties broken by dst
+
+and the top-``fanout`` per (root, src) survive — a pure arithmetic
+function of the edge and its position in the block, so the same sample
+comes out of any cluster size or partitioning and an unrolled SQL
+oracle can certify the exact rows.
+
+Plan per hop: the frontier joins the adjacency on the vertex key (one
+keyed join), then one window ``row_number`` partitioned by
+(root, src) — one shuffle per hop, state bounded by
+|roots| · ∏ fanouts rows, no driver data. That bound is the whole
+point at scale: hub vertices contribute ``fanout`` rows like everyone
+else, so skew never amplifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graft.algos.community import superstep_conf
+from graft.checkpoint import drop_spill, truncate
+from graft.graph import Graph
+
+_LCG_M = 2147483647
+_LCG_A = 1103515245
+
+
+def _score(root, src, dst, hop: int, seed: int):
+    """The deterministic neighbor-ranking draw — int64-safe: the inner
+    sum is reduced mod M before the multiply ((M−1)·A < 2^62)."""
+    return (
+        (
+            dst.cast("long")
+            + 31 * root.cast("long")
+            + F.lit(97 * hop + seed)
+        )
+        % _LCG_M
+        * F.lit(_LCG_A)
+    ) % _LCG_M
+
+
+def neighbor_sample(
+    graph: Graph,
+    fanouts: list[int],
+    roots: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns ``(root, hop int, src, dst)`` — the sampled block edges:
+    at hop h (1-based), at most ``fanouts[h-1]`` out-edges per
+    (root, frontier vertex) over the simple (self-loop-free,
+    deduplicated) adjacency, frontier h+1 = the distinct sampled
+    ``dst``. ``roots`` is a one-column ``(id)`` table (default: every
+    vertex). Requires integral vertex ids (string-keyed graphs:
+    renumber first, e.g. :func:`graft.io.actor_edges_to_long`)."""
+    id_type = dict(graph.edges.dtypes)["src"]
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        raise TypeError(
+            f"neighbor_sample needs integral vertex ids, got {id_type}; "
+            "renumber with graft.io.actor_edges_to_long first"
+        )
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be positive, got {fanouts}")
+    adj = truncate(
+        graph.without_self_loops().select("src", "dst").distinct()
+    )
+    if roots is None:
+        roots = graph.vertices()
+    spark = graph.edges.sparkSession
+    spills = [adj]
+    frontier = roots.select(F.col("id").cast("long").alias("root"))
+    frontier = frontier.select("root", F.col("root").alias("id"))
+    parts: list[DataFrame] = []
+    with superstep_conf(spark, adj.count()):
+        for h, fanout in enumerate(fanouts, start=1):
+            ranked = (
+                frontier.join(
+                    adj.withColumnRenamed("src", "id"), "id"
+                )
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("root", "id").orderBy(
+                            _score(
+                                F.col("root"), F.col("id"),
+                                F.col("dst"), h, seed,
+                            ),
+                            "dst",
+                        )
+                    ),
+                )
+                .where(F.col("rn") <= fanout)
+                .select(
+                    "root",
+                    F.lit(h).alias("hop"),
+                    F.col("id").alias("src"),
+                    "dst",
+                )
+            )
+            block = truncate(ranked)
+            spills.append(block)
+            parts.append(block)
+            frontier = block.select(
+                "root", F.col("dst").alias("id")
+            ).distinct()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out = truncate(out)
+        for df in spills:
+            drop_spill(df)
+    return out

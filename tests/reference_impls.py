@@ -455,3 +455,59 @@ def brandes_betweenness_ref(
     else:
         scale = 0.5
     return {v: bc[v] * scale for v in verts}
+
+
+def all_pairs_hops_ref(edges) -> dict:
+    """BFS hop distances between every reachable (s, v) pair on the
+    undirected simple graph: ``{(s, v): d}`` including (s, s): 0."""
+    from collections import deque
+
+    adj: dict = {}
+    verts: set = set()
+    for e in edges:
+        u, v = e[0], e[1]
+        verts.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    dist = {}
+    for s in verts:
+        dist[(s, s)] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if (s, w) not in dist:
+                    dist[(s, w)] = dist[(s, v)] + 1
+                    q.append(w)
+    return dist
+
+
+def closeness_ref(edges, wf_improved: bool = True) -> dict:
+    """networkx.closeness_centrality on the undirected simple graph."""
+    dist = all_pairs_hops_ref(edges)
+    verts = {v for e in edges for v in (e[0], e[1])}
+    n = len(verts)
+    out = {}
+    for v in verts:
+        reach = [d for (s, t), d in dist.items() if t == v]
+        sd = sum(reach)
+        r = len(reach)
+        if sd == 0:
+            out[v] = 0.0
+            continue
+        c = (r - 1) / sd
+        if wf_improved:
+            c *= (r - 1) / (n - 1)
+        out[v] = c
+    return out
+
+
+def harmonic_ref(edges) -> dict:
+    """networkx.harmonic_centrality on the undirected simple graph."""
+    dist = all_pairs_hops_ref(edges)
+    verts = {v for e in edges for v in (e[0], e[1])}
+    return {
+        v: sum(1.0 / d for (s, t), d in dist.items() if t == v and d > 0)
+        for v in verts
+    }
