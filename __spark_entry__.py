@@ -466,6 +466,72 @@ FROM (
 )
 
 
+def _sql_n2v_step(t: int, seed: int, w_ret: int, w_com: int,
+                  w_far: int) -> str:
+    """One unrolled node2vec transition (graft.algos.walks biased
+    draw): classify each neighbor against prev, integer cumsum over the
+    dst-sorted list, inverse-CDF pick by the LCG draw."""
+    k = t * 12345 + seed
+    return f"""
+, c{t} AS (
+  SELECT w.walk_id, w.vid, w.prev, a.dst,
+         CASE WHEN a.dst = w.prev THEN {w_ret}
+              WHEN b.src IS NOT NULL THEN {w_com}
+              ELSE {w_far} END AS w
+  FROM n{t - 1} w
+  JOIN wadj a ON a.src = w.vid
+  LEFT JOIN wadj b ON b.src = w.prev AND b.dst = a.dst
+), p{t} AS (
+  SELECT walk_id, vid, dst, w,
+         sum(w) OVER (PARTITION BY walk_id ORDER BY dst
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY walk_id) AS total
+  FROM c{t}
+), n{t} AS (
+  SELECT walk_id, dst AS vid, vid AS prev
+  FROM p{t}
+  WHERE (walk_id % 2147483647 * 1103515245 + {k})
+          % 2147483647 % total >= cum - w
+    AND (walk_id % 2147483647 * 1103515245 + {k})
+          % 2147483647 % total < cum
+)"""
+
+
+# node2vec contract: 1 walk x 3 steps per actor, p=2 q=0.5 seed=13 →
+# integer weights (500, 1000, 2000); step 1 is the uniform indexed pick
+_SQL_NODE2VEC = (
+    _SQL_ACTORS
+    + _SQL_RENUM
+    + """
+, wdeg AS (SELECT src, count(*) AS d FROM wadj GROUP BY src
+), wiadj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM wadj
+), n0 AS (SELECT nid AS walk_id, nid AS vid, nid AS prev FROM wmap)
+, n1 AS (
+  SELECT w.walk_id, a.dst AS vid, w.vid AS prev
+  FROM n0 w
+  JOIN wdeg g ON g.src = w.vid
+  JOIN wiadj a ON a.src = w.vid
+   AND a.idx = (w.walk_id % 2147483647 * 1103515245 + {k1})
+                % 2147483647 % g.d
+)""".format(k1=1 * 12345 + 13)
+    + "".join(
+        _sql_n2v_step(t, seed=13, w_ret=500, w_com=1000, w_far=2000)
+        for t in (2, 3)
+    )
+    + """
+SELECT u.walk_id, u.step, m.id AS actor
+FROM (
+  SELECT walk_id, 0 AS step, vid FROM n0
+  UNION ALL SELECT walk_id, 1, vid FROM n1
+  UNION ALL SELECT walk_id, 2, vid FROM n2
+  UNION ALL SELECT walk_id, 3, vid FROM n3
+) u JOIN wmap m ON m.nid = u.vid"""
+)
+
+
 def _sql_sample_hop(hop: int, fanout: int, frontier: str, seed: int) -> str:
     """One fanout-capped sampling hop (graft.algos.sampling score):
     rank each frontier vertex's neighbors by the LCG draw, keep top-f."""
@@ -1042,15 +1108,13 @@ def _q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avg_neighbor_degree(g)
 
 
-def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic DeepWalk corpus: 2 walks × 4 steps from every
-    actor, counter-based LCG transitions over the renumbered simple
-    graph (graft.algos.walks). The contract renumbers actors by sorted
-    order (row_number window — fine at contract scale; production uses
-    graft.io.actor_edges_to_long) so the unrolled SQL oracle can
-    replay the exact same draws."""
-    from graft.algos.walks import random_walks
-
+def _sorted_renum(
+    spark: SparkSession, sf_dir: str
+) -> tuple[Graph, DataFrame]:
+    """(integer-id Graph, (aid, nid) mapping) — actors renumbered in
+    SORTED order (row_number window — fine at contract scale;
+    production uses graft.io.actor_edges_to_long) so the draw-replaying
+    SQL oracles (walks, node2vec, neighbor sampling) line up exactly."""
     uv = _edges_uv(spark, sf_dir)
     averts = (
         uv.select(F.col("u").alias("aid"))
@@ -1068,8 +1132,34 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("nid", "dst")
         .select("src", "dst", "weight")
     )
-    g = Graph.from_undirected(edges_long).cache()
+    return Graph.from_undirected(edges_long).cache(), mapping
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus: 2 walks × 4 steps from every
+    actor, counter-based LCG transitions over the renumbered simple
+    graph (graft.algos.walks); the unrolled SQL oracle replays the
+    exact same draws."""
+    from graft.algos.walks import random_walks
+
+    g, mapping = _sorted_renum(spark, sf_dir)
     walks = random_walks(g, walk_length=4, num_walks=2, seed=11)
+    return walks.join(
+        mapping.withColumnRenamed("nid", "id"), "id"
+    ).select("walk_id", "step", F.col("aid").alias("actor"))
+
+
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased corpus (p=2 return-averse, q=0.5 outward): 1
+    walk × 3 steps per actor, integer-scaled second-order weights and
+    inverse-CDF LCG picks — the unrolled SQL oracle replays every
+    classification and draw."""
+    from graft.algos.walks import node2vec_walks
+
+    g, mapping = _sorted_renum(spark, sf_dir)
+    walks = node2vec_walks(
+        g, walk_length=3, num_walks=1, p=2.0, q=0.5, seed=13
+    )
     return walks.join(
         mapping.withColumnRenamed("nid", "id"), "id"
     ).select("walk_id", "step", F.col("aid").alias("actor"))
@@ -1081,24 +1171,7 @@ def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the exact draws over the same sorted renumbering."""
     from graft.algos.sampling import neighbor_sample
 
-    uv = _edges_uv(spark, sf_dir)
-    averts = (
-        uv.select(F.col("u").alias("aid"))
-        .unionAll(uv.select(F.col("v").alias("aid")))
-        .distinct()
-    )
-    mapping = averts.select(
-        "aid",
-        (F.row_number().over(Window.orderBy("aid")) - 1).alias("nid"),
-    )
-    edges_long = (
-        uv.join(mapping.withColumnRenamed("aid", "u"), "u")
-        .withColumnRenamed("nid", "src")
-        .join(mapping.withColumnRenamed("aid", "v"), "v")
-        .withColumnRenamed("nid", "dst")
-        .select("src", "dst", "weight")
-    )
-    g = Graph.from_undirected(edges_long).cache()
+    g, mapping = _sorted_renum(spark, sf_dir)
     blocks = neighbor_sample(g, [3, 2], seed=7)
     for col in ("root", "src", "dst"):
         blocks = blocks.join(
@@ -1443,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "harmonic_centrality": _q_harmonic,
         "neighbor_sample_2hop": _q_neighbor_sample,
+        "node2vec_walks_3": _q_node2vec,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -1511,6 +1585,7 @@ FROM e WHERE u = v""",
         "closeness": _SQL_CLOSENESS,
         "harmonic_centrality": _SQL_HARMONIC,
         "neighbor_sample_2hop": _SQL_NEIGHBOR_SAMPLE,
+        "node2vec_walks_3": _SQL_NODE2VEC,
         # betweenness: shortest-path-counting fixpoint + descending
         # back-propagation — rows-only (tests/test_betweenness.py pins
         # values against the textbook Brandes oracle)

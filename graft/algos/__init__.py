@@ -31,4 +31,5 @@ from graft.algos.closeness import (  # noqa: F401
     closeness_centrality,
     harmonic_centrality,
 )
-from graft.algos.walks import random_walks  # noqa: F401
+from graft.algos.walks import node2vec_walks, random_walks  # noqa: F401
+from graft.algos.sampling import neighbor_sample  # noqa: F401

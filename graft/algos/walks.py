@@ -116,3 +116,155 @@ def random_walks(
         for df in spills:
             drop_spill(df)
     return out
+
+
+_N2V_SCALE = 1000
+
+
+def _bias_weights(p: float, q: float) -> tuple[int, int, int]:
+    """node2vec transition weights 1/p (return), 1 (common), 1/q (far)
+    as integers scaled by 1000 — integer cumulative sums keep the draw
+    exact in both the engine and the SQL oracle (float boundaries
+    could flip a pick between engines)."""
+    w_ret, w_com, w_far = (
+        round(_N2V_SCALE / p), _N2V_SCALE, round(_N2V_SCALE / q),
+    )
+    if min(w_ret, w_com, w_far) < 1:
+        raise ValueError(f"p={p} or q={q} too large: a scaled weight is 0")
+    return w_ret, w_com, w_far
+
+
+def node2vec_walks(
+    graph: Graph,
+    walk_length: int = 4,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns ``(walk_id long, step int, id)`` — second-order biased
+    walks (node2vec; Grover & Leskovec 2016). The step from ``cur``
+    (having arrived from ``prev``) picks neighbor ``dst`` with
+    unnormalized weight 1/p if ``dst = prev``, 1 if ``dst`` is adjacent
+    to ``prev``, 1/q otherwise — weights integer-scaled by 1000 (bias
+    exact to 3 decimals) and drawn by inverse-CDF over the dst-sorted
+    neighbor list with the same counter-based LCG as
+    :func:`random_walks`, so the corpus is reproducible at any
+    partitioning and SQL-oracle-checkable.
+
+    Plan per step: frontier joins the adjacency (keyed), one left
+    existence join against the adjacency on (prev, dst) for the
+    common-neighbor class, one per-walk window cumsum to pick — state
+    is O(walks · avg_degree) per step, no driver data. Step 1 is a
+    first-order uniform step (no prev yet), matching the
+    node2vec paper's initialization.
+    """
+    id_type = dict(graph.edges.dtypes)["src"]
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        raise TypeError(
+            f"node2vec_walks needs integral vertex ids, got {id_type}; "
+            "renumber with graft.io.actor_edges_to_long first"
+        )
+    w_ret, w_com, w_far = _bias_weights(p, q)
+    adj = truncate(
+        graph.without_self_loops().select("src", "dst").distinct()
+    )
+    indexed = truncate(
+        adj.withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy("dst")
+            ) - 1,
+        )
+    )
+    deg = indexed.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    starts = graph.vertices().select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_walks - 1))
+        ).alias("rep"),
+    ).select(
+        (F.col("id").cast("long") * num_walks + F.col("rep"))
+        .alias("walk_id"),
+        "id",
+    )
+
+    spark = graph.edges.sparkSession
+    spills = [adj, indexed]
+    parts = [starts.select("walk_id", F.lit(0).alias("step"), "id")]
+    with superstep_conf(spark, adj.count()):
+        # step 1: uniform (no prev) — the random_walks transition
+        idx = _draw(F.col("walk_id"), 1, seed) % F.col("d")
+        cur = truncate(
+            starts.join(deg, "id")
+            .select("walk_id", "id", idx.cast("int").alias("idx"))
+            .join(
+                indexed.select(
+                    F.col("src").alias("id"), "idx",
+                    F.col("dst").alias("nid"),
+                ),
+                ["id", "idx"],
+            )
+            .select(
+                "walk_id",
+                F.col("nid").alias("id"),
+                F.col("id").alias("prev"),
+            )
+        )
+        spills.append(cur)
+        parts.append(cur.select("walk_id", F.lit(1).alias("step"), "id"))
+        for t in range(2, walk_length + 1):
+            cand = (
+                cur.join(adj.withColumnRenamed("src", "id"), "id")
+                .join(
+                    adj.select(
+                        F.col("src").alias("prev"),
+                        F.col("dst").alias("dst"),
+                        F.lit(1).alias("is_common"),
+                    ),
+                    ["prev", "dst"],
+                    "left",
+                )
+                .withColumn(
+                    "w",
+                    F.when(F.col("dst") == F.col("prev"), F.lit(w_ret))
+                    .when(F.col("is_common").isNotNull(), F.lit(w_com))
+                    .otherwise(F.lit(w_far)),
+                )
+            )
+            win = Window.partitionBy("walk_id").orderBy("dst")
+            picked = (
+                cand.withColumn("cum", F.sum("w").over(win))
+                .withColumn(
+                    "total",
+                    F.sum("w").over(
+                        Window.partitionBy("walk_id")
+                    ),
+                )
+                .withColumn(
+                    "x", _draw(F.col("walk_id"), t, seed) % F.col("total")
+                )
+                .where(
+                    (F.col("x") >= F.col("cum") - F.col("w"))
+                    & (F.col("x") < F.col("cum"))
+                )
+                .select(
+                    "walk_id",
+                    F.col("dst").alias("id"),
+                    F.col("id").alias("prev"),
+                )
+            )
+            cur = truncate(picked)
+            spills.append(cur)
+            parts.append(
+                cur.select("walk_id", F.lit(t).alias("step"), "id")
+            )
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionAll(pt)
+        out = truncate(out)
+        for df in spills:
+            drop_spill(df)
+    return out

@@ -89,3 +89,116 @@ def test_walks_reject_string_ids(spark):
     )
     with pytest.raises(TypeError, match="integral vertex ids"):
         random_walks(Graph(e, symmetric=False))
+
+
+_M, _A, _C = 2147483647, 1103515245, 12345
+
+
+def node2vec_ref(edges, walk_length, num_walks, p, q, seed):
+    """Exact python replay of node2vec_walks' integer-scaled draws."""
+    adj: dict = {}
+    verts: set = set()
+    for e in edges:
+        u, v = e[0], e[1]
+        verts.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    srt = {v: sorted(ns) for v, ns in adj.items()}
+    w_ret, w_com, w_far = round(1000 / p), 1000, round(1000 / q)
+    rows = set()
+    for v in verts:
+        for rep in range(num_walks):
+            wid = v * num_walks + rep
+            rows.add((wid, 0, v))
+            nbrs = srt.get(v)
+            if not nbrs:
+                continue
+            x1 = (wid % _M * _A + 1 * _C + seed) % _M
+            cur, prev = nbrs[x1 % len(nbrs)], v
+            rows.add((wid, 1, cur))
+            for t in range(2, walk_length + 1):
+                nbrs = srt.get(cur)
+                if not nbrs:
+                    break
+                ws = [
+                    w_ret if d == prev
+                    else (w_com if d in adj[prev] else w_far)
+                    for d in nbrs
+                ]
+                x = (wid % _M * _A + t * _C + seed) % _M % sum(ws)
+                cum = 0
+                for d, w in zip(nbrs, ws):
+                    cum += w
+                    if x < cum:
+                        nxt = d
+                        break
+                rows.add((wid, t, nxt))
+                prev, cur = cur, nxt
+    return rows
+
+
+def test_node2vec_exact_rows(spark):
+    from graft.algos.walks import node2vec_walks
+
+    edges = random_graph(30, 0.15, seed=29, weighted=False)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {
+        (r.walk_id, r.step, r.id)
+        for r in node2vec_walks(
+            g, walk_length=4, num_walks=2, p=2.0, q=0.5, seed=3
+        ).collect()
+    }
+    g.unpersist()
+    assert got == node2vec_ref(edges, 4, 2, p=2.0, q=0.5, seed=3)
+
+
+def test_node2vec_uniform_matches_first_order_bias(spark):
+    """p=q=1 makes every transition class equal weight; the walk is
+    still a valid walk over graph edges and fully deterministic."""
+    from graft.algos.walks import node2vec_walks
+
+    edges = random_graph(20, 0.3, seed=17, weighted=False)
+    eset = {(u, v) for u, v, _ in edges} | {(v, u) for u, v, _ in edges}
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    out = node2vec_walks(g, walk_length=3, p=1.0, q=1.0, seed=9)
+    rows = sorted(
+        ((r.walk_id, r.step, r.id) for r in out.collect())
+    )
+    out2 = node2vec_walks(g, walk_length=3, p=1.0, q=1.0, seed=9)
+    rows2 = sorted(
+        ((r.walk_id, r.step, r.id) for r in out2.collect())
+    )
+    g.unpersist()
+    assert rows == rows2
+    assert rows == sorted(node2vec_ref(edges, 3, 1, 1.0, 1.0, 9))
+    by_walk: dict = {}
+    for wid, step, vid in rows:
+        by_walk.setdefault(wid, {})[step] = vid
+    for steps in by_walk.values():
+        for t in range(1, max(steps)):
+            assert (steps[t], steps[t + 1]) in eset
+
+
+def test_node2vec_return_bias(spark):
+    """Tiny p (strong return weight) on a path graph: step 2 returns to
+    the start far more often than under uniform."""
+    from graft.algos.walks import node2vec_walks
+
+    edges = [(i, i + 1, 1.0) for i in range(40)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    out = {
+        (r.walk_id, r.step): r.id
+        for r in node2vec_walks(
+            g, walk_length=2, p=0.01, q=1.0, seed=1
+        ).collect()
+    }
+    g.unpersist()
+    returns = sum(
+        1 for (wid, step), vid in out.items()
+        if step == 2 and vid == out[(wid, 0)]
+    )
+    n_walks = sum(1 for (wid, step) in out if step == 2)
+    # w_ret=100000 vs w_far=1000: interior vertices return ~99% of
+    # draws; endpoints (degree 1 mid-walk) always return
+    assert returns / n_walks > 0.9
