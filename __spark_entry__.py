@@ -679,6 +679,36 @@ SELECT g.id, round(coalesce(a.h, 0.0), 6) AS harmonic
 FROM averts g LEFT JOIN hagg a ON a.id = g.id"""
 )
 
+_SQL_ECCENTRICITY = (
+    _SQL_APSP_BASE
+    + """
+, eagg AS (SELECT s AS id, max(d) AS e FROM dist GROUP BY s)
+SELECT g.id, coalesce(a.e, 0) AS ecc
+FROM averts g LEFT JOIN eagg a ON a.id = g.id"""
+)
+
+_SQL_DIAMETER = (
+    _SQL_APSP_BASE
+    + """
+SELECT coalesce(max(d), 0) AS diameter FROM dist"""
+)
+
+# degree histogram over the simple graph, degree-0 (self-loop-only)
+# vertices included
+_SQL_DEGREE_HISTOGRAM = (
+    _SQL_PAIR_BASE
+    + """
+, averts AS (
+  SELECT DISTINCT id FROM (
+    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+  )
+), vd AS (
+  SELECT v.id, coalesce(d.d, 0) AS degree
+  FROM averts v LEFT JOIN degs d ON d.id = v.id
+)
+SELECT degree, count(*) AS n_vertices FROM vd GROUP BY degree"""
+)
+
 
 def _sql_katz_iter(prev: str, cur: str, alpha: float, beta: float) -> str:
     """One unrolled Katz superstep: x' = alpha·A·x + beta."""
@@ -1219,6 +1249,40 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g)
 
 
+def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex eccentricity (max hop distance reached) off the same
+    multi-source BFS depth table as closeness."""
+    from graft.algos.closeness import eccentricity
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return eccentricity(g)
+
+
+def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter (max finite eccentricity, scalar)."""
+    from graft.algos.closeness import diameter
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return spark.createDataFrame([(diameter(g),)], "diameter int")
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-graph degree distribution ``(degree, n_vertices)`` —
+    degree-0 (self-loop-only) vertices included; the summary a corpus
+    health dashboard reads first."""
+    from graft.algos.structure import _simple_adj, _simple_degrees
+
+    g = _actor_graph(spark, sf_dir).cache()
+    deg = _simple_degrees(_simple_adj(g))
+    return (
+        g.vertices()
+        .join(deg, "id", "left")
+        .select(F.coalesce("d", F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge Sørensen–Dice coefficient 2|∩|/(du+dv)
     (cugraph.sorensen-shaped)."""
@@ -1517,6 +1581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic,
         "neighbor_sample_2hop": _q_neighbor_sample,
         "node2vec_walks_3": _q_node2vec,
+        "eccentricity": _q_eccentricity,
+        "graph_diameter": _q_diameter,
+        "degree_histogram": _q_degree_histogram,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -1586,6 +1653,9 @@ FROM e WHERE u = v""",
         "harmonic_centrality": _SQL_HARMONIC,
         "neighbor_sample_2hop": _SQL_NEIGHBOR_SAMPLE,
         "node2vec_walks_3": _SQL_NODE2VEC,
+        "eccentricity": _SQL_ECCENTRICITY,
+        "graph_diameter": _SQL_DIAMETER,
+        "degree_histogram": _SQL_DEGREE_HISTOGRAM,
         # betweenness: shortest-path-counting fixpoint + descending
         # back-propagation — rows-only (tests/test_betweenness.py pins
         # values against the textbook Brandes oracle)

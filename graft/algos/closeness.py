@@ -183,3 +183,35 @@ def harmonic_centrality(
     for df in spills:
         drop_spill(df)
     return out
+
+
+def eccentricity(
+    graph: Graph, sources: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(id, ecc int)`` — each vertex's eccentricity (max hop
+    distance to any vertex it reaches; networkx.eccentricity per
+    component, 0 for isolated vertices) off the same multi-source BFS
+    depth table as closeness. ``sources`` restricts to those sources'
+    rows (their distances to everything they reach)."""
+    verts = graph.vertices_cached()
+    srcs, _ = _source_pool(graph, None, sources, 0)
+    depths, spills = multi_source_depths(graph, srcs)
+    agg = depths.groupBy(F.col("s").alias("id")).agg(
+        F.max("depth").alias("e")
+    )
+    out = truncate(
+        verts.join(agg, "id", "left").select(
+            "id", F.coalesce("e", F.lit(0)).cast("int").alias("ecc")
+        )
+    )
+    for df in spills:
+        drop_spill(df)
+    return out
+
+
+def diameter(graph: Graph) -> int:
+    """The graph diameter: max finite eccentricity over all vertices
+    (per-component max shortest path; 0 on an edgeless graph)."""
+    ecc = eccentricity(graph)
+    row = ecc.agg(F.max("ecc")).first()
+    return int(row[0]) if row[0] is not None else 0

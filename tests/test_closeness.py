@@ -110,3 +110,36 @@ def test_self_loop_only_vertex_scores_zero(spark):
     g.unpersist()
     assert got_c[2] == 0.0 and got_h[2] == 0.0
     assert got_c[0] > 0 and got_h[0] == 1.0
+
+
+def test_eccentricity_and_diameter(spark):
+    from graft.algos.closeness import diameter, eccentricity
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0),
+             (10, 11, 1.0), (12, 12, 1.0)]
+    g = _graph(spark, edges)
+    got = {r.id: r.ecc for r in eccentricity(g).collect()}
+    d = diameter(g)
+    g.unpersist()
+    dist = all_pairs_hops_ref(edges)
+    want = {}
+    for (s, t), dd in dist.items():
+        want[s] = max(want.get(s, 0), dd)
+    want[12] = 0  # self-loop-only vertex: no simple neighbors
+    assert got == want
+    assert d == 4
+    assert got[2] == 2 and got[0] == 4 and got[10] == 1
+
+
+def test_eccentricity_random_matches_ref(spark):
+    from graft.algos.closeness import eccentricity
+
+    edges = random_graph(28, 0.12, seed=21, weighted=False)
+    g = _graph(spark, edges)
+    got = {r.id: r.ecc for r in eccentricity(g).collect()}
+    g.unpersist()
+    dist = all_pairs_hops_ref(edges)
+    want: dict = {}
+    for (s, t), dd in dist.items():
+        want[s] = max(want.get(s, 0), dd)
+    assert got == want
