@@ -187,6 +187,28 @@ def powerlaw_throughput() -> dict[str, float]:
         ).count(),
         "leiden_bsp_level0",
     )
+    # the r4 training-pipeline family at scale: GNN minibatch blocks
+    # from every one of the 200k roots (fanout 10 then 5, hub
+    # adjacency pre-truncated at 64 — the cap is 5x wall over the
+    # uncapped run at identical output size), and k-source sampled
+    # Brandes betweenness (the 100-TB estimator path)
+    from graft.algos.betweenness import betweenness_centrality
+    from graft.algos.sampling import neighbor_sample
+
+    n_blocks = 0
+
+    def _sample() -> int:
+        nonlocal n_blocks
+        n_blocks = neighbor_sample(
+            big, [10, 5], seed=1, max_degree=64
+        ).count()
+        return n_blocks
+
+    t_samp = _timed(_sample, "neighbor_sample_2hop")
+    t_btw = _timed(
+        lambda: betweenness_centrality(big, k=4, seed=1).count(),
+        "betweenness_k4",
+    )
     big.unpersist()
     spark.stop()
     return {
@@ -194,9 +216,12 @@ def powerlaw_throughput() -> dict[str, float]:
         "louvain_bsp_5sweeps_2m_edges": t_louv,
         "leiden_powerlaw_2m_edges": t_leiden,
         "leiden_bsp_level0_2m_edges": t_bsp,
+        "neighbor_sample_2hop_2m_edges": t_samp,
+        "betweenness_k4_2m_edges": t_btw,
         "_powerlaw_edges_per_sec_per_superstep": round(
             n_edges * PR_ITERS / t, 1
         ),
+        "_sample_block_rows_per_sec": round(n_blocks / t_samp, 1),
     }
 
 

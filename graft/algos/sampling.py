@@ -57,6 +57,7 @@ def neighbor_sample(
     fanouts: list[int],
     roots: DataFrame | None = None,
     seed: int = 42,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Returns ``(root, hop int, src, dst)`` — the sampled block edges:
     at hop h (1-based), at most ``fanouts[h-1]`` out-edges per
@@ -64,7 +65,15 @@ def neighbor_sample(
     deduplicated) adjacency, frontier h+1 = the distinct sampled
     ``dst``. ``roots`` is a one-column ``(id)`` table (default: every
     vertex). Requires integral vertex ids (string-keyed graphs:
-    renumber first, e.g. :func:`graft.io.actor_edges_to_long`)."""
+    renumber first, e.g. :func:`graft.io.actor_edges_to_long`).
+
+    ``max_degree``: deterministically pre-truncate each vertex's
+    adjacency to that many neighbors (root-independent LCG ranking)
+    before any hop. The per-hop candidate set is Σ deg(frontier) —
+    on a power-law graph hub rows dominate it even though the OUTPUT
+    is fanout-capped; a max_degree cap (DGL/PyG's standard hub
+    mitigation) bounds the pre-window work too, trading a bounded
+    bias on hub neighborhoods for a hard per-hop cost ceiling."""
     id_type = dict(graph.edges.dtypes)["src"]
     if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
         raise TypeError(
@@ -73,9 +82,25 @@ def neighbor_sample(
         )
     if not fanouts or any(f < 1 for f in fanouts):
         raise ValueError(f"fanouts must be positive, got {fanouts}")
-    adj = truncate(
-        graph.without_self_loops().select("src", "dst").distinct()
-    )
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    if max_degree is not None:
+        adj = (
+            adj.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(
+                        _score(
+                            F.col("src"), F.col("src"), F.col("dst"),
+                            0, seed,
+                        ),
+                        "dst",
+                    )
+                ),
+            )
+            .where(F.col("rn") <= max_degree)
+            .drop("rn")
+        )
+    adj = truncate(adj)
     if roots is None:
         roots = graph.vertices()
     spark = graph.edges.sparkSession

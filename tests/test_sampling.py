@@ -110,3 +110,33 @@ def test_rejects_string_ids_and_bad_fanouts(spark):
     g2 = Graph.from_undirected(fixtures.edges_df(spark, [(0, 1, 1.0)]))
     with pytest.raises(ValueError):
         neighbor_sample(g2, [])
+
+
+def test_max_degree_pretruncation(spark):
+    """max_degree bounds every vertex's candidate adjacency before the
+    fanout pick; the result is still a valid deterministic sample and
+    uncapped vertices are unaffected."""
+    edges = random_graph(30, 0.35, seed=31, weighted=False)
+    eset = {(u, v) for u, v, _ in edges} | {(v, u) for u, v, _ in edges}
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {
+        (r.root, r.hop, r.src, r.dst)
+        for r in neighbor_sample(
+            g, [50], seed=4, max_degree=3
+        ).collect()
+    }
+    got2 = {
+        (r.root, r.hop, r.src, r.dst)
+        for r in neighbor_sample(
+            g, [50], seed=4, max_degree=3
+        ).collect()
+    }
+    g.unpersist()
+    assert got == got2
+    per_src: dict = {}
+    for root, hop, src, dst in got:
+        assert (src, dst) in eset
+        per_src.setdefault(src, set()).add(dst)
+    # fanout 50 >> degree, so without the cap every neighbor appears;
+    # with max_degree=3 each src contributes at most 3 distinct dsts
+    assert per_src and max(len(v) for v in per_src.values()) <= 3
