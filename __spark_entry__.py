@@ -440,7 +440,7 @@ _SQL_RENUM = """
   WHERE e.u <> e.v
 )"""
 
-_SQL_RANDOM_WALKS = (
+_SQL_WALK_PREAMBLE = (
     _SQL_ACTORS
     + _SQL_RENUM
     + """
@@ -454,8 +454,9 @@ _SQL_RANDOM_WALKS = (
   FROM wmap m CROSS JOIN (SELECT 0 AS r UNION ALL SELECT 1) r
 )"""
     + "".join(_sql_walk_step(t, seed=11) for t in range(1, 5))
-    + """
-SELECT u.walk_id, u.step, m.id AS actor
+)
+
+_SQL_WALK_CORPUS = """SELECT u.walk_id, u.step, m.id AS actor
 FROM (
   SELECT walk_id, 0 AS step, vid FROM w0
   UNION ALL SELECT walk_id, 1, vid FROM w1
@@ -463,6 +464,19 @@ FROM (
   UNION ALL SELECT walk_id, 3, vid FROM w3
   UNION ALL SELECT walk_id, 4, vid FROM w4
 ) u JOIN wmap m ON m.nid = u.vid"""
+
+_SQL_RANDOM_WALKS = _SQL_WALK_PREAMBLE + "\n" + _SQL_WALK_CORPUS
+
+_SQL_SKIPGRAM = (
+    _SQL_WALK_PREAMBLE
+    + "\n, corpus AS (\n"
+    + _SQL_WALK_CORPUS
+    + """
+)
+SELECT a.actor AS center, b.actor AS context, count(*) AS cnt
+FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
+WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY a.actor, b.actor"""
 )
 
 
@@ -1179,6 +1193,35 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("walk_id", "step", F.col("aid").alias("actor"))
 
 
+def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training pairs with window 2 over
+    the same DeepWalk corpus as random_walks_4 — the corpus→word2vec
+    handoff of the embedding pipeline."""
+    from graft.algos.walks import random_walks, skipgram_pairs
+
+    g, mapping = _sorted_renum(spark, sf_dir)
+    walks = random_walks(g, walk_length=4, num_walks=2, seed=11)
+    pairs = skipgram_pairs(walks, window=2)
+    m = mapping
+    return (
+        pairs.join(
+            m.select(F.col("nid").alias("center"),
+                     F.col("aid").alias("center_a")),
+            "center",
+        )
+        .join(
+            m.select(F.col("nid").alias("context"),
+                     F.col("aid").alias("context_a")),
+            "context",
+        )
+        .select(
+            F.col("center_a").alias("center"),
+            F.col("context_a").alias("context"),
+            "cnt",
+        )
+    )
+
+
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased corpus (p=2 return-averse, q=0.5 outward): 1
     walk × 3 steps per actor, integer-scaled second-order weights and
@@ -1581,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic,
         "neighbor_sample_2hop": _q_neighbor_sample,
         "node2vec_walks_3": _q_node2vec,
+        "skipgram_pairs_w2": _q_skipgram,
         "eccentricity": _q_eccentricity,
         "graph_diameter": _q_diameter,
         "degree_histogram": _q_degree_histogram,
@@ -1653,6 +1697,7 @@ FROM e WHERE u = v""",
         "harmonic_centrality": _SQL_HARMONIC,
         "neighbor_sample_2hop": _SQL_NEIGHBOR_SAMPLE,
         "node2vec_walks_3": _SQL_NODE2VEC,
+        "skipgram_pairs_w2": _SQL_SKIPGRAM,
         "eccentricity": _SQL_ECCENTRICITY,
         "graph_diameter": _SQL_DIAMETER,
         "degree_histogram": _SQL_DEGREE_HISTOGRAM,

@@ -268,3 +268,34 @@ def node2vec_walks(
         for df in spills:
             drop_spill(df)
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """Returns ``(center, context, cnt long)`` — the skip-gram training
+    pairs of a walk corpus (word2vec/DeepWalk: for each walk position,
+    every other position within ``window`` steps), aggregated with
+    multiplicity. ``walks`` is a ``(walk_id, step, id)`` frame from
+    :func:`random_walks` / :func:`node2vec_walks`.
+
+    One self-join on walk_id banded by the step distance + one
+    count agg — both shuffle on walk_id/pair keys, map-side
+    combinable; corpus-sized, never collected."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    u = walks.select(
+        "walk_id", F.col("step").alias("s1"), F.col("id").alias("center")
+    )
+    v = walks.select(
+        "walk_id", F.col("step").alias("s2"), F.col("id").alias("context")
+    )
+    return (
+        u.join(v, "walk_id")
+        .where(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -202,3 +202,30 @@ def test_node2vec_return_bias(spark):
     # w_ret=100000 vs w_far=1000: interior vertices return ~99% of
     # draws; endpoints (degree 1 mid-walk) always return
     assert returns / n_walks > 0.9
+
+
+def test_skipgram_pairs(spark):
+    from graft.algos.walks import random_walks, skipgram_pairs
+
+    edges = random_graph(20, 0.25, seed=41, weighted=False)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    walks = random_walks(g, walk_length=4, num_walks=2, seed=5)
+    rows = [(r.walk_id, r.step, r.id) for r in walks.collect()]
+    got = {
+        (r.center, r.context): r.cnt
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    g.unpersist()
+    want: dict = {}
+    by_walk: dict = {}
+    for wid, step, vid in rows:
+        by_walk.setdefault(wid, []).append((step, vid))
+    for seq in by_walk.values():
+        for s1, c in seq:
+            for s2, x in seq:
+                if s1 != s2 and abs(s1 - s2) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    assert got == want
+    # symmetric corpus: every (a,b) has the mirror (b,a) with equal cnt
+    for (a, b), n in got.items():
+        assert got[(b, a)] == n
