@@ -1292,6 +1292,17 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g)
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (Luby rounds, deterministic xxhash64
+    priorities). The winner rule depends on Spark's 64-bit hash, which
+    no SQL twin can replay — rows-only; independence/maximality/
+    determinism are pinned by tests/test_mis.py."""
+    from graft.algos.mis import maximal_independent_set
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return maximal_independent_set(g, seed=4)
+
+
 def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex eccentricity (max hop distance reached) off the same
     multi-source BFS depth table as closeness."""
@@ -1628,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": _q_eccentricity,
         "graph_diameter": _q_diameter,
         "degree_histogram": _q_degree_histogram,
+        "maximal_independent_set": _q_mis,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
