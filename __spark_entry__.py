@@ -546,6 +546,47 @@ FROM (
 )
 
 
+# degree-proportional negative sampling (power=1.0 → exact integer
+# weights), replaying the engine's bucketed two-stage inverse CDF:
+# per-bucket exclusive prefix sums, bucket offsets, 62-bit two-word LCG
+# draws, and a per-bucket interval join for the pick
+_SQL_NEGATIVE_SAMPLES = (
+    _SQL_ACTORS
+    + _SQL_RENUM
+    + """
+, wdeg AS (SELECT src, count(*) AS d FROM wadj GROUP BY src
+), wts AS (
+  SELECT src AS nid, src % 8 AS b, d * 1000 AS w FROM wdeg
+), laid AS (
+  SELECT nid, b, w,
+         coalesce(sum(w) OVER (
+           PARTITION BY b ORDER BY nid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM wts
+), btot AS (SELECT b, sum(w) AS t FROM laid GROUP BY b
+), boff AS (
+  SELECT b, t, coalesce(sum(t) OVER (
+    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+  FROM btot
+), tot AS (SELECT sum(t) AS total FROM btot
+), draws AS (
+  SELECT i AS sample_id,
+         ((i % 2147483647 * 1103515245 + 12351) % 2147483647
+            * 2147483648
+          + (i % 2147483647 * 1103515245 + 24696) % 2147483647)
+         % (SELECT total FROM tot) AS x
+  FROM (SELECT unnest(generate_series(0, 499)) AS i)
+), db AS (
+  SELECT d.sample_id, o.b, d.x - o.lo AS v
+  FROM draws d JOIN boff o ON d.x >= o.lo AND d.x < o.lo + o.t
+)
+SELECT d.sample_id, m.id AS actor
+FROM db d
+JOIN laid l ON l.b = d.b AND l.start <= d.v AND d.v < l.start + l.w
+JOIN wmap m ON m.nid = l.nid"""
+)
+
+
 def _sql_sample_hop(hop: int, fanout: int, frontier: str, seed: int) -> str:
     """One fanout-capped sampling hop (graft.algos.sampling score):
     rank each frontier vertex's neighbors by the LCG draw, keep top-f."""
@@ -1222,6 +1263,20 @@ def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """500 degree-proportional negative samples (word2vec negatives;
+    power=1.0 keeps the weights exact integers for the oracle) drawn
+    by the bucketed two-stage inverse CDF over the renumbered actor
+    graph."""
+    from graft.algos.walks import negative_samples
+
+    g, mapping = _sorted_renum(spark, sf_dir)
+    neg = negative_samples(g, 500, power=1.0, seed=6, num_buckets=8)
+    return neg.join(
+        mapping.withColumnRenamed("nid", "id"), "id"
+    ).select("sample_id", F.col("aid").alias("actor"))
+
+
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased corpus (p=2 return-averse, q=0.5 outward): 1
     walk × 3 steps per actor, integer-scaled second-order weights and
@@ -1636,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample_2hop": _q_neighbor_sample,
         "node2vec_walks_3": _q_node2vec,
         "skipgram_pairs_w2": _q_skipgram,
+        "negative_samples_500": _q_negative_samples,
         "eccentricity": _q_eccentricity,
         "graph_diameter": _q_diameter,
         "degree_histogram": _q_degree_histogram,
@@ -1710,6 +1766,7 @@ FROM e WHERE u = v""",
         "neighbor_sample_2hop": _SQL_NEIGHBOR_SAMPLE,
         "node2vec_walks_3": _SQL_NODE2VEC,
         "skipgram_pairs_w2": _SQL_SKIPGRAM,
+        "negative_samples_500": _SQL_NEGATIVE_SAMPLES,
         "eccentricity": _SQL_ECCENTRICITY,
         "graph_diameter": _SQL_DIAMETER,
         "degree_histogram": _SQL_DEGREE_HISTOGRAM,

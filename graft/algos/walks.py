@@ -299,3 +299,121 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def negative_samples(
+    graph: Graph,
+    n_samples: int,
+    power: float = 0.75,
+    seed: int = 42,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Returns ``(sample_id long, id)`` — ``n_samples`` vertices drawn
+    with probability ∝ degree^``power`` (word2vec's unigram^0.75
+    negative-sampling distribution; ``power=1.0`` keeps the weights
+    exact integers, which is what the SQL-oracle contract uses).
+
+    Fully distributed, deterministic inverse-CDF without a global
+    cumsum: vertices are laid out in (bucket, id) order with
+    ``bucket = id mod num_buckets``; the per-bucket totals (O(B)
+    scalars, driver-bounded) form a broadcastable first-stage CDF that
+    assigns each draw a bucket, then a per-bucket window searchsorted
+    (union the interval starts with the draws, carry the last interval
+    id forward) resolves the vertex — every window is partitioned by
+    bucket, so no single-reducer global sort exists at any scale. The
+    62-bit draw composes two counter-based LCG words, so the position
+    is exact for corpus totals far beyond 2^31.
+    """
+    id_type = dict(graph.edges.dtypes)["src"]
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        raise TypeError(
+            f"negative_samples needs integral vertex ids, got {id_type}; "
+            "renumber with graft.io.actor_edges_to_long first"
+        )
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
+    spark = graph.edges.sparkSession
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    deg = adj.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    w = (
+        F.round(F.pow(F.col("d"), F.lit(power)) * 1000)
+        .cast("long")
+        .alias("w")
+    )
+    weights = truncate(
+        deg.select(
+            "id",
+            (F.col("id").cast("long") % num_buckets).alias("b"),
+            F.greatest(w, F.lit(1)).alias("w"),
+        )
+    )
+    # per-bucket layout: cum_in = within-bucket exclusive prefix sum
+    win = (
+        Window.partitionBy("b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = truncate(
+        weights.withColumn(
+            "start", F.coalesce(F.sum("w").over(win), F.lit(0))
+        )
+    )
+    # first-stage CDF: B bucket totals -> python offsets (O(B) driver)
+    totals = {
+        r.b: r.t
+        for r in laid.groupBy("b").agg(F.sum("w").alias("t")).collect()
+    }
+    if not totals:
+        raise ValueError("graph has no simple edges to weight")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += int(totals[b])
+    total = acc
+    bucket_cdf = spark.createDataFrame(
+        [(b, offsets[b], offsets[b] + int(totals[b]))
+         for b in sorted(totals)],
+        "b long, lo long, hi long",
+    )
+
+    d1 = _draw(F.col("sample_id"), 1, seed)
+    d2 = _draw(F.col("sample_id"), 2, seed)
+    draws = (
+        spark.range(n_samples)
+        .select(F.col("id").alias("sample_id"))
+        .select(
+            "sample_id",
+            ((d1 * F.lit(2147483648) + d2) % F.lit(total)).alias("x"),
+        )
+    )
+    in_bucket = draws.join(
+        F.broadcast(bucket_cdf),
+        (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")),
+    ).select("sample_id", "b", (F.col("x") - F.col("lo")).alias("v"))
+
+    events = laid.select(
+        "b", F.col("start").alias("v"), F.lit(0).alias("t"),
+        "id", F.lit(None).cast("long").alias("sample_id"),
+    ).unionAll(
+        in_bucket.select(
+            "b", "v", F.lit(1).alias("t"),
+            F.lit(None).cast(dict(laid.dtypes)["id"]).alias("id"),
+            "sample_id",
+        )
+    )
+    carry = Window.partitionBy("b").orderBy("v", "t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = truncate(
+        events.withColumn(
+            "pick", F.last("id", ignorenulls=True).over(carry)
+        )
+        .where(F.col("t") == 1)
+        .select("sample_id", F.col("pick").alias("id"))
+    )
+    drop_spill(weights)
+    drop_spill(laid)
+    return out

@@ -229,3 +229,76 @@ def test_skipgram_pairs(spark):
     # symmetric corpus: every (a,b) has the mirror (b,a) with equal cnt
     for (a, b), n in got.items():
         assert got[(b, a)] == n
+
+
+def negative_samples_ref(edges, n_samples, seed, num_buckets, power=1.0):
+    """Exact python replay of negative_samples (integer-power weights)."""
+    adj: dict = {}
+    for e in edges:
+        u, v = e[0], e[1]
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    w = {
+        v: max(1, round(len(ns) ** power * 1000))
+        for v, ns in adj.items()
+    }
+    buckets: dict = {}
+    for v in sorted(w):
+        buckets.setdefault(v % num_buckets, []).append(v)
+    offsets, acc = {}, 0
+    for b in sorted(buckets):
+        offsets[b] = acc
+        acc += sum(w[v] for v in buckets[b])
+    total = acc
+    out = {}
+    for i in range(n_samples):
+        d1 = (i % _M * _A + 1 * _C + seed) % _M
+        d2 = (i % _M * _A + 2 * _C + seed) % _M
+        x = (d1 * 2147483648 + d2) % total
+        b = max(bb for bb in offsets if offsets[bb] <= x)
+        v_in = x - offsets[b]
+        cum = 0
+        for v in buckets[b]:
+            if v_in < cum + w[v]:
+                out[i] = v
+                break
+            cum += w[v]
+    return out
+
+
+def test_negative_samples_exact(spark):
+    from graft.algos.walks import negative_samples
+
+    edges = random_graph(35, 0.15, seed=47, weighted=False)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {
+        r.sample_id: r.id
+        for r in negative_samples(
+            g, 500, power=1.0, seed=6, num_buckets=8
+        ).collect()
+    }
+    g.unpersist()
+    want = negative_samples_ref(edges, 500, seed=6, num_buckets=8)
+    assert got == want
+
+
+def test_negative_samples_tracks_degree_power(spark):
+    """With power=0.75 a hub is sampled roughly (d_hub/d_leaf)^0.75
+    times as often as a leaf — star + path makes the ratio extreme."""
+    from graft.algos.walks import negative_samples
+
+    edges = [(0, i, 1.0) for i in range(1, 21)] + [
+        (100, 101, 1.0), (101, 102, 1.0)
+    ]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = [
+        r.id
+        for r in negative_samples(g, 2000, power=0.75, seed=1).collect()
+    ]
+    g.unpersist()
+    assert len(got) == 2000
+    hub = sum(1 for v in got if v == 0)
+    # hub weight 20^0.75*1000 ≈ 9457 of total ≈ 9457+20*1000+2*1000+1000
+    # ≈ 0.29 of the mass; allow generous monte-carlo slack
+    assert 0.2 < hub / 2000 < 0.4
