@@ -469,7 +469,7 @@ _SQL_RANDOM_WALKS = _SQL_WALK_PREAMBLE + "\n" + _SQL_WALK_CORPUS
 
 _SQL_SKIPGRAM = (
     _SQL_WALK_PREAMBLE
-    + "\n, corpus AS (\n"
+    + "\n, corpus AS MATERIALIZED (\n"
     + _SQL_WALK_CORPUS
     + """
 )
@@ -687,13 +687,30 @@ FROM averts v LEFT JOIN knn k ON v.id = k.id"""
 )
 
 
-# all-pairs hop distances for closeness/harmonic: a recursive BFS whose
-# frontier carries (source, vertex, depth); the d < n guard bounds the
-# row space (shortest paths never exceed n-1 hops) so DuckDB's UNION
-# dedup terminates, and min(d) collapses the longer rediscoveries
+# all-pairs hop distances for closeness/harmonic/eccentricity:
+# min-plus matrix doubling — k unrolled squarings cover every shortest
+# path of length <= 2^k, so 8 steps are EXACT for any diameter <= 256
+# (diameter < n <= 161 actors at the driver's scales; a recursive-CTE
+# BFS with a d < n guard is the fully general alternative but costs
+# ~30 s/query at sf0.01 vs ~2 s for the doubling)
+
+
+def _sql_minplus_step(prev: str, cur: str) -> str:
+    # MATERIALIZED is load-bearing: DuckDB 1.0 inlines plain CTEs, and
+    # each step references the previous one three times -> exponential
+    # plan expansion (thousands of parquet scans) without it
+    return f"""
+, {cur} AS MATERIALIZED (
+  SELECT s, id, min(d) AS d FROM (
+    SELECT a.s, b.id, a.d + b.d AS d
+    FROM {prev} a JOIN {prev} b ON a.id = b.s
+    UNION ALL SELECT s, id, d FROM {prev}
+  ) GROUP BY s, id
+)"""
+
+
 _SQL_APSP_BASE = (
-    "WITH RECURSIVE "
-    + _SQL_ACTORS_BODY
+    _SQL_ACTORS
     + """
 , adj AS (
   SELECT u AS src, v AS dst FROM e WHERE u <> v
@@ -704,14 +721,15 @@ _SQL_APSP_BASE = (
     SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
   )
 ), nv AS (SELECT count(*) AS n FROM averts)
-, bfs(s, id, d) AS (
-  SELECT id, id, 0 FROM averts
-  UNION
-  SELECT b.s, a.dst, b.d + 1
-  FROM bfs b JOIN adj a ON a.src = b.id
-  WHERE b.d < (SELECT n FROM nv)
-), dist AS (SELECT s, id, min(d) AS d FROM bfs GROUP BY s, id)
-"""
+, apsp0 AS MATERIALIZED (
+  SELECT id AS s, id, 0 AS d FROM averts
+  UNION ALL
+  SELECT src, dst, 1 FROM adj
+)"""
+    + "".join(
+        _sql_minplus_step(f"apsp{i}", f"apsp{i + 1}") for i in range(8)
+    )
+    + "\n, dist AS (SELECT s, id, d FROM apsp8)\n"
 )
 
 _SQL_CLOSENESS = (
