@@ -1376,6 +1376,17 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(g, seed=4)
 
 
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring (deterministic xxhash64
+    priorities). Like MIS, the priority rides Spark's 64-bit hash —
+    rows-only; properness/bound/determinism are pinned by
+    tests/test_coloring.py."""
+    from graft.algos.coloring import greedy_color
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return greedy_color(g, seed=4)
+
+
 def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex eccentricity (max hop distance reached) off the same
     multi-source BFS depth table as closeness."""
@@ -1714,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": _q_diameter,
         "degree_histogram": _q_degree_histogram,
         "maximal_independent_set": _q_mis,
+        "greedy_coloring": _q_coloring,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,

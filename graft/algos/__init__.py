@@ -34,3 +34,4 @@ from graft.algos.closeness import (  # noqa: F401
 from graft.algos.walks import node2vec_walks, random_walks  # noqa: F401
 from graft.algos.sampling import neighbor_sample  # noqa: F401
 from graft.algos.mis import maximal_independent_set  # noqa: F401
+from graft.algos.coloring import greedy_color  # noqa: F401

@@ -52,7 +52,11 @@ def multi_source_depths(
         return out
 
     with superstep_conf(spark, adj.count()):
-        frontier = _t(sources.select("s", F.col("s").alias("id")))
+        # distinct: a duplicated source row would double-count every
+        # depth it contributes downstream
+        frontier = _t(
+            sources.select("s", F.col("s").alias("id")).distinct()
+        )
         visited = frontier
         parts = [frontier.select("s", "id", F.lit(0).alias("depth"))]
         t = 0

@@ -322,7 +322,8 @@ def negative_samples(
     id forward) resolves the vertex — every window is partitioned by
     bucket, so no single-reducer global sort exists at any scale. The
     62-bit draw composes two counter-based LCG words, so the position
-    is exact for corpus totals far beyond 2^31.
+    is exact for corpus totals far beyond 2^31 (the `mod total`
+    residual bias is ≤ total/2^62 — negligible at any real scale).
     """
     id_type = dict(graph.edges.dtypes)["src"]
     if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
