@@ -1689,6 +1689,214 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroid_mod=31, index=index, centroids=cents)
 
 
+def _q_anf_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(h), h=0..3 — the validation twin of
+    the HyperANF sketch path (graft.algos.anf), which is pytest-pinned
+    against this exact mode."""
+    from graft.algos.anf import neighborhood_function
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return neighborhood_function(g, max_hops=3, exact=True)
+
+
+def _q_lpa_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the (deterministic) 2-round LPA
+    labeling — certifies graft.quality.conductance end to end against
+    an independent SQL derivation."""
+    from graft.quality import conductance
+
+    g = _actor_graph(spark, sf_dir).cache()
+    labels = label_propagation(g, max_iter=2).select(
+        "id", F.col("label").alias("community")
+    )
+    return conductance(g.edges, labels).select(
+        "community",
+        F.round("cut", 6).alias("cut"),
+        F.round("volume", 6).alias("volume"),
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
+def _q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the 2-round LPA labeling — certifies the
+    graft.quality.modularity closed form against SQL (the leiden/louvain
+    quality pins are rows-only; this row is the oracle-checked one)."""
+    from graft.quality import modularity
+
+    g = _actor_graph(spark, sf_dir).cache()
+    labels = label_propagation(g, max_iter=2).select(
+        "id", F.col("label").alias("community")
+    )
+    q = modularity(g.edges, labels)
+    return spark.createDataFrame(
+        [(float(round(q, 6)),)], "modularity double"
+    )
+
+
+def _q_streaming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming ingest path, certified against the SAME
+    SQL oracle as the batch derivation: events→transcripts parquet is
+    drained through the stateful applyInPandasWithState operator in
+    availableNow mode, the delta log is compacted, and the result must
+    equal transcripts_to_edges row for row."""
+    import shutil
+    import tempfile
+
+    from graft.streaming import (
+        compact_edge_deltas,
+        read_transcript_stream,
+        start_edge_delta_sink,
+        stream_transcript_edge_deltas,
+    )
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    work = tempfile.mkdtemp(prefix="graft_stream_")
+    try:
+        src = f"{work}/turns"
+        t.write.parquet(src)
+        q = start_edge_delta_sink(
+            stream_transcript_edge_deltas(read_transcript_stream(spark, src)),
+            f"{work}/deltas",
+            f"{work}/ckpt",
+        )
+        q.awaitTermination()
+        out = compact_edge_deltas(spark, f"{work}/deltas").select(
+            "u", "v", "weight"
+        )
+        # materialize before the temp files vanish (the driver collects
+        # after this function returns)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_windowed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day temporal link graphs: the same actor derivation bucketed
+    by date_trunc('day', ts) — time-sliced graphs at 10^12 turns are a
+    partition column away."""
+    from graft.io import transcripts_to_edges_windowed
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return transcripts_to_edges_windowed(t, "day")
+
+
+_SQL_WINDOWED_EDGES = r"""WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN 't' || cast(try_cast(regexp_extract(props, '(\d+)', 1)
+                                        AS bigint)
+                               % 8 AS varchar)
+         END AS tool,
+         ts
+  FROM events
+), a AS (
+  SELECT conv_id, turn_idx,
+         coalesce('tool:' || tool, 'role:' || role) AS actor,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win
+  FROM t
+), p AS (
+  SELECT conv_id, actor, win,
+         lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_actor
+  FROM a
+), pairs AS (
+  SELECT win, least(prev_actor, actor) AS u, greatest(prev_actor, actor) AS v
+  FROM p WHERE prev_actor IS NOT NULL
+  UNION ALL
+  SELECT win, least('conv:' || conv_id, actor),
+         greatest('conv:' || conv_id, actor)
+  FROM a
+)
+SELECT win, u, v, cast(count(*) AS double) AS weight
+FROM pairs GROUP BY win, u, v"""
+
+
+_SQL_ANF_ROUND = """
+, {cur} AS (
+  SELECT DISTINCT s, v FROM (
+    SELECT s, v FROM {prev}
+    UNION ALL
+    SELECT r.s, n.dst AS v FROM {prev} r JOIN nl n ON r.v = n.src
+  )
+)"""
+
+_SQL_ANF_3HOPS = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, nl AS (SELECT src, dst FROM sym2 WHERE src <> dst)
+, r0 AS (SELECT id AS s, id AS v FROM verts)"""
+    + _SQL_ANF_ROUND.format(prev="r0", cur="r1")
+    + _SQL_ANF_ROUND.format(prev="r1", cur="r2")
+    + _SQL_ANF_ROUND.format(prev="r2", cur="r3")
+    + """
+SELECT * FROM (
+  SELECT 0 AS hop, count(*) AS n_pairs FROM r0
+  UNION ALL SELECT 1, count(*) FROM r1
+  UNION ALL SELECT 2, count(*) FROM r2
+  UNION ALL SELECT 3, count(*) FROM r3
+)"""
+)
+
+# conductance / modularity over the deterministic 2-round LPA labeling
+_SQL_LPA_QUALITY_BASE = (
+    _SQL_LPA_2ROUNDS.replace("\nSELECT id, label FROM l2", "")
+    + """
+, lab AS (SELECT id, label AS community FROM l2)
+, j AS (
+  SELECT s.src, s.dst, s.weight, ls.community AS cs, ld.community AS cd
+  FROM sym2 s
+  JOIN lab ls ON s.src = ls.id
+  JOIN lab ld ON s.dst = ld.id
+)
+, vol AS (
+  SELECT cs AS community,
+         sum(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS volume
+  FROM j GROUP BY cs
+)
+, cutw AS (
+  SELECT cs AS community, sum(weight) AS cut FROM j WHERE cs <> cd GROUP BY cs
+)
+, tm AS (
+  SELECT sum(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS t
+  FROM sym2
+)
+"""
+)
+
+_SQL_LPA_CONDUCTANCE = (
+    _SQL_LPA_QUALITY_BASE
+    + """
+SELECT v.community,
+       round(coalesce(c.cut, 0.0), 6) AS cut,
+       round(v.volume, 6) AS volume,
+       round(CASE WHEN least(v.volume, (SELECT t FROM tm) - v.volume) > 0
+                  THEN coalesce(c.cut, 0.0)
+                       / least(v.volume, (SELECT t FROM tm) - v.volume)
+                  ELSE 0.0 END, 6) AS conductance
+FROM vol v LEFT JOIN cutw c ON v.community = c.community"""
+)
+
+_SQL_LPA_MODULARITY = (
+    _SQL_LPA_QUALITY_BASE
+    + """
+, win AS (
+  SELECT cs AS community,
+         sum(CASE WHEN src <> dst THEN weight ELSE 0 END) / 2.0
+         + sum(CASE WHEN src = dst THEN weight ELSE 0 END) AS w_in
+  FROM j WHERE cs = cd GROUP BY cs
+)
+SELECT round(sum(
+         coalesce(w.w_in, 0.0) * 2 / (SELECT t FROM tm)
+         - (v.volume / (SELECT t FROM tm))
+           * (v.volume / (SELECT t FROM tm))
+       ), 6) AS modularity
+FROM vol v LEFT JOIN win w ON v.community = w.community"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_edges": _q_transcript_edges,
@@ -1703,6 +1911,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
+        "lpa_conductance": _q_lpa_conductance,
+        "lpa_modularity": _q_lpa_modularity,
+        "anf_3hops": _q_anf_3hops,
+        "streaming_edge_ingest": _q_streaming_edges,
+        "windowed_edges": _q_windowed_edges,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
@@ -1779,6 +1992,13 @@ FROM e WHERE u = v""",
         "connected_components": _SQL_CC,
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
+        "lpa_conductance": _SQL_LPA_CONDUCTANCE,
+        "lpa_modularity": _SQL_LPA_MODULARITY,
+        "anf_3hops": _SQL_ANF_3HOPS,
+        # the streaming ingest must reproduce the batch derivation exactly,
+        # so it shares the batch oracle
+        "streaming_edge_ingest": _SQL_ACTORS + "SELECT u, v, weight FROM e",
+        "windowed_edges": _SQL_WINDOWED_EDGES,
         "triangle_count": _SQL_TRIANGLES,
         "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
         "vertex_jaccard": _SQL_JACCARD,

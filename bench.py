@@ -209,6 +209,18 @@ def powerlaw_throughput() -> dict[str, float]:
         lambda: betweenness_centrality(big, k=4, seed=1).count(),
         "betweenness_k4",
     )
+    # HyperANF (r4): 3 sketch-union rounds over the 4M-row table — one
+    # keyed shuffle of (vertex, HLL sketch) rows per hop, the
+    # reachability-profile operator that replaces exact (quadratic)
+    # ball materialization at web scale
+    from graft.algos.anf import neighborhood_function
+
+    t_anf = _timed(
+        lambda: neighborhood_function(
+            big, max_hops=3, lg_config_k=10
+        ).count(),
+        "hyper_anf_3hops",
+    )
     big.unpersist()
     spark.stop()
     return {
@@ -218,11 +230,61 @@ def powerlaw_throughput() -> dict[str, float]:
         "leiden_bsp_level0_2m_edges": t_bsp,
         "neighbor_sample_2hop_2m_edges": t_samp,
         "betweenness_k4_2m_edges": t_btw,
+        "hyper_anf_3hops_2m_edges": t_anf,
         "_powerlaw_edges_per_sec_per_superstep": round(
             n_edges * PR_ITERS / t, 1
         ),
         "_sample_block_rows_per_sec": round(n_blocks / t_samp, 1),
     }
+
+
+def streaming_ingest_bench() -> dict[str, float]:
+    """Structured Streaming transcript→edge ingest at SF_DIR: drain the
+    whole transcript table through the stateful applyInPandasWithState
+    operator (availableNow) into the parquet delta log, then compact.
+    The cell reports the drain wall and turns/sec — the incremental
+    counterpart of the `edge_derivation` batch cell."""
+    import shutil
+    import tempfile
+
+    from graft.streaming import (
+        compact_edge_deltas,
+        read_transcript_stream,
+        start_edge_delta_sink,
+        stream_transcript_edge_deltas,
+    )
+
+    spark = get_spark("graft-bench-stream", master=f"local[{CPUS}]")
+    work = tempfile.mkdtemp(prefix="graft_bench_stream_")
+    try:
+        t = events_to_transcripts(read_table(spark, SF_DIR, "events"))
+        src = f"{work}/turns"
+        t.write.parquet(src)
+        n_turns = spark.read.parquet(src).count()
+
+        def drain() -> None:
+            q = start_edge_delta_sink(
+                stream_transcript_edge_deltas(
+                    read_transcript_stream(spark, src)
+                ),
+                f"{work}/deltas",
+                f"{work}/ckpt",
+            )
+            q.awaitTermination()
+
+        t_drain = _timed(drain, "streaming_ingest")
+        t_compact = _timed(
+            lambda: compact_edge_deltas(spark, f"{work}/deltas").count(),
+            "delta_compaction",
+        )
+        return {
+            "streaming_ingest": t_drain,
+            "delta_compaction": t_compact,
+            "_stream_turns_per_sec": round(n_turns / t_drain, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
 
 # Scaling job: the Louvain/Leiden local-moving sweep — the flagship
@@ -480,6 +542,8 @@ def main() -> None:
     time.sleep(5)  # let the previous JVM release cores/page cache
 
     queries.update(powerlaw_throughput())
+    time.sleep(5)
+    queries.update(streaming_ingest_bench())
     time.sleep(5)
     lo = scaling_run(SCALE_N)
     time.sleep(5)

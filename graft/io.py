@@ -190,6 +190,60 @@ def transcripts_to_edges(
     )
 
 
+def transcripts_to_edges_windowed(
+    transcripts: DataFrame,
+    granularity: str = "day",
+    include_conv_edges: bool = True,
+) -> DataFrame:
+    """Temporal variant of :func:`transcripts_to_edges`: the same
+    actor-adjacency derivation bucketed by time window, returning
+    ``(win string, u, v, weight)`` — one link graph per
+    ``granularity`` bucket (``date_trunc`` grains: hour/day/week/...).
+
+    An adjacency edge belongs to the window of the LATER turn (the turn
+    whose arrival creates the edge — consistent with the streaming
+    delta semantics, where an edge is emitted when its second endpoint
+    arrives); a conv-membership edge belongs to its turn's own window.
+
+    Scale: identical plan shape to the static derivation — the window
+    key rides the existing groupBy, so this is still one window shuffle
+    + one keyed agg; time-sliced graphs at 10^12 turns are a partition
+    column away (`.write.partitionBy("win")`).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    actor = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+    win = F.date_format(
+        F.date_trunc(granularity, F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    t = transcripts.select(
+        "conv_id", "turn_idx", actor.alias("actor"), win.alias("win")
+    ).withColumn("prev_actor", F.lag("actor").over(w))
+
+    adj = t.where(F.col("prev_actor").isNotNull()).select(
+        "win",
+        F.least("prev_actor", "actor").alias("u"),
+        F.greatest("prev_actor", "actor").alias("v"),
+    )
+    parts = [adj]
+    if include_conv_edges:
+        conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+        parts.append(
+            t.select(
+                "win",
+                F.least(conv, F.col("actor")).alias("u"),
+                F.greatest(conv, F.col("actor")).alias("v"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionAll(p)
+    return pairs.groupBy("win", "u", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+
+
 def transcripts_to_directed_edges(transcripts: DataFrame) -> DataFrame:
     """Directed variant of :func:`transcripts_to_edges`: one edge per
     adjacent turn pair under the stable turn ordering, oriented in

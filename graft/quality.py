@@ -73,6 +73,61 @@ def cpm(edges: DataFrame, assign: DataFrame, gamma: float) -> float:
     return float(row[0] or 0.0)
 
 
+def conductance(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), vol(V∖C)).
+
+    ``cut`` is the single-counted weight of edges with exactly one
+    endpoint in C; ``vol`` is the sum of member strengths (self-loops
+    twice). A community with zero boundary-able volume (vol = 0 or
+    vol = 2m) scores 0.0. Returns ``(community, cut double,
+    volume double, conductance double)``.
+
+    Cost: the same two hash aggregations the quality functions use —
+    one assignment join + groupBy for cut, one for volume; no per-pair
+    work, so it holds on 10^11-edge partitions.
+    """
+    a_src = assign.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = assign.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    joined = edges.join(a_src, "src").join(a_dst, "dst")
+    # symmetrized table holds each boundary edge once per direction →
+    # grouping by the src side single-counts the cut per community
+    cut = (
+        joined.where(F.col("c_src") != F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.sum("weight").alias("cut"))
+    )
+    vol = joined.groupBy(F.col("c_src").alias("community")).agg(
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight") * 2).otherwise(
+                F.col("weight")
+            )
+        ).alias("volume")
+    )
+    two_m = edges.agg(
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight") * 2).otherwise(
+                F.col("weight")
+            )
+        ).alias("t")
+    ).first()["t"] or 0.0
+    denom = F.least(F.col("volume"), F.lit(two_m) - F.col("volume"))
+    return (
+        vol.join(cut, "community", "left")
+        .select(
+            "community",
+            F.coalesce("cut", F.lit(0.0)).alias("cut"),
+            "volume",
+            F.when(denom > 0, F.coalesce("cut", F.lit(0.0)) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )
+
+
 def modularity(edges: DataFrame, assign: DataFrame) -> float:
     """Q = Σ_c [Σin_c/(2m) − (Σtot_c/(2m))²] (custom_louvain.py:92-122
     semantics via the closed form, SURVEY.md §2.3 A7). Σin is the
