@@ -159,6 +159,19 @@ _SQL_PAGERANK_3ITER = (
     + "\nSELECT id, round(rank, 6) AS rank FROM r3"
 )
 
+# warm start: r0 proportional to out-weight (engine renormalizes to sum 1,
+# so only the per-vertex proportions must agree between the two sides)
+_SQL_PAGERANK_WARM_3ITER = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", r0 AS (SELECT src AS id, s / (SELECT sum(s) FROM outw) AS rank"
+    + "   FROM outw)"
+    + _sql_pagerank_iter("r0", "r1")
+    + _sql_pagerank_iter("r1", "r2")
+    + _sql_pagerank_iter("r2", "r3")
+    + "\nSELECT id, round(rank, 6) AS rank FROM r3"
+)
+
 def _sql_ppr_iter(prev: str, cur: str, alpha: float = 0.85) -> str:
     """One unrolled personalized-PageRank superstep (teleport mass on
     the single source vertex; no dangling on a symmetric graph)."""
@@ -1005,6 +1018,22 @@ def _q_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_warm_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start certificate: 3 fixed iterations from r0 ∝ out-weight.
+
+    Fixed iterations make the intermediate rank vector observable, so
+    the value hash certifies the ``initial_ranks`` plumbing itself (the
+    incremental-recompute path for streaming-maintained graphs,
+    graft.streaming.incremental_pagerank) — at convergence the fixpoint
+    is r0-independent and a hash would certify nothing."""
+    g = _actor_graph(spark, sf_dir).cache()
+    r0 = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("rank")
+    )
+    pr = pagerank(g, fixed_iterations=3, initial_ranks=r0)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank restarted at the lexicographically-first
     actor (deterministic source choice the oracle reproduces)."""
@@ -1450,6 +1479,20 @@ def _q_eigenvector_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eigenvector_centrality(g, fixed_iterations=3).select(
         "id", F.round("eigenvector", 6).alias("eigenvector")
     )
+
+
+def _q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition (u, v, truss) for every non-loop edge —
+    the per-edge counterpart of core_numbers, in one level-peeling job
+    instead of a k_truss call per k. Rows-only (iterative support
+    peeling has no honest SQL twin); exactness is pinned by
+    tests/test_truss.py differentially against repeated k_truss
+    membership on BOTH execution paths, and the deterministic output
+    makes the driver's value-hash a regression pin."""
+    from graft.algos.truss import truss_number
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return truss_number(g)
 
 
 def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_edge_weight_m": _q_total_edge_weight,
         "self_loops": _q_self_loops,
         "pagerank_3iter": _q_pagerank_3iter,
+        "pagerank_warm_3iter": _q_pagerank_warm_3iter,
         "ppr_3iter": _q_ppr_3iter,
         "bfs_3hops": _q_bfs_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
@@ -1948,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_3": _q_k_core,
         "core_numbers": _q_core_numbers,
         "k_truss_10": _q_k_truss,
+        "truss_numbers": _q_truss_numbers,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
@@ -1986,6 +2031,7 @@ SELECT count(*) AS n_self_loops,
        coalesce(sum(weight), 0.0) AS loop_weight
 FROM e WHERE u = v""",
         "pagerank_3iter": _SQL_PAGERANK_3ITER,
+        "pagerank_warm_3iter": _SQL_PAGERANK_WARM_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
         "bfs_3hops": _SQL_BFS_3HOPS,
         "sssp_3rounds": _SQL_SSSP_3ROUNDS,

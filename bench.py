@@ -287,6 +287,44 @@ def streaming_ingest_bench() -> dict[str, float]:
         spark.stop()
 
 
+def warm_refresh_bench() -> dict[str, float]:
+    """Incremental-refresh cell: converged PageRank exists for a 2M-edge
+    graph; 2% more edges arrive (the streaming delta-log scenario);
+    re-converge cold (uniform r0) vs warm (initial_ranks = previous
+    run's vector). Both runs hit the same distributed superstep path
+    and the same tol=1e-6 fixpoint (r0-independent) — the delta is
+    iterations-to-convergence, the north-rule metric the warm start
+    exists to cut. At 10^12 turns this is the refresh cost after each
+    compaction cycle."""
+    spark = get_spark("graft-bench-warm", master=f"local[{CPUS}]")
+    try:
+        raw = spark.read.parquet(synth_powerlaw_parquet(2_000_000))
+        # deterministic 98% subset = the "previous refresh" graph
+        old_raw = raw.where(F.pmod(F.xxhash64("src", "dst"), F.lit(50)) != 0)
+        g_old = Graph.from_undirected(old_raw).cache()
+        prev = pagerank(g_old, tol=1e-6).localCheckpoint(eager=True)
+        g_old.unpersist()
+
+        g = Graph.from_undirected(raw).cache()
+        g.transition()  # transition build is shared prep for both runs
+        pagerank(g, fixed_iterations=1).count()  # warm the JVM paths
+        t_cold = _timed(
+            lambda: pagerank(g, tol=1e-6).count(), "pagerank_cold_refresh"
+        )
+        t_warm = _timed(
+            lambda: pagerank(g, tol=1e-6, initial_ranks=prev).count(),
+            "pagerank_warm_refresh",
+        )
+        g.unpersist()
+        return {
+            "pagerank_cold_refresh_2m_edges": t_cold,
+            "pagerank_warm_refresh_2m_edges": t_warm,
+            "_warm_refresh_speedup": round(t_cold / t_warm, 2),
+        }
+    finally:
+        spark.stop()
+
+
 # Scaling job: the Louvain/Leiden local-moving sweep — the flagship
 # superstep and the headline of BASELINE.json's metric ("edges
 # processed/sec per superstep, Leiden local-moving + PageRank").
@@ -544,6 +582,8 @@ def main() -> None:
     queries.update(powerlaw_throughput())
     time.sleep(5)
     queries.update(streaming_ingest_bench())
+    time.sleep(5)
+    queries.update(warm_refresh_bench())
     time.sleep(5)
     lo = scaling_run(SCALE_N)
     time.sleep(5)

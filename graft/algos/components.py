@@ -100,6 +100,7 @@ def connected_components(
     mode: str = "propagate",
     checkpointer: Checkpointer | None = None,
     sequential_threshold: int = 1_000_000,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, comp long)`` with comp = min id in component.
 
@@ -108,7 +109,21 @@ def connected_components(
     the checkpointed path always runs supersteps. The 1M default (r3):
     the union-find kernel measures ~1.3 s on 1M symmetrized rows,
     versus several seconds of per-round shuffle latency for the
-    superstep modes at that size."""
+    superstep modes at that size.
+
+    ``initial_labels``: warm start for the propagate path — an
+    ``(id, comp)`` table from a previous run on a SUBGRAPH of this
+    graph (monotone edge growth, e.g. the streaming delta log between
+    refreshes). Each stale label is then the id of a vertex in the same
+    (enlarged) component, so min-propagation converges to the identical
+    per-component min-id fixpoint — the warm start only pre-collapses
+    the old structure, cutting rounds from O(old diameter + growth) to
+    O(growth) (pytest-pinned via checkpoint metrics). Vertices absent
+    from it start at their own id. MUST NOT be used after edge
+    deletions: a label naming a vertex that split into a different
+    component would propagate a foreign min and corrupt the result.
+    Ignored on the sequential and star paths (union-find is exact
+    either way; star rewrites edges, not labels)."""
     if (
         checkpointer is None
         and sequential_threshold
@@ -119,6 +134,12 @@ def connected_components(
         return _cc_star(graph, max_iter, checkpointer)
     edges = graph.without_self_loops().select("src", "dst").persist()
     labels = graph.vertices().select("id", F.col("id").alias("comp"))
+    if initial_labels is not None:
+        labels = (
+            graph.vertices()
+            .join(initial_labels.withColumnRenamed("comp", "_c0"), "id", "left")
+            .select("id", F.coalesce("_c0", F.col("id")).alias("comp"))
+        )
     labels = truncate(labels)
     with superstep_conf(edges.sparkSession, edges.count()):
         changed = 0

@@ -33,10 +33,24 @@ def louvain(
     sequential_tail_edges: int = 1_000_000,
     tail_max_vertices: int | None = None,
     return_quality: bool = False,
+    initial_membership: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` — final labels on the
     original vertices; community ids are supernode ids at the coarsest
     level (stable under the deterministic seed).
+
+    ``initial_membership``: warm start — an ``(id, community)`` table
+    seeding level 0 instead of singletons (the python-louvain
+    ``best_partition(graph, partition=...)`` API shape). Vertices
+    absent from it start as singletons. Local moving still operates at
+    node granularity, so seeded communities CAN be split or dissolved —
+    this is a starting point, not a constraint. Greedy refinement never
+    decreases modularity, so quality(result) ≥ quality(seed)
+    (pytest-pinned); on an incrementally-grown graph seeding with the
+    previous refresh's labels converges in far fewer sweeps
+    (graft.streaming.incremental_louvain). Unlike the PageRank/CC warm
+    starts the fixpoint is seed-DEPENDENT (greedy local optimum) —
+    results may legitimately differ from a cold run.
 
     ``return_quality=True`` returns ``(labels, modularity)`` — the
     cugraph.louvain-shaped API (examples/test2.py:75 returns the
@@ -51,6 +65,17 @@ def louvain(
     m = graph.total_edge_weight()
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)
+    if initial_membership is not None:
+        level.vertices = level.vertices.join(
+            initial_membership.withColumnRenamed("community", "_c0"),
+            "id",
+            "left",
+        ).select(
+            "id",
+            F.coalesce("_c0", F.col("id")).alias("community"),
+            "agg_count",
+            "k",
+        )
     level.edges = level.edges.persist()
     mappings: list[DataFrame] = []
     start_lvl = 0
@@ -116,6 +141,18 @@ def louvain(
         ).first()
         n_before, n_after = row["n"], row["c"]
         if n_moves == 0 or n_after == n_before:
+            if initial_membership is not None and not mappings:
+                # warm level-0 labels are not identity even with zero
+                # moves — record them, or the seeded structure would
+                # collapse back to singletons on the early exit
+                mappings.append(
+                    truncate(
+                        level.vertices.select(
+                            F.col("id").alias("child"),
+                            F.col("community").alias("parent"),
+                        )
+                    )
+                )
             break  # singletons or no compression — converged
         mappings.append(
             truncate(

@@ -53,6 +53,7 @@ def _sequential_pagerank(
     max_iter: int,
     fixed_iterations: int | None,
     sources: list | None = None,
+    has_r0: bool = False,
 ) -> DataFrame:
     """Sequential-tail execution: the whole power iteration as ONE
     cogrouped ``applyInPandas`` task (same pattern and rationale as
@@ -95,6 +96,13 @@ def _sequential_pagerank(
             hits = np.array([v in source_set for v in ids])
             e[hits] = 1.0 / int(hits.sum())
             r = e.copy()
+        if has_r0:
+            # warm start: caller-provided r0, renormalized to sum 1
+            order = np.argsort(vpdf["id"].to_numpy())
+            r0 = vpdf["r0"].to_numpy(dtype=np.float64)[order]
+            s0 = float(r0.sum())
+            if s0 > 0:
+                r = r0 / s0
         for _ in range(iters):
             dangling = float(r[~has_out].sum())
             inflow = np.zeros(len(ids))
@@ -114,7 +122,10 @@ def _sequential_pagerank(
     # vertex keys are type-agnostic engine-wide (long-renumbered or raw
     # string actors) — mirror the input id type in the output schema
     id_type = verts.schema["id"].dataType.simpleString()
-    nodes = verts.select(F.lit(0).alias("_g"), "id")
+    if has_r0:
+        nodes = verts.select(F.lit(0).alias("_g"), "id", "r0")
+    else:
+        nodes = verts.select(F.lit(0).alias("_g"), "id")
     edges = trans.select(F.lit(0).alias("_g"), "src", "dst", "p")
     return (
         nodes.groupBy("_g")
@@ -134,8 +145,19 @@ def pagerank(
     checkpointer: Checkpointer | None = None,
     sequential_threshold: int = 1_000_000,
     sources: list | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``; ranks sum to 1.
+
+    ``initial_ranks``: warm start — an ``(id, rank)`` table (e.g. the
+    previous run's output before new edges arrived via the streaming
+    delta log). Vertices absent from it start at 1/N; the combined
+    vector is renormalized to sum 1. The fixpoint is independent of r0,
+    so a warm start changes ONLY iterations-to-convergence — on an
+    incrementally grown graph the ranks barely move, so convergence
+    mode stops in a few supersteps instead of tens (pytest-pinned via
+    checkpoint metrics in tests/test_pagerank_warmstart.py). This is
+    the incremental-recompute path for streaming-maintained graphs.
 
     Convergence: L1 norm of the rank delta < ``tol`` (the cuGraph
     epsilon convention the reference uses), unless ``fixed_iterations``
@@ -175,9 +197,17 @@ def pagerank(
         and sequential_threshold
         and graph.edges.count() <= sequential_threshold
     ):
+        v_in = verts
+        if initial_ranks is not None:
+            v_in = verts.join(
+                initial_ranks.withColumnRenamed("rank", "_r0"), "id", "left"
+            ).select(
+                "id", F.coalesce("_r0", F.lit(1.0 / n)).alias("r0")
+            )
         return _sequential_pagerank(
-            verts, graph.transition(), n, alpha, tol, max_iter,
+            v_in, graph.transition(), n, alpha, tol, max_iter,
             fixed_iterations, sources=sources,
+            has_r0=initial_ranks is not None,
         )
 
     e_df = None
@@ -207,7 +237,20 @@ def pagerank(
             start, ranks = resumed
             start += 1
     if ranks is None:
-        if e_df is not None:
+        if initial_ranks is not None:
+            # warm start, renormalized so the invariant Σrank = 1 holds
+            # even when the vertex set changed since r0 was computed
+            warm = verts.join(
+                initial_ranks.withColumnRenamed("rank", "_r0"), "id", "left"
+            ).select("id", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
+            warm = truncate(warm)
+            s0 = warm.agg(F.sum("rank")).first()[0] or 1.0
+            prev = warm
+            ranks = truncate(
+                warm.select("id", (F.col("rank") / F.lit(s0)).alias("rank"))
+            )
+            drop_spill(prev)
+        elif e_df is not None:
             ranks = truncate(
                 verts.join(e_df, "id", "left").select(
                     "id", F.coalesce("e", F.lit(0.0)).alias("rank")

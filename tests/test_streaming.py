@@ -21,6 +21,8 @@ from graft.io import actor_edges_to_long, transcripts_to_edges
 from graft.streaming import (
     TRANSCRIPT_SCHEMA,
     compact_edge_deltas,
+    incremental_components,
+    incremental_pagerank,
     read_transcript_stream,
     start_edge_delta_sink,
     stream_degrees,
@@ -128,6 +130,68 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
         for r in transcripts_to_edges(full).collect()
     }
     assert got == want
+
+
+def test_incremental_pagerank_matches_batch(spark, tmp_path):
+    """Warm-started PageRank over the compacted delta log equals a cold
+    PageRank over the batch-derived graph (the full streaming update
+    cycle: drain → compact → warm rerun)."""
+    from graft.algos.pagerank import pagerank
+    from pyspark.sql import functions as SF
+
+    rows = _synth_turns(seed=31, n_conv=12)
+    src = os.path.join(str(tmp_path), "turns")
+    full = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    full.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    deltas_path = _drain(spark, src, str(tmp_path))
+
+    e = transcripts_to_edges(full).select(
+        SF.col("u").alias("src"), SF.col("v").alias("dst"), "weight"
+    )
+    cold = {r["id"]: r["rank"]
+            for r in pagerank(Graph.from_undirected(e), tol=1e-10).collect()}
+    # warm-start from deliberately stale/partial ranks
+    some = list(cold)[:3]
+    prev = spark.createDataFrame(
+        [(i, 1.0 / 3) for i in some], "id string, rank double"
+    )
+    got = {r["id"]: r["rank"]
+           for r in incremental_pagerank(
+               spark, deltas_path, prev_ranks=prev, tol=1e-10
+           ).collect()}
+    assert got == pytest.approx(cold, abs=1e-8)
+
+
+def test_incremental_components_matches_batch(spark, tmp_path):
+    """Warm-started components over the compacted delta log equal a
+    cold run over the batch-derived graph (delta log grows append-only,
+    so the monotone-growth precondition holds by construction)."""
+    from graft.algos.components import connected_components
+    from pyspark.sql import functions as SF
+
+    rows = _synth_turns(seed=33, n_conv=12)
+    src = os.path.join(str(tmp_path), "turns")
+    full = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    full.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    deltas_path = _drain(spark, src, str(tmp_path))
+
+    e = transcripts_to_edges(full).select(
+        SF.col("u").alias("src"), SF.col("v").alias("dst"), "weight"
+    )
+    cold = {r["id"]: r["comp"]
+            for r in connected_components(Graph.from_undirected(e)).collect()}
+    # warm-start from labels computed on a strict subgraph (half the
+    # conversations) — stale but valid under monotone growth
+    sub = transcripts_to_edges(
+        full.where(SF.col("conv_id") < "c006")
+    ).select(SF.col("u").alias("src"), SF.col("v").alias("dst"), "weight")
+    prev = connected_components(Graph.from_undirected(sub))
+    prev = prev.localCheckpoint(eager=True)
+    got = {r["id"]: r["comp"]
+           for r in incremental_components(
+               spark, deltas_path, prev_labels=prev, sequential_threshold=0
+           ).collect()}
+    assert got == cold
 
 
 def test_stream_degrees_matches_graph_strength(spark, tmp_path):
