@@ -99,6 +99,24 @@ def test_bsp_pagerank_matches_oracle(spark, actor_graph, duck):
     )
 
 
+def test_bsp_warm_pagerank_matches_oracle(spark, actor_graph, duck):
+    """The DISTRIBUTED initial_ranks branch (renormalize + superstep
+    loop) against the warm-start SQL oracle — the sf0.01 contract row
+    certifies the sequential warm kernel; this covers the other path."""
+    r0 = actor_graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("rank")
+    )
+    pr = pagerank(
+        actor_graph, fixed_iterations=3, sequential_threshold=0,
+        initial_ranks=r0,
+    )
+    _assert_match(
+        pr.select("id", F.round("rank", 6).alias("rank")),
+        duck,
+        entrymod.oracle_sql()["pagerank_warm_3iter"],
+    )
+
+
 @pytest.mark.parametrize("mode", ["propagate", "star"])
 def test_bsp_connected_components_matches_oracle(
     spark, actor_graph, duck, mode
