@@ -144,12 +144,23 @@ def connected_components(
     with superstep_conf(edges.sparkSession, edges.count()):
         changed = 0
         for it in range(max_iter):
-            new_labels = truncate(_min_neighbor_round(edges, labels))
-            changed = (
-                new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
-                .where(F.col("comp") != F.col("old"))
-                .count()
+            # the changed-count probe rides the spill write via
+            # observe(): collected DURING the truncate action, so each
+            # round is ONE job instead of write + join-count (labels is
+            # a truncated parquet leaf — double reference is stats-safe)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            paired = _min_neighbor_round(edges, labels).join(
+                labels.select("id", F.col("comp").alias("_old")), "id"
+            ).observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("_old")).cast("long")
+                ).alias("changed"),
             )
+            new_labels = truncate(paired.select("id", "comp"))
+            changed = int(obs.get["changed"] or 0)
             drop_spill(labels)
             labels = new_labels
             if checkpointer is not None:

@@ -342,12 +342,21 @@ def pagerank(
                 ranks = new_ranks
                 continue
 
-            new_ranks = truncate(new_ranks)
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-                .first()[0]
+            # convergence probe rides the spill write via observe():
+            # the L1 delta is collected DURING the truncate action, so
+            # each superstep is ONE job instead of write + join-agg
+            # (prev ranks are a truncated parquet leaf, so referencing
+            # them twice in this one plan is stats-safe)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            paired = new_ranks.join(
+                ranks.select("id", F.col("rank").alias("_old")), "id"
+            ).observe(
+                obs, F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1")
             )
+            new_ranks = truncate(paired.select("id", "rank"))
+            delta = obs.get["l1"]
             drop_spill(ranks)
             ranks = new_ranks
             if checkpointer is not None:
