@@ -91,3 +91,28 @@ def test_k_equal_n_is_exact_and_sampling_bounds(spark):
     top = max(exact, key=exact.get)
     rank = sorted(sampled, key=sampled.get, reverse=True)
     assert rank.index(top) < len(rank) / 2
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_betweenness_oracle_unroll_exhausts(sf_dir):
+    """Certificate for the driver's betweenness oracle: the unrolled
+    BFS must EXHAUST the graph at the contract SFs — the final frontier
+    is empty — otherwise deeper shortest paths would be missed and the
+    oracle would undercount."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    d = entrymod._SQL_BETWEENNESS_DEPTH
+    n_last = con.execute(
+        entrymod._build_sql_betweenness(d).split(f"\n, dl{d} AS")[0]
+        + f"\nSELECT count(*) FROM f{d}"
+    ).fetchone()[0]
+    assert n_last == 0

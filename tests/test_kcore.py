@@ -125,3 +125,29 @@ def test_core_number_clique_ring_and_tail(spark, threshold):
     g.unpersist()
     assert got == _core_number_ref(edges)
     assert got[200] == 0 and got[102] == 1 and got[1] == 3
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_core_oracle_unroll_reaches_fixpoint(sf_dir):
+    """Certificate for the driver's core_numbers / k_core_3 oracles:
+    the 8-round unrolled h-index SQL (no Spark involved) must reach its
+    fixpoint at the contract SFs — round 8 equals round 7 — otherwise
+    the unroll would under-iterate and the oracle would not be the core
+    number it claims to be."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    n_changed = con.execute(
+        entrymod._SQL_CORE_FIXPOINT
+        + """
+SELECT count(*) FROM c8 a JOIN c7 b ON a.id = b.id AND a.core <> b.core"""
+    ).fetchone()[0]
+    assert n_changed == 0
