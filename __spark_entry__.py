@@ -397,6 +397,76 @@ FROM verts v LEFT JOIN (
 _SQL_BETWEENNESS_DEPTH = 8
 _SQL_BETWEENNESS = _build_sql_betweenness(_SQL_BETWEENNESS_DEPTH)
 
+
+def _sql_truss_hindex_round(prev: str, cur: str) -> str:
+    """One unrolled edge-h-index round of local truss decomposition
+    (Sariyüce/Seshadhri/Pinar, "Local algorithms for hierarchical dense
+    subgraph discovery": τ'(e) = min(τ(e), H({min(τ(f), τ(g)) over
+    triangles e,f,g})) iterated from τ0 = support converges to
+    truss(e) − 2 — the triangle-density twin of the core h-index)."""
+    return f"""
+, {cur} AS MATERIALIZED (
+  SELECT t.u, t.v, least(t.val, coalesce(h.h, 0)) AS val
+  FROM {prev} t LEFT JOIN (
+    SELECT q.u, q.v, max(least(q.m, q.r)) AS h
+    FROM (
+      SELECT p.u, p.v, least(x.val, y.val) AS m,
+             row_number() OVER (PARTITION BY p.u, p.v
+                                ORDER BY least(x.val, y.val) DESC,
+                                         p.o1u, p.o1v, p.o2u, p.o2v) AS r
+      FROM tpe p
+      JOIN {prev} x ON x.u = p.o1u AND x.v = p.o1v
+      JOIN {prev} y ON y.u = p.o2u AND y.v = p.o2v
+    ) q
+    GROUP BY q.u, q.v
+  ) h ON h.u = t.u AND h.v = t.v
+)"""
+
+
+# 6 unrolled rounds (fixpoint after ONE at both contract SFs, measured;
+# certificate: tests/test_truss.py::test_truss_oracle_unroll_fixpoint).
+# tpe lists, per (edge, containing triangle), the OTHER two edges.
+_SQL_TRUSS_FIXPOINT = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, oe AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM sym2 WHERE src <> dst
+)
+, tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oe e1 JOIN oe e2 ON e2.u = e1.v
+  JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+, tpe AS MATERIALIZED (
+  SELECT a AS u, b AS v, a AS o1u, c AS o1v, b AS o2u, c AS o2v FROM tri
+  UNION ALL
+  SELECT a, c, a, b, b, c FROM tri
+  UNION ALL
+  SELECT b, c, a, b, a, c FROM tri
+)
+, t0 AS MATERIALIZED (
+  SELECT e.u, e.v, cast(coalesce(s.s, 0) AS bigint) AS val
+  FROM oe e LEFT JOIN (
+    SELECT u, v, count(*) AS s FROM tpe GROUP BY u, v
+  ) s ON s.u = e.u AND s.v = e.v
+)"""
+    + "".join(
+        _sql_truss_hindex_round(f"t{i}", f"t{i + 1}") for i in range(6)
+    )
+)
+
+_SQL_TRUSS_NUMBERS = (
+    _SQL_TRUSS_FIXPOINT
+    + "\nSELECT u, v, cast(val + 2 AS bigint) AS truss FROM t6"
+)
+
+# e ∈ k-truss ⇔ truss(e) ≥ k (k-trusses are nested)
+_SQL_K_TRUSS_10 = (
+    _SQL_TRUSS_FIXPOINT + "\nSELECT u, v FROM t6 WHERE val + 2 >= 10"
+)
+
 _SQL_CC = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -1614,11 +1684,12 @@ def _q_eigenvector_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full truss decomposition (u, v, truss) for every non-loop edge —
     the per-edge counterpart of core_numbers, in one level-peeling job
-    instead of a k_truss call per k. Rows-only (iterative support
-    peeling has no honest SQL twin); exactness is pinned by
+    instead of a k_truss call per k. Hash-certified against the
+    unrolled edge-h-index fixpoint oracle (_SQL_TRUSS_NUMBERS, with a
+    pytest certificate that the unroll reaches its fixpoint at the
+    contract SFs); exactness is additionally pinned by
     tests/test_truss.py differentially against repeated k_truss
-    membership on BOTH execution paths, and the deterministic output
-    makes the driver's value-hash a regression pin."""
+    membership on BOTH execution paths."""
     from graft.algos.truss import truss_number
 
     g = _actor_graph(spark, sf_dir).cache()
@@ -1626,12 +1697,13 @@ def _q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-truss edge set (iterative support peeling — a fixpoint of
-    per-round wedge joins, not SQL-expressible, so rows-only like
-    k_core_3; exactness is pinned by tests/test_ktruss.py against a
-    sequential peeling oracle). k=10 actually peels on the sf0.01
-    actor graph (1665 → 1649 edges; k=4 kept everything and k=16 empties
-    it), so the row-count/hash is a real regression pin."""
+    """10-truss edge set (iterative support peeling). Hash-certified
+    against the unrolled edge-h-index oracle (_SQL_K_TRUSS_10:
+    membership = truss_number ≥ 10, trusses being nested); exactness is
+    additionally pinned by tests/test_ktruss.py against a sequential
+    peeling oracle. k=10 actually peels on the sf0.01 actor graph
+    (1665 → 1649 edges; k=4 kept everything and k=16 empties it), so
+    the hash is a real regression pin."""
     from graft.algos.ktruss import k_truss
 
     g = _actor_graph(spark, sf_dir).cache()
@@ -2198,6 +2270,8 @@ FROM e WHERE u = v""",
         "degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "betweenness": _SQL_BETWEENNESS,
         "core_numbers": _SQL_CORE_NUMBERS,
+        "truss_numbers": _SQL_TRUSS_NUMBERS,
+        "k_truss_10": _SQL_K_TRUSS_10,
         "k_core_3": _SQL_K_CORE_3,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,

@@ -89,3 +89,29 @@ def test_empty_and_triangle_free(spark):
             for r in truss_number(g, sequential_threshold=0).collect()}
     g.unpersist()
     assert seq == dist == {(0, 1): 2, (1, 2): 2, (2, 3): 2, (0, 3): 2}
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_truss_oracle_unroll_fixpoint(sf_dir):
+    """Certificate for the driver's truss_numbers / k_truss_10 oracles:
+    the 6-round unrolled edge-h-index SQL must reach its fixpoint at
+    the contract SFs (round 6 equals round 5), otherwise the unroll
+    would under-iterate and overstate truss numbers."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    n_changed = con.execute(
+        entrymod._SQL_TRUSS_FIXPOINT
+        + """
+SELECT count(*) FROM t6 a
+JOIN t5 b ON a.u = b.u AND a.v = b.v AND a.val <> b.val"""
+    ).fetchone()[0]
+    assert n_changed == 0
