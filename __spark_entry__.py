@@ -467,6 +467,131 @@ _SQL_K_TRUSS_10 = (
     _SQL_TRUSS_FIXPOINT + "\nSELECT u, v FROM t6 WHERE val + 2 >= 10"
 )
 
+# the md5-prefix vertex priority of graft.algos.priority.hash_priority,
+# bit-identical to Spark's conv(substring(md5(...), 1, 15), 16, 10)
+_SQL_PRIORITY = """
+, pr AS MATERIALIZED (
+  SELECT id, ('0x' || substr(md5(id || ':{seed}'), 1, 15))::BIGINT AS p
+  FROM verts
+)"""
+
+
+def _build_sql_mis(rounds: int, seed: int) -> str:
+    """Unrolled Luby maximal-independent-set rounds with the engine's
+    exact deterministic priority (graft.algos.priority): each round the
+    undecided vertices with no undecided neighbor of smaller (p, id)
+    join the set and retire their neighborhoods. The certificate that
+    ``rounds`` suffices (final undecided set EMPTY at the contract SFs)
+    is tests/test_mis.py::test_mis_oracle_unroll_exhausts."""
+    sql = (
+        _SQL_ACTORS
+        + _SQL_SYM2
+        + """
+, sd AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM sym2 WHERE src <> dst
+)"""
+        + _SQL_PRIORITY.format(seed=seed)
+        + """
+, und0 AS MATERIALIZED (SELECT id FROM verts)"""
+    )
+    for r in range(rounds):
+        sql += f"""
+, w{r} AS MATERIALIZED (
+  SELECT u.id FROM und{r} u JOIN pr pv ON pv.id = u.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sd JOIN und{r} n ON n.id = sd.dst
+    JOIN pr pn ON pn.id = sd.dst
+    WHERE sd.src = u.id
+      AND (pn.p < pv.p OR (pn.p = pv.p AND sd.dst < u.id))
+  )
+)
+, und{r + 1} AS MATERIALIZED (
+  SELECT u.id FROM und{r} u
+  WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.id = u.id)
+    AND NOT EXISTS (SELECT 1 FROM sd JOIN w{r} w ON w.id = sd.src
+                    WHERE sd.dst = u.id)
+)"""
+    mis = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(rounds))
+    sql += f"""
+, mis AS ({mis})
+SELECT v.id, (m.id IS NOT NULL) AS in_mis
+FROM verts v LEFT JOIN mis m ON m.id = v.id"""
+    return sql
+
+
+def _build_sql_coloring(rounds: int, seed: int) -> str:
+    """Unrolled Jones–Plassmann rounds with the engine's deterministic
+    priority: a vertex colors itself once no uncolored neighbor has
+    higher (p, id), taking the mex of its colored neighborhood (an
+    anti-join of candidate colors 0..deg against used colors). The
+    certificate that ``rounds`` covers the longest decreasing-priority
+    path at the contract SFs (final uncolored set EMPTY) is
+    tests/test_coloring.py::test_coloring_oracle_unroll_exhausts."""
+    sql = (
+        _SQL_ACTORS
+        + _SQL_SYM2
+        + """
+, sd AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM sym2 WHERE src <> dst
+)"""
+        + _SQL_PRIORITY.format(seed=seed)
+        + """
+, dg AS MATERIALIZED (
+  SELECT v.id, coalesce(d.d, 0) AS d
+  FROM verts v LEFT JOIN (
+    SELECT src AS id, count(*) AS d FROM sd GROUP BY src
+  ) d ON d.id = v.id
+)
+, nums AS MATERIALIZED (
+  SELECT range AS n FROM range(0, 65536)
+  WHERE range <= (SELECT max(d) FROM dg)
+)
+, unc0 AS MATERIALIZED (SELECT id FROM verts)
+, col0 AS MATERIALIZED (SELECT id, 0 AS color FROM verts WHERE FALSE)"""
+    )
+    for r in range(rounds):
+        sql += f"""
+, rdy{r} AS MATERIALIZED (
+  SELECT u.id FROM unc{r} u JOIN pr pv ON pv.id = u.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sd JOIN unc{r} n ON n.id = sd.dst
+    JOIN pr pn ON pn.id = sd.dst
+    WHERE sd.src = u.id
+      AND (pn.p > pv.p OR (pn.p = pv.p AND sd.dst > u.id))
+  )
+)
+, newc{r} AS MATERIALIZED (
+  SELECT c.id, cast(min(c.n) AS int) AS color
+  FROM (
+    SELECT rd.id, n.n FROM rdy{r} rd JOIN dg ON dg.id = rd.id
+    JOIN nums n ON n.n <= dg.d
+  ) c
+  LEFT JOIN (
+    SELECT rd.id, x.color FROM rdy{r} rd JOIN sd ON sd.src = rd.id
+    JOIN col{r} x ON x.id = sd.dst
+  ) u ON u.id = c.id AND u.color = c.n
+  WHERE u.id IS NULL
+  GROUP BY c.id
+)
+, col{r + 1} AS MATERIALIZED (
+  SELECT id, color FROM col{r} UNION ALL SELECT id, color FROM newc{r}
+)
+, unc{r + 1} AS MATERIALIZED (
+  SELECT u.id FROM unc{r} u
+  WHERE NOT EXISTS (SELECT 1 FROM newc{r} w WHERE w.id = u.id)
+)"""
+    sql += f"\nSELECT id, color FROM col{rounds}"
+    return sql
+
+
+# Luby exhausts in 3 rounds at sf0.01 (measured; 8 is margin); JP's
+# longest decreasing-priority path is 22 (28 is margin). Certificates
+# in tests/test_mis.py / tests/test_coloring.py re-prove exhaustion.
+_SQL_MIS_ROUNDS = 8
+_SQL_COLORING_ROUNDS = 28
+_SQL_MIS = _build_sql_mis(_SQL_MIS_ROUNDS, seed=4)
+_SQL_GREEDY_COLORING = _build_sql_coloring(_SQL_COLORING_ROUNDS, seed=4)
+
 _SQL_CC = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -1595,10 +1720,12 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal independent set (Luby rounds, deterministic xxhash64
-    priorities). The winner rule depends on Spark's 64-bit hash, which
-    no SQL twin can replay — rows-only; independence/maximality/
-    determinism are pinned by tests/test_mis.py."""
+    """Maximal independent set (Luby rounds, deterministic md5-prefix
+    priorities — graft.algos.priority). Hash-certified against the
+    unrolled Luby SQL oracle (_build_sql_mis replays the exact winner
+    rule, with a pytest certificate that the unroll exhausts the
+    undecided set at the contract SFs); independence/maximality/
+    determinism are additionally pinned by tests/test_mis.py."""
     from graft.algos.mis import maximal_independent_set
 
     g = _actor_graph(spark, sf_dir).cache()
@@ -1606,9 +1733,12 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jones–Plassmann greedy coloring (deterministic xxhash64
-    priorities). Like MIS, the priority rides Spark's 64-bit hash —
-    rows-only; properness/bound/determinism are pinned by
+    """Jones–Plassmann greedy coloring (deterministic md5-prefix
+    priorities — graft.algos.priority). Hash-certified against the
+    unrolled JP SQL oracle (_build_sql_coloring replays the readiness
+    rule and the neighborhood mex, with a pytest certificate that the
+    unroll exhausts the uncolored set at the contract SFs);
+    properness/bound/determinism are additionally pinned by
     tests/test_coloring.py."""
     from graft.algos.coloring import greedy_color
 
@@ -2272,6 +2402,8 @@ FROM e WHERE u = v""",
         "core_numbers": _SQL_CORE_NUMBERS,
         "truss_numbers": _SQL_TRUSS_NUMBERS,
         "k_truss_10": _SQL_K_TRUSS_10,
+        "maximal_independent_set": _SQL_MIS,
+        "greedy_coloring": _SQL_GREEDY_COLORING,
         "k_core_3": _SQL_K_CORE_3,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,

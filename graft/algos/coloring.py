@@ -5,9 +5,10 @@ random priority per vertex; each round, every still-uncolored vertex
 all of whose HIGHER-priority neighbors are already colored picks the
 smallest color absent from its colored neighborhood. Rounds equal the
 longest decreasing-priority path — O(log n / log log n) w.h.p. on
-random priorities; the engine uses ``xxhash64(id, seed)`` (ties by
-id), so the coloring is a pure function of (graph, seed) at any
-partitioning. Colors used ≤ max degree + 1 by construction.
+random priorities; the engine uses the md5-prefix priority of
+graft.algos.priority (ties by id), so the coloring is a pure function
+of (graph, seed) at any partitioning AND replayable by the driver's
+DuckDB oracle. Colors used ≤ max degree + 1 by construction.
 
 Plan per round: one join of the uncolored adjacency against the
 colored set (collect_set of neighbor colors, then the mex via
@@ -22,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graft.algos.community import superstep_conf
+from graft.algos.priority import hash_priority
 from graft.checkpoint import drop_spill, truncate
 from graft.graph import Graph
 
@@ -45,7 +47,7 @@ def greedy_color(graph: Graph, seed: int = 42) -> DataFrame:
 
     def prio(col):
         return F.struct(
-            F.xxhash64(col, F.lit(seed)).alias("h"), col.alias("i")
+            hash_priority(col, seed).alias("h"), col.alias("i")
         )
 
     uncolored = _t(verts.select("id"))

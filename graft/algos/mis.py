@@ -5,10 +5,11 @@ The cugraph API family ships ``maximal_independent_set``; Luby's
 round structure is the canonical distributed formulation (Luby 1986):
 every undecided vertex whose priority beats all undecided neighbors
 joins the set, its neighbors leave the race, repeat — O(log n) rounds
-w.h.p. The engine replaces the per-round random draw with a fixed
-``xxhash64(id, seed)`` priority (ties broken by id), which keeps the
-guarantee in practice on hashed ids and makes the output a pure
-function of (graph, seed) — deterministic under any partitioning.
+w.h.p. The engine replaces the per-round random draw with the fixed
+md5-prefix priority of graft.algos.priority (ties broken by id), which
+keeps the guarantee in practice on hashed ids, makes the output a pure
+function of (graph, seed) — deterministic under any partitioning — and
+lets the driver's DuckDB oracle replay the exact winner rule.
 
 Plan per round: one join of the undecided adjacency against the
 priority table, one groupBy-min for the neighborhood minimum, one
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graft.algos.community import superstep_conf
+from graft.algos.priority import hash_priority
 from graft.checkpoint import drop_spill, truncate
 from graft.graph import Graph
 
@@ -59,7 +61,7 @@ def maximal_independent_set(graph: Graph, seed: int = 42) -> DataFrame:
                     undecided.select(
                         F.col("id").alias("dst"),
                         F.struct(
-                            F.xxhash64("id", F.lit(seed)).alias("p"),
+                            hash_priority(F.col("id"), seed).alias("p"),
                             F.col("id").alias("i"),
                         ).alias("np"),
                     ),
@@ -74,7 +76,7 @@ def maximal_independent_set(graph: Graph, seed: int = 42) -> DataFrame:
                     F.col("nmin").isNull()
                     | (
                         F.struct(
-                            F.xxhash64("id", F.lit(seed)).alias("p"),
+                            hash_priority(F.col("id"), seed).alias("p"),
                             F.col("id").alias("i"),
                         )
                         < F.col("nmin")

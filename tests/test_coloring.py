@@ -1,5 +1,7 @@
 """Jones–Plassmann coloring: properness + bound + determinism."""
 
+import pytest
+
 from graft import fixtures
 from graft.algos.coloring import greedy_color
 from graft.graph import Graph
@@ -63,3 +65,30 @@ def test_bipartite_and_special_cases(spark):
     )
     gots = {r.id: r.color for r in greedy_color(gs).collect()}
     assert gots[2] == 0 and gots[0] != gots[1]
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_coloring_oracle_unroll_exhausts(sf_dir):
+    """Certificate for the driver's coloring oracle: the unrolled
+    Jones-Plassmann rounds must EXHAUST the uncolored set at the
+    contract SFs (i.e. the unroll covers the longest
+    decreasing-priority path), otherwise vertices would be missing
+    from the oracle output."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    r = entrymod._SQL_COLORING_ROUNDS
+    sql = entrymod._build_sql_coloring(r, seed=4)
+    n_left = con.execute(
+        sql.rsplit("\nSELECT id, color", 1)[0]
+        + f"\nSELECT count(*) FROM unc{r}"
+    ).fetchone()[0]
+    assert n_left == 0

@@ -1,5 +1,7 @@
 """Maximal independent set: independence + maximality properties."""
 
+import pytest
+
 from graft import fixtures
 from graft.algos.mis import maximal_independent_set
 from graft.graph import Graph
@@ -74,3 +76,34 @@ def test_clique_picks_exactly_one(spark):
         r.id: r.in_mis for r in maximal_independent_set(g).collect()
     }
     assert sum(got.values()) == 1
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_mis_oracle_unroll_exhausts(sf_dir):
+    """Certificate for the driver's MIS oracle: the unrolled Luby
+    rounds must EXHAUST the undecided set at the contract SFs,
+    otherwise vertices would be left undecided and reported out of the
+    set. Also cross-checks the md5-prefix priority against hashlib."""
+    import duckdb
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    dd = con.execute(
+        "SELECT ('0x' || substr(md5('role:view:4'), 1, 15))::BIGINT"
+    ).fetchone()[0]
+    assert dd == int(hashlib.md5(b"role:view:4").hexdigest()[:15], 16)
+
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    r = entrymod._SQL_MIS_ROUNDS
+    sql = entrymod._build_sql_mis(r, seed=4)
+    n_left = con.execute(
+        sql.split("\n, mis AS")[0] + f"\nSELECT count(*) FROM und{r}"
+    ).fetchone()[0]
+    assert n_left == 0
