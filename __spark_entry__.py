@@ -592,6 +592,110 @@ _SQL_COLORING_ROUNDS = 28
 _SQL_MIS = _build_sql_mis(_SQL_MIS_ROUNDS, seed=4)
 _SQL_GREEDY_COLORING = _build_sql_coloring(_SQL_COLORING_ROUNDS, seed=4)
 
+
+def _sql_wl_round(prev: str, cur: str) -> str:
+    """One unrolled 1-WL refinement round — the exact recolor hash of
+    graft.algos.wl (md5-prefix of "own_color|sorted,neighbor,colors")."""
+    return f"""
+, {cur} AS MATERIALIZED (
+  SELECT c.id,
+         ('0x' || substr(md5(cast(c.color AS varchar) || '|'
+                             || coalesce(n.ns, '')), 1, 15))::BIGINT
+           AS color
+  FROM {prev} c LEFT JOIN (
+    SELECT sd.src AS id,
+           string_agg(cast(x.color AS varchar), ',' ORDER BY x.color)
+             AS ns
+    FROM sd JOIN {prev} x ON x.id = sd.dst
+    GROUP BY sd.src
+  ) n ON n.id = c.id
+)"""
+
+
+_SQL_WL_BASE = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, sd AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM sym2 WHERE src <> dst
+)
+, w0 AS MATERIALIZED (
+  SELECT v.id, cast(coalesce(d.d, 0) AS bigint) AS color
+  FROM verts v LEFT JOIN (
+    SELECT src AS id, count(*) AS d FROM sd GROUP BY src
+  ) d ON d.id = v.id
+)"""
+    + _sql_wl_round("w0", "w1")
+    + _sql_wl_round("w1", "w2")
+)
+
+_SQL_WL_COLORS = _SQL_WL_BASE + "\nSELECT id, color FROM w2"
+
+_SQL_GRAPH_FINGERPRINT = (
+    _SQL_WL_BASE
+    + """
+SELECT cast(sum(('0x' || substr(md5(cast(color AS varchar)), 1, 15))
+                ::BIGINT) AS varchar) AS fingerprint,
+       count(DISTINCT color) AS n_colors
+FROM w2"""
+)
+
+def _sql_conv_wl_round(prev: str, cur: str) -> str:
+    """One unrolled per-conversation 1-WL round — the wl round keyed by
+    (conv_id, id), the exact recolor of
+    graft.algos.wl.conversation_wl_fingerprints."""
+    return f"""
+, {cur} AS MATERIALIZED (
+  SELECT c.conv_id, c.id,
+         ('0x' || substr(md5(cast(c.color AS varchar) || '|'
+                             || coalesce(n.ns, '')), 1, 15))::BIGINT
+           AS color
+  FROM {prev} c LEFT JOIN (
+    SELECT e.conv_id, e.src AS id,
+           string_agg(cast(x.color AS varchar), ',' ORDER BY x.color)
+             AS ns
+    FROM cadj e JOIN {prev} x
+      ON x.conv_id = e.conv_id AND x.id = e.dst
+    GROUP BY e.conv_id, e.src
+  ) n ON n.conv_id = c.conv_id AND n.id = c.id
+)"""
+
+
+_SQL_CONV_FINGERPRINTS = (
+    _SQL_ACTORS
+    + """
+, cp AS (
+  SELECT conv_id, actor,
+         lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev
+  FROM a
+), cu AS (
+  SELECT DISTINCT conv_id, prev AS ua, actor AS ub
+  FROM cp WHERE prev IS NOT NULL AND prev <> actor
+), cadj AS MATERIALIZED (
+  SELECT conv_id, ua AS src, ub AS dst FROM cu
+  UNION
+  SELECT conv_id, ub AS src, ua AS dst FROM cu
+), cverts AS (
+  SELECT DISTINCT conv_id, actor AS id FROM a
+), c0 AS MATERIALIZED (
+  SELECT v.conv_id, v.id, cast(coalesce(d.d, 0) AS bigint) AS color
+  FROM cverts v LEFT JOIN (
+    SELECT conv_id, src AS id, count(*) AS d
+    FROM cadj GROUP BY conv_id, src
+  ) d ON d.conv_id = v.conv_id AND d.id = v.id
+)"""
+    + _sql_conv_wl_round("c0", "c1")
+    + _sql_conv_wl_round("c1", "c2")
+    + """
+SELECT conv_id,
+       cast(sum(('0x' || substr(md5(cast(color AS varchar)), 1, 15))
+                ::BIGINT) AS varchar) AS fingerprint,
+       count(DISTINCT color) AS n_colors,
+       count(*) AS n_vertices
+FROM c2 GROUP BY conv_id"""
+)
+
 _SQL_CC = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -1686,6 +1790,42 @@ def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of 1-WL color refinement over the actor graph —
+    per-vertex structural fingerprints (graft.algos.wl). Fixed round
+    count like lpa_2rounds, so the unrolled oracle is exact by
+    construction; the recolor hash is the DuckDB-replayable md5
+    prefix."""
+    from graft.algos.wl import wl_colors
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return wl_colors(g, rounds=2)
+
+
+def _q_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isomorphism-invariant whole-graph fingerprint: commutative
+    multiset hash + distinct-color count of the round-2 WL colors
+    (structural dedup for transcript-derived graphs — catches re-run
+    agent loops whose ids/wording changed, which text MinHash misses)."""
+    from graft.algos.wl import graph_fingerprint
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return graph_fingerprint(g, rounds=2)
+
+
+def _q_conversation_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-conversation WL structural fingerprints — the structural-
+    dedup primitive over the transcript table (one row per conv_id;
+    equal fingerprints = 1-WL-indistinguishable interaction shapes,
+    catching re-run agent loops whose ids/wording changed)."""
+    from graft.algos.wl import conversation_wl_fingerprints
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return conversation_wl_fingerprints(t, rounds=2)
+
+
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-sources betweenness centrality (multi-source Brandes
     as DataFrame supersteps). Hash-certified against the depth-unrolled
@@ -2315,6 +2455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
+        "wl_colors_2rounds": _q_wl_colors,
+        "graph_fingerprint": _q_graph_fingerprint,
+        "conversation_fingerprints": _q_conversation_fingerprints,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -2404,6 +2547,9 @@ FROM e WHERE u = v""",
         "k_truss_10": _SQL_K_TRUSS_10,
         "maximal_independent_set": _SQL_MIS,
         "greedy_coloring": _SQL_GREEDY_COLORING,
+        "wl_colors_2rounds": _SQL_WL_COLORS,
+        "graph_fingerprint": _SQL_GRAPH_FINGERPRINT,
+        "conversation_fingerprints": _SQL_CONV_FINGERPRINTS,
         "k_core_3": _SQL_K_CORE_3,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,
