@@ -756,6 +756,48 @@ _SQL_LPA_2ROUNDS = (
     + "\nSELECT id, label FROM l2"
 )
 
+# ego subgraph: 2-hop ball from the lexicographically-first actor, then
+# the induced canonical (u <= v) single-counted edge list
+_SQL_EGO_2HOP = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, seed AS (SELECT min(id) AS id FROM verts)
+, ball AS (
+  SELECT id FROM seed
+  UNION
+  SELECT s.dst FROM sym2 s JOIN seed ON s.src = seed.id
+  UNION
+  SELECT s2.dst
+  FROM sym2 s1 JOIN seed ON s1.src = seed.id
+  JOIN sym2 s2 ON s2.src = s1.dst
+)
+SELECT e.u, e.v, round(e.weight, 6) AS weight
+FROM e JOIN ball b1 ON e.u = b1.id JOIN ball b2 ON e.v = b2.id"""
+)
+
+# community quotient over the (deterministic, fixed-round) LPA labels:
+# the A4 contraction — off-diagonal = single-counted inter weight,
+# diagonal = single-counted intra weight with loops once
+_SQL_COMMUNITY_QUOTIENT = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", l0 AS (SELECT id, id AS label FROM verts)"
+    + _sql_lpa_round("l0", "l1")
+    + _sql_lpa_round("l1", "l2")
+    + """
+, q AS (
+  SELECT la.label AS cu, lb.label AS cv,
+         sum(CASE WHEN la.label = lb.label AND s.src <> s.dst
+                  THEN s.weight / 2 ELSE s.weight END) AS w
+  FROM sym2 s
+  JOIN l2 la ON s.src = la.id
+  JOIN l2 lb ON s.dst = lb.id
+  GROUP BY la.label, lb.label
+)
+SELECT cu, cv, round(w, 6) AS weight FROM q WHERE cu <= cv"""
+)
+
 _SQL_TRIANGLES = (
     _SQL_ACTORS
     + """
@@ -1813,6 +1855,33 @@ def _q_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_fingerprint(g, rounds=2)
 
 
+def _q_ego_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced 2-hop ego subgraph of the lexicographically-first actor
+    (graft.algos.subgraph.ego_edges): canonical u <= v single-counted
+    edge list of the seed's interaction neighborhood."""
+    from graft.algos.subgraph import ego_edges
+
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    return ego_edges(g, src, radius=2).select(
+        "u", "v", F.round("weight", 6).alias("weight")
+    )
+
+
+def _q_community_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community quotient graph under the deterministic 2-round LPA
+    labels (graft.algos.subgraph.quotient_edges) — the community
+    interaction map, and an oracle-certified public face for the A4
+    contraction Leiden iterates internally."""
+    from graft.algos.subgraph import quotient_edges
+
+    g = _actor_graph(spark, sf_dir).cache()
+    labels = label_propagation(g, max_iter=2)
+    return quotient_edges(g, labels).select(
+        "cu", "cv", F.round("weight", 6).alias("weight")
+    )
+
+
 def _q_conversation_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2458,6 +2527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors_2rounds": _q_wl_colors,
         "graph_fingerprint": _q_graph_fingerprint,
         "conversation_fingerprints": _q_conversation_fingerprints,
+        "ego_graph_2hop": _q_ego_graph_2hop,
+        "community_quotient": _q_community_quotient,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -2550,6 +2621,8 @@ FROM e WHERE u = v""",
         "wl_colors_2rounds": _SQL_WL_COLORS,
         "graph_fingerprint": _SQL_GRAPH_FINGERPRINT,
         "conversation_fingerprints": _SQL_CONV_FINGERPRINTS,
+        "ego_graph_2hop": _SQL_EGO_2HOP,
+        "community_quotient": _SQL_COMMUNITY_QUOTIENT,
         "k_core_3": _SQL_K_CORE_3,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,

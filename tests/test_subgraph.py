@@ -1,0 +1,109 @@
+"""Ego subgraph extraction and community quotient graphs."""
+
+from pyspark.sql import functions as F
+
+from graft import fixtures
+from graft.algos.lpa import label_propagation
+from graft.algos.subgraph import ego_edges, quotient_edges
+from graft.graph import Graph
+from tests.reference_impls import random_graph
+
+
+def _ego_ref(edges, source, radius):
+    """Pure-python ego: BFS ball then induced canonical edge list."""
+    adj: dict = {}
+    for u, v, _ in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ball = {source}
+    frontier = {source}
+    for _ in range(radius):
+        frontier = {
+            n for v in frontier for n in adj.get(v, ()) if n not in ball
+        }
+        ball |= frontier
+    out = {}
+    for u, v, w in edges:
+        if u in ball and v in ball:
+            key = (min(u, v), max(u, v))
+            out[key] = out.get(key, 0.0) + w
+    return out
+
+
+def test_ego_matches_python_reference(spark):
+    edges = random_graph(50, 0.08, seed=21)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {
+        (r.u, r.v): r.weight
+        for r in ego_edges(g, 0, radius=2).collect()
+    }
+    g.unpersist()
+    assert got == _ego_ref(edges, 0, 2)
+
+
+def test_ego_radius_zero_and_absent_source(spark):
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 0, 3.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    r0 = ego_edges(g, 0, radius=0).collect()
+    assert [(r.u, r.v, r.weight) for r in r0] == [(0, 0, 3.0)]
+    assert ego_edges(g, 99, radius=2).count() == 0
+    g.unpersist()
+
+
+def test_ego_full_radius_is_component(spark):
+    """A radius beyond the diameter returns the source's whole
+    component, canonical single-counted."""
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (5, 6, 4.0)]  # two components
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = sorted(
+        (r.u, r.v, r.weight) for r in ego_edges(g, 0, radius=10).collect()
+    )
+    g.unpersist()
+    assert got == [(0, 1, 2.0), (1, 2, 1.0)]
+
+
+def test_quotient_hand_example(spark):
+    """A={0,1}, B={2}: intra(A)=w1, inter=w2, loop(B)=w3."""
+    edges = [(0, 1, 1.5), (1, 2, 2.5), (2, 2, 3.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20)], "id long, label long"
+    )
+    got = {
+        (r.cu, r.cv): r.weight
+        for r in quotient_edges(g, labels).collect()
+    }
+    g.unpersist()
+    assert got == {(10, 10): 1.5, (10, 20): 2.5, (20, 20): 3.0}
+
+
+def test_quotient_singletons_is_identity(spark):
+    """Under the all-singletons labeling the quotient IS the canonical
+    single-counted edge list."""
+    edges = random_graph(30, 0.1, seed=5) + [(3, 3, 2.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    labels = g.vertices().select("id", F.col("id").alias("label"))
+    got = {
+        (r.cu, r.cv): round(r.weight, 9)
+        for r in quotient_edges(g, labels).collect()
+    }
+    g.unpersist()
+    want: dict = {}
+    for u, v, w in edges:
+        key = (min(u, v), max(u, v))
+        want[key] = round(want.get(key, 0.0) + w, 9)
+    assert got == want
+
+
+def test_quotient_conserves_total_weight(spark):
+    """Sum of quotient weights = m (single-counted incl. loops) for any
+    labeling — here LPA labels on the clique ring."""
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    labels = label_propagation(g, max_iter=3)
+    q = quotient_edges(g, labels)
+    total = q.agg(F.sum("weight")).first()[0]
+    m = g.total_edge_weight()
+    g.unpersist()
+    assert abs(total - m) < 1e-9
