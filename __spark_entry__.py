@@ -595,17 +595,20 @@ _SQL_GREEDY_COLORING = _build_sql_coloring(_SQL_COLORING_ROUNDS, seed=4)
 
 def _sql_wl_round(prev: str, cur: str) -> str:
     """One unrolled 1-WL refinement round — the exact recolor hash of
-    graft.algos.wl (md5-prefix of "own_color|sorted,neighbor,colors")."""
+    graft.algos.wl: md5-prefix of "own_color|S" where S is the
+    commutative neighbor multiset hash (sum of per-neighbor 60-bit
+    color rehashes mod 2^60, 0 when isolated)."""
     return f"""
 , {cur} AS MATERIALIZED (
   SELECT c.id,
          ('0x' || substr(md5(cast(c.color AS varchar) || '|'
-                             || coalesce(n.ns, '')), 1, 15))::BIGINT
+                             || coalesce(n.ns, '0')), 1, 15))::BIGINT
            AS color
   FROM {prev} c LEFT JOIN (
     SELECT sd.src AS id,
-           string_agg(cast(x.color AS varchar), ',' ORDER BY x.color)
-             AS ns
+           cast(sum(('0x' || substr(md5(cast(x.color AS varchar)),
+                                    1, 15))::BIGINT)
+                % 1152921504606846976 AS varchar) AS ns
     FROM sd JOIN {prev} x ON x.id = sd.dst
     GROUP BY sd.src
   ) n ON n.id = c.id
@@ -643,17 +646,19 @@ FROM w2"""
 def _sql_conv_wl_round(prev: str, cur: str) -> str:
     """One unrolled per-conversation 1-WL round — the wl round keyed by
     (conv_id, id), the exact recolor of
-    graft.algos.wl.conversation_wl_fingerprints."""
+    graft.algos.wl.conversation_wl_fingerprints (commutative
+    neighbor-sum multiset hash, see _sql_wl_round)."""
     return f"""
 , {cur} AS MATERIALIZED (
   SELECT c.conv_id, c.id,
          ('0x' || substr(md5(cast(c.color AS varchar) || '|'
-                             || coalesce(n.ns, '')), 1, 15))::BIGINT
+                             || coalesce(n.ns, '0')), 1, 15))::BIGINT
            AS color
   FROM {prev} c LEFT JOIN (
     SELECT e.conv_id, e.src AS id,
-           string_agg(cast(x.color AS varchar), ',' ORDER BY x.color)
-             AS ns
+           cast(sum(('0x' || substr(md5(cast(x.color AS varchar)),
+                                    1, 15))::BIGINT)
+                % 1152921504606846976 AS varchar) AS ns
     FROM cadj e JOIN {prev} x
       ON x.conv_id = e.conv_id AND x.id = e.dst
     GROUP BY e.conv_id, e.src

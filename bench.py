@@ -221,6 +221,13 @@ def powerlaw_throughput() -> dict[str, float]:
         ).count(),
         "hyper_anf_3hops",
     )
+    # WL refinement (r4): structural fingerprinting — one keyed
+    # adjacency shuffle per round, the PageRank-superstep cost envelope
+    from graft.algos.wl import wl_colors
+
+    t_wl = _timed(
+        lambda: wl_colors(big, rounds=2).count(), "wl_2rounds"
+    )
     big.unpersist()
     spark.stop()
     return {
@@ -231,6 +238,8 @@ def powerlaw_throughput() -> dict[str, float]:
         "neighbor_sample_2hop_2m_edges": t_samp,
         "betweenness_k4_2m_edges": t_btw,
         "hyper_anf_3hops_2m_edges": t_anf,
+        "wl_2rounds_2m_edges": t_wl,
+        "_wl_sym_rows_per_sec_per_round": round(n_edges * 2 / t_wl, 1),
         "_powerlaw_edges_per_sec_per_superstep": round(
             n_edges * PR_ITERS / t, 1
         ),

@@ -1,13 +1,13 @@
 """Weisfeiler–Leman (1-WL) color refinement — structural graph
 fingerprinting.
 
-Each round recolors every vertex with a hash of (own color, sorted
-multiset of neighbor colors); after t rounds two vertices share a color
-only if their t-hop neighborhood structures are indistinguishable by
-1-WL. The color table (and the whole-graph color multiset) is the
-standard isomorphism-invariant fingerprint: relabeling vertices never
-changes the multiset, and non-isomorphic structures usually diverge
-within 2-3 rounds (1-WL separates almost all graphs).
+Each round recolors every vertex with a hash of (own color, multiset
+of neighbor colors); after t rounds two vertices share a color only if
+their t-hop neighborhood structures are indistinguishable by 1-WL. The
+color table (and the whole-graph color multiset) is the standard
+isomorphism-invariant fingerprint: relabeling vertices never changes
+the multiset, and non-isomorphic structures usually diverge within 2-3
+rounds (1-WL separates almost all graphs).
 
 Training-data relevance: transcript-derived interaction graphs are
 full of STRUCTURAL near-duplicates (the same agent loop re-run with
@@ -15,13 +15,22 @@ different ids) that text MinHash misses once ids/wording differ; a
 WL fingerprint per (sub)graph catches them. The per-vertex colors
 also serve as cheap structural features for embedding models.
 
-Spark-first shape: one join + one sort_array(collect_list) groupBy per
-round, all JVM built-ins (md5/conv like graft.algos.priority — chosen
-over xxhash64 so the driver's DuckDB oracle can replay the refinement
-bit-for-bit). Rounds are a fixed parameter (like lpa_2rounds), so no
-fixpoint probe is needed; state is one (id, color) table per round.
-At 100 TB each round is a single keyed shuffle of the adjacency — the
-same cost envelope as one PageRank superstep.
+Spark-first shape: one join + one SUM groupBy per round, all JVM
+built-ins (md5/conv like graft.algos.priority — chosen over xxhash64
+so the driver's DuckDB oracle can replay the refinement bit-for-bit).
+The neighbor multiset enters the recolor as a COMMUTATIVE sum of
+per-neighbor 60-bit color hashes (mod 2^60), NOT a sorted
+concatenation: the sum agg is map-side combinable and every row stays
+a few bytes, where sorted-string aggregation would materialize one
+string row proportional to a hub's degree — a 10^7-degree transcript
+hub would be a multi-hundred-MB row at 10^12-turn scale. The textbook
+injectivity loss (two different multisets summing to the same value)
+is a ~2^-60 birthday event per vertex-round, the same accepted
+tradeoff as the components fixpoint signature. Rounds are a fixed
+parameter (like lpa_2rounds), so no fixpoint probe is needed; state is
+one (id, color) table per round. At 100 TB each round is a single
+keyed shuffle of the adjacency — the same cost envelope as one
+PageRank superstep.
 """
 
 from __future__ import annotations
@@ -34,19 +43,34 @@ from graft.checkpoint import drop_spill, truncate
 from graft.graph import Graph
 
 
+_MOD = 2**60
+
+
 def _recolor(code: F.Column) -> F.Column:
-    """60-bit md5-prefix of the canonical (color | neighbors) string —
+    """60-bit md5-prefix of the canonical (color | neighbor-sum) string —
     bit-identical to DuckDB's ('0x' || substr(md5(s), 1, 15))::BIGINT."""
     return F.conv(
         F.substring(F.md5(F.encode(code, "UTF-8")), 1, 15), 16, 10
     ).cast("long")
 
 
+def _nbr_sum() -> F.Column:
+    """Commutative multiset hash of the neighbor colors: decimal sum of
+    per-neighbor 60-bit color rehashes, mod 2^60 (decimal keeps the
+    ANSI-mode sum overflow-free; the mod keeps the canonical string
+    short and DuckDB-replayable as HUGEINT % 2^60)."""
+    return (
+        F.sum(_recolor(F.col("color").cast("string")).cast("decimal(38,0)"))
+        % F.lit(_MOD)
+    ).cast("long")
+
+
 def wl_colors(graph: Graph, rounds: int = 2) -> DataFrame:
     """Returns ``(id, color long)`` after ``rounds`` 1-WL refinement
     rounds over the simple (self-loop-free, unweighted) graph.
-    color_0 = degree; color_{t+1} = H(color_t(v) || '|' || sorted
-    neighbor color list). Deterministic at any partitioning."""
+    color_0 = degree; color_{t+1} = H(color_t(v) || '|' ||
+    sum_{u∈N(v)} H(color_t(u)) mod 2^60), 0 for isolated vertices.
+    Deterministic at any partitioning (the sum is commutative)."""
     verts = graph.vertices()
     adj = truncate(
         graph.without_self_loops().select("src", "dst").distinct()
@@ -66,11 +90,7 @@ def wl_colors(graph: Graph, rounds: int = 2) -> DataFrame:
             nbr = (
                 adj.join(colors.withColumnRenamed("id", "dst"), "dst")
                 .groupBy(F.col("src").alias("id"))
-                .agg(
-                    F.array_join(
-                        F.sort_array(F.collect_list("color")), ","
-                    ).alias("ns")
-                )
+                .agg(_nbr_sum().alias("ns"))
             )
             colors = truncate(
                 colors.join(nbr, "id", "left").select(
@@ -79,7 +99,7 @@ def wl_colors(graph: Graph, rounds: int = 2) -> DataFrame:
                         F.concat(
                             F.col("color").cast("string"),
                             F.lit("|"),
-                            F.coalesce("ns", F.lit("")),
+                            F.coalesce("ns", F.lit(0)).cast("string"),
                         )
                     ).alias("color"),
                 )
@@ -192,11 +212,7 @@ def conversation_wl_fingerprints(
                     ["conv_id", "dst"],
                 )
                 .groupBy("conv_id", F.col("src").alias("id"))
-                .agg(
-                    F.array_join(
-                        F.sort_array(F.collect_list("color")), ","
-                    ).alias("ns")
-                )
+                .agg(_nbr_sum().alias("ns"))
             )
             colors = truncate(
                 colors.join(nbr, ["conv_id", "id"], "left").select(
@@ -206,7 +222,7 @@ def conversation_wl_fingerprints(
                         F.concat(
                             F.col("color").cast("string"),
                             F.lit("|"),
-                            F.coalesce("ns", F.lit("")),
+                            F.coalesce("ns", F.lit(0)).cast("string"),
                         )
                     ).alias("color"),
                 )

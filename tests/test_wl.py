@@ -15,8 +15,13 @@ from graft.graph import Graph
 from tests.reference_impls import random_graph
 
 
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def _wl_ref(edges, rounds):
-    """Pure-python 1-WL with the engine's exact md5-prefix recolor."""
+    """Pure-python 1-WL with the engine's exact recolor: md5-prefix of
+    "own|S", S = commutative sum of neighbor color hashes mod 2^60."""
     adj: dict = {}
     for u, v, _ in edges:
         if u == v:
@@ -28,10 +33,8 @@ def _wl_ref(edges, rounds):
     for _ in range(rounds):
         nxt = {}
         for v, ns in adj.items():
-            s = f"{color[v]}|" + ",".join(
-                str(c) for c in sorted(color[u] for u in ns)
-            )
-            nxt[v] = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            s_sum = sum(_h60(str(color[u])) for u in ns) % 2**60
+            nxt[v] = _h60(f"{color[v]}|{s_sum}")
         color = nxt
     return color
 
@@ -124,11 +127,21 @@ def test_wl_recolor_hash_matches_duckdb(sf_dir):
     a canonical string (priority of the oracle's replayability)."""
     import duckdb
 
-    s = "12|3,3,7"
-    dd = duckdb.connect().execute(
+    s = "12|3437281"
+    con = duckdb.connect()
+    dd = con.execute(
         f"SELECT ('0x' || substr(md5('{s}'), 1, 15))::BIGINT"
     ).fetchone()[0]
-    assert dd == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    assert dd == _h60(s)
+    # and the commutative neighbor-sum path: HUGEINT sum mod 2^60
+    # must match python's arbitrary-precision sum mod 2^60
+    cols = [3, 3, 7, 2**59, 2**59 + 11]
+    dd_sum = con.execute(
+        "SELECT cast(sum(('0x' || substr(md5(cast(c AS varchar)), 1, 15))"
+        "::BIGINT) % 1152921504606846976 AS varchar) "
+        "FROM (SELECT unnest(?) AS c)", [cols]
+    ).fetchone()[0]
+    assert dd_sum == str(sum(_h60(str(c)) for c in cols) % 2**60)
 
 
 def _tx(spark, convs):
