@@ -761,6 +761,77 @@ _SQL_LPA_2ROUNDS = (
     + "\nSELECT id, label FROM l2"
 )
 
+# transcript-analytics oracles: the same canonical events→transcript
+# mapping as _SQL_ACTORS_BODY's t, but carrying ts (second-resolution,
+# floor(epoch) = Spark's timestamp→long cast) and text
+_SQL_TT = r"""tt AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         event_type AS role,
+         props AS text,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN 't' || cast(try_cast(regexp_extract(props, '(\d+)', 1)
+                                        AS bigint)
+                               % 8 AS varchar)
+         END AS tool,
+         floor(epoch(ts))::BIGINT AS fts
+  FROM events
+)"""
+
+_SESSION_GAP_S = 86400
+
+_SQL_SESSIONIZED_TURNS = (
+    "WITH "
+    + _SQL_TT
+    + f"""
+, g AS (
+  SELECT conv_id, turn_idx, fts,
+         lag(fts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tt
+)
+SELECT conv_id, turn_idx,
+       sum(CASE WHEN prev IS NOT NULL AND fts - prev > {_SESSION_GAP_S}
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+FROM g"""
+)
+
+_SQL_CONVERSATION_STATS = (
+    "WITH "
+    + _SQL_TT
+    + """
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(DISTINCT coalesce('tool:' || tool, 'role:' || role))
+         AS n_actors,
+       round(avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS tool_rate,
+       round(avg(length(text)), 6) AS avg_text_len,
+       max(fts) - min(fts) AS duration_s
+FROM tt GROUP BY conv_id"""
+)
+
+_SQL_ROLE_TRANSITIONS = (
+    "WITH "
+    + _SQL_TT
+    + """
+, pr AS (
+  SELECT role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role
+  FROM tt
+), pairs AS (
+  SELECT prev_role, role, count(*) AS n
+  FROM pr WHERE prev_role IS NOT NULL
+  GROUP BY prev_role, role
+)
+SELECT prev_role, role, n,
+       round(n / (sum(n) OVER (PARTITION BY prev_role)), 6) AS p
+FROM pairs"""
+)
+
 # ego subgraph: 2-hop ball from the lexicographically-first actor, then
 # the induced canonical (u <= v) single-counted edge list
 _SQL_EGO_2HOP = (
@@ -1860,6 +1931,36 @@ def _q_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_fingerprint(g, rounds=2)
 
 
+def _q_sessionized_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (graft.transcripts.sessionize, 1-day gap):
+    0-based session index per turn under the stable ordering."""
+    from graft.transcripts import sessionize
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return sessionize(t, gap_seconds=86400).select(
+        "conv_id", "turn_idx", "session_idx"
+    )
+
+
+def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation triage stats (graft.transcripts
+    .conversation_stats): depth, actor diversity, tool rate, text
+    volume, wall duration."""
+    from graft.transcripts import conversation_stats
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return conversation_stats(t)
+
+
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level role→role Markov transition matrix
+    (graft.transcripts.role_transitions)."""
+    from graft.transcripts import role_transitions
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return role_transitions(t)
+
+
 def _q_ego_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Induced 2-hop ego subgraph of the lexicographically-first actor
     (graft.algos.subgraph.ego_edges): canonical u <= v single-counted
@@ -2534,6 +2635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_fingerprints": _q_conversation_fingerprints,
         "ego_graph_2hop": _q_ego_graph_2hop,
         "community_quotient": _q_community_quotient,
+        "sessionized_turns": _q_sessionized_turns,
+        "conversation_stats": _q_conversation_stats,
+        "role_transitions": _q_role_transitions,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -2628,6 +2732,9 @@ FROM e WHERE u = v""",
         "conversation_fingerprints": _SQL_CONV_FINGERPRINTS,
         "ego_graph_2hop": _SQL_EGO_2HOP,
         "community_quotient": _SQL_COMMUNITY_QUOTIENT,
+        "sessionized_turns": _SQL_SESSIONIZED_TURNS,
+        "conversation_stats": _SQL_CONVERSATION_STATS,
+        "role_transitions": _SQL_ROLE_TRANSITIONS,
         "k_core_3": _SQL_K_CORE_3,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,

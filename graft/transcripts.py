@@ -1,0 +1,106 @@
+"""Transcript-table analytics: sessionization, per-conversation stats,
+role-transition matrix.
+
+The operators that sit BETWEEN raw transcript ingest and the link-graph
+derivation in a production pipeline over conversation data:
+
+- :func:`sessionize` — split each conversation into sessions at
+  inactivity gaps (the classic web-analytics sessionizer, here under
+  the stable turn ordering). Downstream, per-session edge derivation
+  is ``transcripts_to_edges`` over (conv_id, session_idx) instead of
+  conv_id — the gap threshold controls graph granularity.
+- :func:`conversation_stats` — one row per conversation: depth, actor
+  diversity, tool-call rate, text volume, wall duration. The triage
+  table for corpus curation (filter degenerate/runaway conversations
+  before they enter the training mix).
+- :func:`role_transitions` — the corpus-level first-order Markov
+  matrix over roles (who speaks after whom), the structural summary
+  used to spot protocol drift between transcript sources.
+
+All three are single-window or single-groupBy plans of JVM built-ins:
+one shuffle keyed by conv_id (sessionize, stats) or by the role pair
+(transitions). At 10^12 turns they scale exactly like the edge
+derivation itself — the same conv_id window shuffle the engine already
+pays, with AQE coalescing output partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    transcripts: DataFrame, gap_seconds: int = 3600
+) -> DataFrame:
+    """Adds ``session_idx`` (0-based within the conversation): a new
+    session starts when the time since the previous turn exceeds
+    ``gap_seconds`` under the stable (conv_id, turn_idx) ordering.
+    One window shuffle; the running sum of break flags is the standard
+    gaps-and-islands sessionizer."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # unix_timestamp floors to whole seconds and accepts both timestamp
+    # and timestamp_ntz (parquet transcript tables are NTZ); the session
+    # runs UTC so it equals DuckDB's floor(epoch(ts))
+    ts_s = F.unix_timestamp(F.col("ts"))
+    prev_ts = F.lag(ts_s).over(w)
+    brk = F.when(
+        prev_ts.isNotNull() & (ts_s - prev_ts > gap_seconds),
+        1,
+    ).otherwise(0)
+    return transcripts.withColumn(
+        "session_idx",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """One row per conversation: ``(conv_id, n_turns, n_actors,
+    tool_rate, avg_text_len, duration_s)``. Actor identity follows the
+    derivation convention (tool:<tool> if present else role:<role>).
+    Floats rounded to 6 dp so aggregation order never shows."""
+    actor = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct(actor).alias("n_actors"),
+        F.round(
+            F.avg(F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)), 6
+        ).alias("tool_rate"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_text_len"),
+        (
+            F.max(F.unix_timestamp(F.col("ts")))
+            - F.min(F.unix_timestamp(F.col("ts")))
+        ).alias("duration_s"),
+    )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Corpus-level role→role transition counts and probabilities under
+    the stable turn ordering: ``(prev_role, role, n, p)`` with
+    p = n / sum(n) over prev_role. The first-order Markov summary of
+    conversational protocol. One window shuffle + one groupBy on the
+    (tiny) role-pair key; p via a broadcastable per-prev_role totals
+    join."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.lag("role").over(w).alias("prev_role"),
+        )
+        .where(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_role").agg(F.sum("n").alias("tot"))
+    return pairs.join(totals, "prev_role").select(
+        "prev_role",
+        "role",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )

@@ -1,0 +1,112 @@
+"""Transcript analytics: sessionization, conversation stats, role
+transitions."""
+
+import datetime as dt
+
+from graft import fixtures
+from graft.transcripts import (
+    conversation_stats,
+    role_transitions,
+    sessionize,
+)
+
+
+def _tx(spark, rows):
+    """rows: (conv_id, turn_idx, role, text, tool, ts_offset_seconds)."""
+    base = dt.datetime(2026, 1, 1)
+    data = [
+        (c, i, r, t, tl, base + dt.timedelta(seconds=off))
+        for c, i, r, t, tl, off in rows
+    ]
+    return spark.createDataFrame(data, schema=fixtures.TRANSCRIPT_SCHEMA)
+
+
+def test_sessionize_gap_split(spark):
+    t = _tx(spark, [
+        ("c", 0, "user", "a", None, 0),
+        ("c", 1, "assistant", "b", None, 10),
+        ("c", 2, "user", "c", None, 5000),      # > 3600 gap → session 1
+        ("c", 3, "assistant", "d", None, 5020),
+        ("c", 4, "user", "e", None, 99999),     # → session 2
+        ("d", 0, "user", "x", None, 0),         # other conv: session 0
+    ])
+    got = {
+        (r.conv_id, r.turn_idx): r.session_idx
+        for r in sessionize(t, gap_seconds=3600).collect()
+    }
+    assert got == {
+        ("c", 0): 0, ("c", 1): 0, ("c", 2): 1,
+        ("c", 3): 1, ("c", 4): 2, ("d", 0): 0,
+    }
+
+
+def test_sessionize_boundary_is_strict(spark):
+    """A gap of exactly gap_seconds does NOT split (strict >)."""
+    t = _tx(spark, [
+        ("c", 0, "user", "a", None, 0),
+        ("c", 1, "user", "b", None, 3600),
+        ("c", 2, "user", "c", None, 7201),  # 3601 > 3600 → splits
+    ])
+    got = [
+        r.session_idx
+        for r in sessionize(t, 3600).orderBy("turn_idx").collect()
+    ]
+    assert got == [0, 0, 1]
+
+
+def test_conversation_stats(spark):
+    t = _tx(spark, [
+        ("c", 0, "user", "hello", None, 0),
+        ("c", 1, "assistant", "hi!", None, 60),
+        ("c", 2, "assistant", "ok", "search", 120),
+        ("c", 3, "user", "bye", None, 300),
+    ])
+    r = conversation_stats(t).first()
+    assert r.conv_id == "c"
+    assert r.n_turns == 4
+    # actors: role:user, role:assistant, tool:search
+    assert r.n_actors == 3
+    assert abs(r.tool_rate - 0.25) < 1e-9
+    assert abs(r.avg_text_len - (5 + 3 + 2 + 3) / 4) < 1e-6
+    assert r.duration_s == 300
+
+
+def test_role_transitions(spark):
+    t = _tx(spark, [
+        ("c", 0, "user", "", None, 0),
+        ("c", 1, "assistant", "", None, 1),
+        ("c", 2, "user", "", None, 2),
+        ("c", 3, "assistant", "", None, 3),
+        ("d", 0, "user", "", None, 0),
+        ("d", 1, "tool", "", None, 1),
+    ])
+    got = {
+        (r.prev_role, r.role): (r.n, r.p)
+        for r in role_transitions(t).collect()
+    }
+    # user → assistant twice, user → tool once; assistant → user once
+    assert got[("user", "assistant")] == (2, round(2 / 3, 6))
+    assert got[("user", "tool")] == (1, round(1 / 3, 6))
+    assert got[("assistant", "user")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_sessionize_then_stats_composes(spark):
+    """Sessionized sub-conversations feed the same downstream ops: the
+    per-(conv, session) turn counts sum to the original depth."""
+    from pyspark.sql import functions as F
+
+    t = _tx(spark, [
+        ("c", 0, "user", "a", None, 0),
+        ("c", 1, "user", "b", None, 10000),
+        ("c", 2, "user", "c", None, 20000),
+    ])
+    s = sessionize(t, 3600)
+    per = (
+        s.groupBy("conv_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert per == 3
+    assert s.select("session_idx").distinct().count() == 3
