@@ -36,3 +36,9 @@ from graft.algos.walks import node2vec_walks, random_walks  # noqa: F401
 from graft.algos.sampling import neighbor_sample  # noqa: F401
 from graft.algos.mis import maximal_independent_set  # noqa: F401
 from graft.algos.coloring import greedy_color  # noqa: F401
+from graft.algos.wl import (  # noqa: F401
+    conversation_wl_fingerprints,
+    graph_fingerprint,
+    wl_colors,
+)
+from graft.algos.subgraph import ego_edges, quotient_edges  # noqa: F401

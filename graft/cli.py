@@ -49,6 +49,7 @@ from graft.io import (
 
 ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
+    "wl", "conv-fingerprints", "sessionize",
 }
 
 
@@ -75,6 +76,26 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"graft-{args.algo}").getOrCreate()
+    if args.algo in ("conv-fingerprints", "sessionize"):
+        # transcript-table algos: no graph build, output keyed by conv
+        from graft.algos.wl import conversation_wl_fingerprints
+        from graft.transcripts import sessionize
+
+        df = read_transcript_source(spark, args.input)
+        if args.input_kind == "events":
+            df = events_to_transcripts(df)
+        t0 = time.perf_counter()
+        out = (
+            conversation_wl_fingerprints(df)
+            if args.algo == "conv-fingerprints"
+            else sessionize(df)
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "algo": args.algo,
+            "seconds": round(time.perf_counter() - t0, 3),
+        }))
+        return
     ckpt = (
         Checkpointer(spark, args.checkpoint_dir, args.algo)
         if args.checkpoint_dir
@@ -92,6 +113,10 @@ def main(argv=None) -> None:
         out = triangles_per_vertex(g)
     elif args.algo == "louvain":
         out = louvain(g, seed=args.seed, checkpointer=ckpt)
+    elif args.algo == "wl":
+        from graft.algos.wl import wl_colors
+
+        out = wl_colors(g, rounds=min(args.max_iter, 4))
     else:
         out = leiden(g, gamma=args.gamma, seed=args.seed, checkpointer=ckpt)
     out = out.join(mapping, "id").drop("id").withColumnRenamed("vid", "actor")
