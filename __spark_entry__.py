@@ -643,27 +643,30 @@ SELECT cast(sum(('0x' || substr(md5(cast(color AS varchar)), 1, 15))
 FROM w2"""
 )
 
-def _sql_conv_wl_round(prev: str, cur: str) -> str:
-    """One unrolled per-conversation 1-WL round — the wl round keyed by
-    (conv_id, id), the exact recolor of
-    graft.algos.wl.conversation_wl_fingerprints (commutative
-    neighbor-sum multiset hash, see _sql_wl_round)."""
+def _sql_grouped_wl_round(key: str, adj: str, prev: str, cur: str) -> str:
+    """One unrolled grouped 1-WL round — the wl round keyed by
+    (key, id), the exact recolor of graft.algos.wl's grouped core
+    (commutative neighbor-sum multiset hash, see _sql_wl_round)."""
     return f"""
 , {cur} AS MATERIALIZED (
-  SELECT c.conv_id, c.id,
+  SELECT c.{key}, c.id,
          ('0x' || substr(md5(cast(c.color AS varchar) || '|'
                              || coalesce(n.ns, '0')), 1, 15))::BIGINT
            AS color
   FROM {prev} c LEFT JOIN (
-    SELECT e.conv_id, e.src AS id,
+    SELECT e.{key}, e.src AS id,
            cast(sum(('0x' || substr(md5(cast(x.color AS varchar)),
                                     1, 15))::BIGINT)
                 % 1152921504606846976 AS varchar) AS ns
-    FROM cadj e JOIN {prev} x
-      ON x.conv_id = e.conv_id AND x.id = e.dst
-    GROUP BY e.conv_id, e.src
-  ) n ON n.conv_id = c.conv_id AND n.id = c.id
+    FROM {adj} e JOIN {prev} x
+      ON x.{key} = e.{key} AND x.id = e.dst
+    GROUP BY e.{key}, e.src
+  ) n ON n.{key} = c.{key} AND n.id = c.id
 )"""
+
+
+def _sql_conv_wl_round(prev: str, cur: str) -> str:
+    return _sql_grouped_wl_round("conv_id", "cadj", prev, cur)
 
 
 _SQL_CONV_FINGERPRINTS = (
@@ -759,6 +762,71 @@ _SQL_LPA_2ROUNDS = (
     + _sql_lpa_round("l0", "l1")
     + _sql_lpa_round("l1", "l2")
     + "\nSELECT id, label FROM l2"
+)
+
+# per-time-window WL fingerprints: weekly actor graphs (both adjacent
+# turns inside the window), grouped 1-WL, multiset-hash fingerprint
+_SQL_WINDOW_FINGERPRINTS = (
+    r"""WITH tt2 AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         coalesce('tool:' ||
+                  CASE WHEN event_type IN ('purchase', 'error')
+                       THEN 't' || cast(try_cast(
+                                regexp_extract(props, '(\d+)', 1)
+                                AS bigint) % 8 AS varchar)
+                  END,
+                  'role:' || event_type) AS actor,
+         strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS win
+  FROM events
+), wp AS (
+  SELECT win, actor,
+         lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev,
+         lag(win) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_win
+  FROM tt2
+), wu AS (
+  SELECT DISTINCT win, prev AS ua, actor AS ub
+  FROM wp WHERE prev IS NOT NULL AND prev <> actor AND prev_win = win
+), wadj AS MATERIALIZED (
+  SELECT win, ua AS src, ub AS dst FROM wu
+  UNION
+  SELECT win, ub AS src, ua AS dst FROM wu
+), wverts AS (
+  SELECT DISTINCT win, actor AS id FROM tt2
+), ww0 AS MATERIALIZED (
+  SELECT v.win, v.id, cast(coalesce(d.d, 0) AS bigint) AS color
+  FROM wverts v LEFT JOIN (
+    SELECT win, src AS id, count(*) AS d
+    FROM wadj GROUP BY win, src
+  ) d ON d.win = v.win AND d.id = v.id
+)"""
+    + _sql_grouped_wl_round("win", "wadj", "ww0", "ww1")
+    + _sql_grouped_wl_round("win", "wadj", "ww1", "ww2")
+    + """
+SELECT win,
+       cast(sum(('0x' || substr(md5(cast(color AS varchar)), 1, 15))
+                ::BIGINT) AS varchar) AS fingerprint,
+       count(DISTINCT color) AS n_colors,
+       count(*) AS n_vertices
+FROM ww2 GROUP BY win"""
+)
+
+# degree-tail powerlaw exponent (continuous Hill MLE with the CSN -0.5
+# discreteness correction) over simple degrees >= d_min = 2
+_SQL_POWERLAW_ALPHA = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, sa AS (SELECT DISTINCT src, dst FROM sym2 WHERE src <> dst)
+, dg AS (SELECT src AS id, count(*) AS d FROM sa GROUP BY src)
+, tl AS (SELECT d FROM dg WHERE d >= 2)
+SELECT round(1.0 + count(*) / sum(ln(d / 1.5)), 6) AS alpha,
+       count(*) AS n_tail,
+       2::BIGINT AS d_min
+FROM tl"""
 )
 
 # transcript-analytics oracles: the same canonical events→transcript
@@ -1931,6 +1999,27 @@ def _q_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_fingerprint(g, rounds=2)
 
 
+def _q_window_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly WL structural fingerprints (graft.algos.wl
+    .windowed_wl_fingerprints) — the drift detector: a changed row
+    flags a structural protocol shift between weekly transcript
+    drops."""
+    from graft.algos.wl import windowed_wl_fingerprints
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return windowed_wl_fingerprints(t, granularity="week", rounds=2)
+
+
+def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-tail exponent (Hill MLE, CSN correction) of the actor
+    graph — the heavy-tail summary that decides whether hub mitigation
+    is needed on a new corpus (graft.algos.structure.powerlaw_alpha)."""
+    from graft.algos.structure import powerlaw_alpha
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return powerlaw_alpha(g, d_min=2)
+
+
 def _q_sessionized_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization (graft.transcripts.sessionize, 1-day gap):
     0-based session index per turn under the stable ordering."""
@@ -2638,6 +2727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_turns": _q_sessionized_turns,
         "conversation_stats": _q_conversation_stats,
         "role_transitions": _q_role_transitions,
+        "window_fingerprints": _q_window_fingerprints,
+        "powerlaw_alpha": _q_powerlaw_alpha,
         "random_walks_4": _q_random_walks,
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
@@ -2735,6 +2826,8 @@ FROM e WHERE u = v""",
         "sessionized_turns": _SQL_SESSIONIZED_TURNS,
         "conversation_stats": _SQL_CONVERSATION_STATS,
         "role_transitions": _SQL_ROLE_TRANSITIONS,
+        "window_fingerprints": _SQL_WINDOW_FINGERPRINTS,
+        "powerlaw_alpha": _SQL_POWERLAW_ALPHA,
         "k_core_3": _SQL_K_CORE_3,
         "katz_3iter": _SQL_KATZ_3ITER,
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,

@@ -129,3 +129,32 @@ def avg_neighbor_degree(graph: Graph) -> DataFrame:
     return graph.vertices().join(knn, "id", "left").select(
         "id", F.round(F.coalesce("knn", F.lit(0.0)), 6).alias("knn")
     )
+
+
+def powerlaw_alpha(graph: Graph, d_min: int = 2) -> DataFrame:
+    """One-row ``(alpha double, n_tail long, d_min long)`` — the
+    continuous maximum-likelihood (Hill) estimate of the degree-tail
+    exponent over simple degrees d >= d_min:
+
+        alpha = 1 + n / sum(ln(d_i / (d_min - 0.5)))
+
+    using the Clauset–Shalizi–Newman −0.5 discreteness correction. The
+    standard summary of how heavy-tailed an interaction graph is — the
+    number that decides whether hub mitigation (salting, adjacency
+    caps) is needed on a new transcript corpus before running it.
+    Cost: one degree agg + one scalar agg; nothing driver-sized.
+    alpha is NULL when no tail vertex exists (empty fit). Rounded to
+    6 dp so aggregation order never shows.
+    """
+    deg = _simple_degrees(_simple_adj(graph))
+    tail = deg.where(F.col("d") >= d_min)
+    return tail.agg(
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("d") / (d_min - 0.5))),
+            6,
+        ).alias("alpha"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+    )

@@ -172,51 +172,106 @@ def conversation_wl_fingerprints(
     built-ins.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    actor = F.when(
-        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
-    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
     t = transcripts.select(
-        "conv_id", "turn_idx", actor.alias("actor")
+        "conv_id", "turn_idx", _actor_col().alias("actor")
     ).withColumn("prev", F.lag("actor").over(w))
 
     und = t.where(
         F.col("prev").isNotNull() & (F.col("prev") != F.col("actor"))
     ).select("conv_id", F.col("prev").alias("a"), F.col("actor").alias("b"))
+    verts = t.select("conv_id", F.col("actor").alias("id")).distinct()
+    return _grouped_wl_fingerprints(und, verts, "conv_id", rounds)
+
+
+def windowed_wl_fingerprints(
+    transcripts: DataFrame,
+    granularity: str = "week",
+    rounds: int = 2,
+) -> DataFrame:
+    """Per-time-window structural fingerprints — the DRIFT detector:
+    one 1-WL fingerprint of the actor-adjacency graph per
+    ``date_trunc(granularity, ts)`` bucket, ``(win string, fingerprint
+    string, n_colors long, n_vertices long)``. Two windows fingerprint
+    equal iff their interaction graphs are 1-WL-indistinguishable, so
+    a changed row flags a structural protocol shift (new tool loops, a
+    changed agent policy) between e.g. weekly transcript drops —
+    before any per-conversation diffing.
+
+    Each window's graph is self-contained: vertices are the actors of
+    the window's own turns; adjacency pairs require BOTH consecutive
+    turns in the window (cross-window adjacencies are dropped — they
+    belong to no single bucket). Same keyed-shuffle scale shape as the
+    per-conversation variant, with `win` as the group key.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    win = F.date_format(
+        F.date_trunc(granularity, F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    t = (
+        transcripts.select(
+            "conv_id", "turn_idx", _actor_col().alias("actor"),
+            win.alias("win"),
+        )
+        .withColumn("prev", F.lag("actor").over(w))
+        .withColumn("prev_win", F.lag("win").over(w))
+    )
+    und = t.where(
+        F.col("prev").isNotNull()
+        & (F.col("prev") != F.col("actor"))
+        & (F.col("prev_win") == F.col("win"))
+    ).select("win", F.col("prev").alias("a"), F.col("actor").alias("b"))
+    verts = t.select("win", F.col("actor").alias("id")).distinct()
+    return _grouped_wl_fingerprints(und, verts, "win", rounds)
+
+
+def _actor_col() -> F.Column:
+    """The derivation's actor identity: tool:<tool> if present else
+    role:<role> (graft.io.transcripts_to_edges convention)."""
+    return F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+
+
+def _grouped_wl_fingerprints(
+    und: DataFrame, verts: DataFrame, key: str, rounds: int
+) -> DataFrame:
+    """Shared grouped-WL core: ``und`` = undirected simple pair list
+    ``(key, a, b)`` (a != b, possibly repeated), ``verts`` = ``(key,
+    id)`` distinct. Runs 1-WL independently inside every key group in
+    one job set and returns ``(key, fingerprint, n_colors,
+    n_vertices)``."""
     adj = truncate(
-        und.select("conv_id", F.col("a").alias("src"), F.col("b").alias("dst"))
+        und.select(key, F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(
-            und.select(
-                "conv_id", F.col("b").alias("src"), F.col("a").alias("dst")
-            )
+            und.select(key, F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         .distinct()
     )
-    verts = t.select("conv_id", F.col("actor").alias("id")).distinct()
     spills = [adj]
-    deg = adj.groupBy("conv_id", F.col("src").alias("id")).agg(
+    deg = adj.groupBy(key, F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d")
     )
     colors = truncate(
-        verts.join(deg, ["conv_id", "id"], "left").select(
-            "conv_id",
+        verts.join(deg, [key, "id"], "left").select(
+            key,
             "id",
             F.coalesce("d", F.lit(0)).cast("long").alias("color"),
         )
     )
     spills.append(colors)
-    with superstep_conf(transcripts.sparkSession, adj.count()):
+    with superstep_conf(und.sparkSession, adj.count()):
         for _ in range(rounds):
             nbr = (
                 adj.join(
                     colors.withColumnRenamed("id", "dst"),
-                    ["conv_id", "dst"],
+                    [key, "dst"],
                 )
-                .groupBy("conv_id", F.col("src").alias("id"))
+                .groupBy(key, F.col("src").alias("id"))
                 .agg(_nbr_sum().alias("ns"))
             )
             colors = truncate(
-                colors.join(nbr, ["conv_id", "id"], "left").select(
-                    "conv_id",
+                colors.join(nbr, [key, "id"], "left").select(
+                    key,
                     "id",
                     _recolor(
                         F.concat(
@@ -229,7 +284,7 @@ def conversation_wl_fingerprints(
             )
             spills.append(colors)
     fp, nc = _fingerprint_agg()
-    out = colors.groupBy("conv_id").agg(
+    out = colors.groupBy(key).agg(
         fp, nc, F.count(F.lit(1)).alias("n_vertices")
     )
     for df in spills[:-1]:

@@ -178,3 +178,44 @@ def test_adamic_adar_custom_pairs_not_dropped(spark):
     # -> 0 (kept, not dropped)
     assert got == {(0, 999): 0.0, (998, 999): 0.0, (3, 4): 0.0}
     assert got_ra == got
+
+
+def test_powerlaw_alpha_recovers_exponent(spark):
+    """Degrees drawn from a discrete powerlaw with alpha=2.5: the Hill
+    MLE over a star-matching synthetic graph recovers alpha within a
+    loose tolerance, and the python formula matches exactly."""
+    import math
+
+    import numpy as np
+
+    from graft.algos.structure import powerlaw_alpha
+
+    rng = np.random.default_rng(7)
+    # build a graph whose simple degrees are the sampled values:
+    # vertex i gets d_i dedicated leaf neighbors (leaves have degree 1,
+    # below d_min=2, so they never enter the tail)
+    degs = np.clip((1.0 / rng.random(60)) ** (1 / 1.5), 2, 200).astype(int)
+    edges = []
+    nxt = 10_000
+    for i, d in enumerate(degs):
+        for _ in range(int(d)):
+            edges.append((i, nxt, 1.0))
+            nxt += 1
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    row = powerlaw_alpha(g, d_min=2).first()
+    g.unpersist()
+    want = 1 + len(degs) / sum(math.log(d / 1.5) for d in degs)
+    assert row.n_tail == len(degs)
+    assert abs(row.alpha - round(want, 6)) < 1e-6
+    assert 2.0 < row.alpha < 3.5
+
+
+def test_powerlaw_alpha_empty_tail(spark):
+    from graft.algos.structure import powerlaw_alpha
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, [(0, 1, 1.0)])
+    ).cache()
+    row = powerlaw_alpha(g, d_min=5).first()
+    g.unpersist()
+    assert row.alpha is None and row.n_tail == 0

@@ -229,3 +229,52 @@ def test_conv_fingerprints_isolated_and_loop_only_convs(spark):
     assert out["one"].n_vertices == 1 and out["loop"].n_vertices == 1
     assert out["one"].fingerprint == out["loop"].fingerprint
     assert out["one"].n_colors == 1
+
+
+def test_windowed_fingerprints_drift_and_containment(spark):
+    """Two weeks with identical interaction shape fingerprint equal;
+    a structurally different third week differs. Cross-window
+    adjacencies are dropped (each window's graph is self-contained)."""
+    from graft.algos.wl import windowed_wl_fingerprints
+
+    def turns(cid, week_day, pattern):
+        # pattern: list of (role, tool); one turn per minute on the
+        # given day (day 1 = 2026-01-05, a Monday)
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 5) + dt.timedelta(days=week_day)
+        return [
+            (cid, i, r, "t", tl, base + dt.timedelta(minutes=i))
+            for i, (r, tl) in enumerate(pattern)
+        ]
+
+    loop = [("user", None), ("assistant", None), (None, "search"),
+            ("assistant", None), ("user", None)]
+    star = [("user", None), ("assistant", None), (None, "search"),
+            ("assistant", None), (None, "python"), ("assistant", None)]
+    rows = (
+        turns("w1", 0, loop)        # week of Jan 5
+        + turns("w2", 7, loop)      # week of Jan 12: same shape
+        + turns("w3", 14, star)     # week of Jan 19: different shape
+    )
+    t = spark.createDataFrame(rows, schema=fixtures.TRANSCRIPT_SCHEMA)
+    out = {r.win: r for r in windowed_wl_fingerprints(t, "week").collect()}
+    assert len(out) == 3
+    fps = sorted(out.items())
+    assert fps[0][1].fingerprint == fps[1][1].fingerprint
+    assert fps[2][1].fingerprint != fps[0][1].fingerprint
+
+
+def test_windowed_matches_conversation_core(spark):
+    """A single conversation wholly inside one window produces the
+    same fingerprint through both grouped-WL wrappers."""
+    from graft.algos.wl import windowed_wl_fingerprints
+
+    turns = [("user", None), ("assistant", None), (None, "search"),
+             ("user", None), ("assistant", None)]
+    t = _tx(spark, {"only": turns})  # all ts within one minute window
+    conv = conversation_wl_fingerprints(t).first()
+    win = windowed_wl_fingerprints(t, "week").first()
+    assert conv.fingerprint == win.fingerprint
+    assert conv.n_colors == win.n_colors
+    assert conv.n_vertices == win.n_vertices
