@@ -2391,6 +2391,34 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One GraphSAGE-style mean-smoothing layer over the certified
+    near-dup pair graph (graft.pipeline.similarity.smooth_embeddings) —
+    the embedding denoising/propagation step of a training pipeline.
+    Same planted-duplicate corpus and md5-Rademacher planes as
+    embedding_near_dups, so the oracle replays the pair graph AND the
+    component-wise blend."""
+    from graft.pipeline.similarity import (
+        embedding_near_dups,
+        rademacher_planes,
+        smooth_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(planted)
+    dim = len(emb.select("embedding").first()[0])
+    pairs = embedding_near_dups(
+        base, threshold=0.95, max_bucket=50,
+        planes=rademacher_planes(dim, 8),
+    ).select("a", "b")
+    return smooth_embeddings(base, pairs, alpha=0.5)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked plumbing probe: the DuckDB side derives the
     expected (media_id, n_bytes) independently from synth_media's
@@ -2755,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "smoothed_embeddings": _q_smoothed_embeddings,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
     }
@@ -2852,6 +2881,7 @@ FROM e WHERE u = v""",
         "ann_topk": _po.SQL_ANN_TOPK,
         "ivf_topk": _po.SQL_IVF_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
+        "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,
         "media_features": _po.SQL_MEDIA_FEATURES,
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
     }

@@ -432,3 +432,75 @@ WHERE {cos} >= {threshold}
 
 
 SQL_NEAR_DUP_EMBEDDINGS = _near_dup_embeddings_sql()
+
+
+def _smoothed_embeddings_sql(
+    alpha: float = 0.5, threshold: float = 0.95, n_planes: int = 8,
+    max_bucket: int = 50, dim: int = 64, dup_mod: int = 10,
+    dup_offset: int = 1_000_000,
+) -> str:
+    """One mean-aggregation smoothing layer over the SAME LSH-bucketed
+    near-dup pair graph as SQL_NEAR_DUP_EMBEDDINGS (planes, bucket cap
+    and threshold inlined identically), replayed component-wise:
+    unnest WITH ORDINALITY -> per-(id, pos) neighbor mean -> rounded
+    alpha-blend -> order-pinned list rebuild. Mirrors
+    graft.pipeline.similarity.smooth_embeddings exactly."""
+    from graft.pipeline.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    sig_bits = []
+    for j in range(n_planes):
+        terms = " + ".join(
+            f"({planes[j][d]:+.1f}) * ev[{d + 1}]" for d in range(dim)
+        )
+        sig_bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(sig_bits)
+    cos = (
+        "round(list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * "
+        "sqrt(list_dot_product(b.ev, b.ev))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + {dup_offset}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {dup_mod} = 0
+), sig AS (
+  SELECT vec_id, ev, {sig} AS s FROM base
+), capped AS (
+  SELECT * FROM (
+    SELECT vec_id, ev, s, count(*) OVER (PARTITION BY s) AS bs FROM sig
+  ) WHERE bs <= {max_bucket}
+), prs AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM capped a JOIN capped b ON a.s = b.s AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+), sym AS (
+  SELECT a AS id, b AS nbr FROM prs
+  UNION
+  SELECT b AS id, a AS nbr FROM prs
+), comp AS (
+  SELECT s.id, r.pos, e.ev[r.pos] AS val
+  FROM sym s
+  JOIN base e ON e.vec_id = s.nbr,
+  LATERAL (SELECT unnest(range(1, len(e.ev) + 1)) AS pos) r
+), mn AS (
+  SELECT id, pos, avg(val) AS mv FROM comp GROUP BY id, pos
+), own AS (
+  SELECT e.vec_id AS id, r.pos, e.ev[r.pos] AS val
+  FROM base e,
+  LATERAL (SELECT unnest(range(1, len(e.ev) + 1)) AS pos) r
+), outc AS (
+  SELECT o.id, o.pos,
+         round(CASE WHEN m.mv IS NULL THEN o.val
+                    ELSE {alpha} * o.val + {1.0 - alpha} * m.mv END,
+               6) AS v
+  FROM own o LEFT JOIN mn m ON m.id = o.id AND m.pos = o.pos
+)
+SELECT id AS vec_id, list(v ORDER BY pos) AS embedding
+FROM outc GROUP BY id
+"""
+
+
+SQL_SMOOTHED_EMBEDDINGS = _smoothed_embeddings_sql()

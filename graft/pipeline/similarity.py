@@ -462,3 +462,61 @@ def embedding_near_dups(
     out = truncate(out)
     sigs.unpersist()
     return out
+
+
+def smooth_embeddings(
+    emb: DataFrame,
+    pairs: DataFrame,
+    alpha: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One GraphSAGE-style mean-aggregation layer over a pair graph:
+    ``out[id] = alpha * emb[id] + (1 - alpha) * mean(emb[nbr])``,
+    components rounded to 6 dp; vectors with no neighbors pass through
+    (rounded) unchanged. ``pairs`` is an undirected ``(a, b)`` edge
+    list — typically :func:`embedding_near_dups` output or an ANN-kNN
+    join — so this is embedding smoothing over the similarity graph:
+    the standard denoising/propagation step before clustering or
+    dedup-threshold tuning on a training corpus.
+
+    Spark-first shape: symmetrize the (small) pair list, join the
+    neighbor vectors, ``posexplode`` to (id, pos, val) components,
+    mean per (id, pos), reassemble with an order-pinned collect. Two
+    keyed shuffles of rows x dim components — declared, linear, no
+    driver-sized state; the explode factor is the embedding dim.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    sym = (
+        pairs.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+        .unionAll(
+            pairs.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+        )
+        .distinct()
+    )
+    nbr_vecs = sym.join(
+        emb.select(F.col(id_col).alias("nbr"), v.alias("nv")), "nbr"
+    )
+    comp = nbr_vecs.select(
+        "id", F.posexplode("nv").alias("pos", "val")
+    )
+    mean = comp.groupBy("id", "pos").agg(F.avg("val").alias("mv"))
+    own = emb.select(F.col(id_col).alias("id"), v.alias("ov")).select(
+        "id", F.posexplode("ov").alias("pos", "val")
+    )
+    outc = own.join(mean, ["id", "pos"], "left").select(
+        "id",
+        "pos",
+        F.round(
+            F.when(F.col("mv").isNull(), F.col("val")).otherwise(
+                alpha * F.col("val") + (1.0 - alpha) * F.col("mv")
+            ),
+            6,
+        ).alias("v"),
+    )
+    return outc.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias(vec_col)
+    ).withColumnRenamed("id", id_col)

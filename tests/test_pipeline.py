@@ -254,3 +254,44 @@ def test_near_dup_clusters(spark, docs):
     # unrelated docs stay singleton clusters
     assert out[3].cluster_id == 3 and out[3].keep
     assert out[4].cluster_id == 4 and out[4].keep
+
+
+def test_smooth_embeddings_matches_python(spark):
+    """Component-wise alpha-blend vs a dict reference, including a
+    no-neighbor passthrough vector."""
+    from graft.pipeline.similarity import smooth_embeddings
+
+    vecs = {
+        1: [1.0, 0.0, 2.0],
+        2: [3.0, 4.0, 0.0],
+        3: [0.0, 8.0, 1.0],
+        4: [5.0, 5.0, 5.0],   # isolated
+    }
+    pairs = [(1, 2), (1, 3)]
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    p = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r.vec_id: r.embedding
+        for r in smooth_embeddings(emb, p, alpha=0.5).collect()
+    }
+    import statistics
+
+    adj = {1: [2, 3], 2: [1], 3: [1]}
+    want = {}
+    for k, v in vecs.items():
+        ns = adj.get(k)
+        if not ns:
+            want[k] = [round(x, 6) for x in v]
+        else:
+            want[k] = [
+                round(
+                    0.5 * x
+                    + 0.5 * statistics.mean(vecs[n][i] for n in ns),
+                    6,
+                )
+                for i, x in enumerate(v)
+            ]
+    assert got == want
