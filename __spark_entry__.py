@@ -2419,6 +2419,25 @@ def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smooth_embeddings(base, pairs, alpha=0.5)
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN similarity graph (k=5) over the planted-dup
+    corpus via the certified md5-Rademacher buckets — the corpus-wide
+    similarity-graph builder (graft.pipeline.similarity.knn_graph)."""
+    from graft.pipeline.similarity import knn_graph, rademacher_planes
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(planted)
+    dim = len(emb.select("embedding").first()[0])
+    return knn_graph(
+        base, k=5, max_bucket=50, planes=rademacher_planes(dim, 8)
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked plumbing probe: the DuckDB side derives the
     expected (media_id, n_bytes) independently from synth_media's
@@ -2784,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "smoothed_embeddings": _q_smoothed_embeddings,
+        "knn_graph": _q_knn_graph,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
     }
@@ -2882,6 +2902,7 @@ FROM e WHERE u = v""",
         "ivf_topk": _po.SQL_IVF_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,
+        "knn_graph": _po.SQL_KNN_GRAPH,
         "media_features": _po.SQL_MEDIA_FEATURES,
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
     }

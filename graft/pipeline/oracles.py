@@ -504,3 +504,56 @@ FROM outc GROUP BY id
 
 
 SQL_SMOOTHED_EMBEDDINGS = _smoothed_embeddings_sql()
+
+
+def _knn_graph_sql(
+    k: int = 5, n_planes: int = 8, max_bucket: int = 50, dim: int = 64,
+    dup_mod: int = 10, dup_offset: int = 1_000_000,
+) -> str:
+    """Approximate kNN graph over the planted-duplicate corpus: the
+    same md5-Rademacher sign buckets and cap as
+    SQL_NEAR_DUP_EMBEDDINGS, then row_number() <= k per source with
+    the engine's exact tie-break (cosine DESC, b ASC). Mirrors
+    graft.pipeline.similarity.knn_graph."""
+    from graft.pipeline.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    sig_bits = []
+    for j in range(n_planes):
+        terms = " + ".join(
+            f"({planes[j][d]:+.1f}) * ev[{d + 1}]" for d in range(dim)
+        )
+        sig_bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(sig_bits)
+    cos = (
+        "round(list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * "
+        "sqrt(list_dot_product(b.ev, b.ev))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + {dup_offset}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {dup_mod} = 0
+), sig AS (
+  SELECT vec_id, ev, {sig} AS s FROM base
+), capped AS (
+  SELECT * FROM (
+    SELECT vec_id, ev, s, count(*) OVER (PARTITION BY s) AS bs FROM sig
+  ) WHERE bs <= {max_bucket}
+), scored AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cosine
+  FROM capped a JOIN capped b
+    ON a.s = b.s AND a.vec_id <> b.vec_id
+)
+SELECT a, b, cosine FROM (
+  SELECT a, b, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b)
+           AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+SQL_KNN_GRAPH = _knn_graph_sql()

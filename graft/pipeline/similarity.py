@@ -520,3 +520,71 @@ def smooth_embeddings(
             lambda s: s["v"],
         ).alias(vec_col)
     ).withColumnRenamed("id", id_col)
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate kNN graph over the whole corpus: ``(a, b, cosine)``
+    — for every vector, its top-k most-cosine-similar neighbors among
+    the vectors sharing its LSH bucket (directed: a → its neighbors;
+    symmetrize downstream if an undirected graph is wanted). THE
+    similarity-graph builder at corpus scale: candidate generation is
+    the same sign-bucket join as :func:`embedding_near_dups` (bounded
+    by ``max_bucket``, never all-pairs), ranking is one window
+    ``row_number() <= k`` per source — both keyed shuffles. Recall is
+    bucket-local by construction (the ANN tradeoff); raise coverage
+    with fewer planes or multiple seeded plane sets unioned.
+    """
+    if planes is None:
+        head = emb.select(vec_col).first()
+        if head is None:
+            return emb.sparkSession.createDataFrame(
+                [], "a long, b long, cosine double"
+            )
+        planes = _hyperplanes(len(head[0]), n_planes, seed)
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    sigs = emb.select(
+        F.col(id_col), v.alias("v"), _signature(v, planes).alias("sig")
+    ).persist()
+    wb = Window.partitionBy("sig")
+    capped = (
+        sigs.withColumn("n", F.count(F.lit(1)).over(wb))
+        .where(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    left = capped.select(
+        "sig", F.col(id_col).alias("a"), F.col("v").alias("va")
+    )
+    right = capped.select(
+        "sig", F.col(id_col).alias("b"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    # each vector carries exactly ONE signature, so the bucket join
+    # emits every candidate pair once — no dedup shuffle needed
+    scored = (
+        left.join(right, "sig")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+    )
+    wk = Window.partitionBy("a").orderBy(
+        F.desc("cosine"), F.asc("b")
+    )
+    out = truncate(
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    sigs.unpersist()
+    return out

@@ -295,3 +295,46 @@ def test_smooth_embeddings_matches_python(spark):
                 for i, x in enumerate(v)
             ]
     assert got == want
+
+
+def test_knn_graph_topk_and_ties(spark):
+    """Within one bucket (single plane, all-positive first component)
+    the kNN graph is exact top-k with (cosine DESC, b ASC) tie-break,
+    and every source emits at most k rows."""
+    import numpy as np
+
+    from graft.pipeline.similarity import knn_graph
+
+    vecs = {
+        0: [1.0, 0.0], 1: [1.0, 0.1], 2: [1.0, 0.2],
+        3: [0.1, 1.0], 4: [0.1, 1.0],   # exact tie pair
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    # one plane that puts everything in the same bucket
+    out = knn_graph(
+        emb, k=2, planes=np.array([[1.0, 0.0]])
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.a, []).append((r.b, r.cosine))
+    got = {
+        a: sorted(v, key=lambda t: (-t[1], t[0])) for a, v in got.items()
+    }
+    assert all(len(v) <= 2 for v in got.values())
+
+    def cos(u, v):
+        nu = sum(x * x for x in u) ** 0.5
+        nv = sum(x * x for x in v) ** 0.5
+        return round(sum(x * y for x, y in zip(u, v)) / (nu * nv), 6)
+
+    for a, rows in got.items():
+        want = sorted(
+            ((cos(vecs[a], vecs[b]), b) for b in vecs if b != a),
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        assert [(b, c) for c, b in want] == rows
+    # vectors 3 and 4 are identical: each must rank the other first
+    assert got[3][0][0] == 4 and got[4][0][0] == 3
