@@ -2419,6 +2419,15 @@ def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smooth_embeddings(base, pairs, alpha=0.5)
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (k=50): term frequency + document
+    frequency under the engine tokenizer
+    (graft.pipeline.textstats.top_terms)."""
+    from graft.pipeline.textstats import top_terms
+
+    return top_terms(read_table(spark, sf_dir, "documents"), k=50)
+
+
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN similarity graph (k=5) over the planted-dup
     corpus via the certified md5-Rademacher buckets — the corpus-wide
@@ -2804,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "smoothed_embeddings": _q_smoothed_embeddings,
         "knn_graph": _q_knn_graph,
+        "top_terms": _q_top_terms,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
     }
@@ -2903,6 +2913,7 @@ FROM e WHERE u = v""",
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,
         "knn_graph": _po.SQL_KNN_GRAPH,
+        "top_terms": _po.SQL_TOP_TERMS,
         "media_features": _po.SQL_MEDIA_FEATURES,
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
     }

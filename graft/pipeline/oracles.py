@@ -557,3 +557,17 @@ SELECT a, b, cosine FROM (
 
 
 SQL_KNN_GRAPH = _knn_graph_sql()
+
+
+SQL_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), c AS (
+  SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+)
+SELECT term, n, df FROM c ORDER BY n DESC, term LIMIT 50
+"""

@@ -105,3 +105,24 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def top_terms(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: ``(term, n long, df long)`` — the k most
+    frequent tokens (same tokenizer as :func:`token_counts`) with total
+    count and document frequency, ranked (n DESC, term ASC). The vocab
+    inspection / stopword-candidate / tokenizer-sanity table every
+    corpus build starts with. One explode + one hash agg (map-side
+    combinable) + a top-k sort of the (tiny) term table — at 100 TB
+    the agg output is vocabulary-sized, never corpus-sized.
+    """
+    toks = df.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)

@@ -1,0 +1,97 @@
+"""Physical-plan pins for the late-r4 operator family: everything
+stays JVM-side (no Python eval nodes in any distributed plan) and the
+single-shuffle operators keep their declared exchange budgets."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graft import fixtures
+from graft.graph import Graph
+
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+             "FlatMapGroupsInPandas", "PythonUDF")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_jvm_only(df, name):
+    p = _plan(df)
+    for node in _PY_NODES:
+        assert node not in p, f"{name}: {node} in physical plan"
+    return p
+
+
+def _tx(spark):
+    base = dt.datetime(2026, 1, 5)
+    rows = [
+        ("c1", i, "user" if i % 2 else "assistant", "t", None,
+         base + dt.timedelta(minutes=i))
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, schema=fixtures.TRANSCRIPT_SCHEMA)
+
+
+def test_new_ops_have_no_python_nodes(spark):
+    from graft.algos.subgraph import ego_edges, quotient_edges
+    from graft.algos.wl import (
+        conversation_wl_fingerprints,
+        wl_colors,
+        windowed_wl_fingerprints,
+    )
+    from graft.pipeline.similarity import knn_graph, smooth_embeddings
+    from graft.pipeline.textstats import top_terms
+    from graft.transcripts import role_transitions, sessionize
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    t = _tx(spark)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+
+    _assert_jvm_only(wl_colors(g, 2), "wl_colors")
+    _assert_jvm_only(
+        conversation_wl_fingerprints(t), "conversation_wl_fingerprints"
+    )
+    _assert_jvm_only(
+        windowed_wl_fingerprints(t, "week"), "windowed_wl_fingerprints"
+    )
+    _assert_jvm_only(ego_edges(g, 0, 2), "ego_edges")
+    labels = g.vertices().select("id", F.col("id").alias("label"))
+    _assert_jvm_only(quotient_edges(g, labels), "quotient_edges")
+    _assert_jvm_only(sessionize(t), "sessionize")
+    _assert_jvm_only(role_transitions(t), "role_transitions")
+    _assert_jvm_only(smooth_embeddings(emb, pairs), "smooth_embeddings")
+    import numpy as np
+
+    _assert_jvm_only(
+        knn_graph(emb, k=2, planes=np.array([[1.0, 0.0]])), "knn_graph"
+    )
+    _assert_jvm_only(top_terms(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ), "top_terms")
+    g.unpersist()
+
+
+def test_single_shuffle_budgets(spark):
+    """sessionize adds exactly ONE exchange beyond its input's own
+    plan (the conv_id window); top_terms is explode + one hash agg +
+    top-k (no more than 3 exchanges including the final sort)."""
+    from graft.pipeline.textstats import top_terms
+    from graft.transcripts import sessionize
+
+    t = _tx(spark)
+    base_ex = _plan(t).count("Exchange")
+    sess_ex = _plan(sessionize(t)).count("Exchange")
+    assert sess_ex - base_ex <= 1
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    assert _plan(top_terms(docs)).count("Exchange") <= 3
