@@ -2419,6 +2419,26 @@ def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smooth_embeddings(base, pairs, alpha=0.5)
 
 
+def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-Bernoulli(0.2) document sample — reproducible across
+    engines/partitionings/reruns (graft.pipeline.splits
+    .deterministic_sample)."""
+    from graft.pipeline.splits import deterministic_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2, "doc_id").select("doc_id")
+
+
+def _q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (0.9/0.05/0.05) by hash
+    range — append-stable, leakage-safe (graft.pipeline.splits
+    .assign_splits)."""
+    from graft.pipeline.splits import assign_splits
+
+    docs = read_table(spark, sf_dir, "documents")
+    return assign_splits(docs).select("doc_id", "split")
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head (k=50): term frequency + document
     frequency under the engine tokenizer
@@ -2814,6 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothed_embeddings": _q_smoothed_embeddings,
         "knn_graph": _q_knn_graph,
         "top_terms": _q_top_terms,
+        "deterministic_sample": _q_deterministic_sample,
+        "split_assignment": _q_split_assignment,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
     }
@@ -2914,6 +2936,8 @@ FROM e WHERE u = v""",
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,
         "knn_graph": _po.SQL_KNN_GRAPH,
         "top_terms": _po.SQL_TOP_TERMS,
+        "deterministic_sample": _po.SQL_DETERMINISTIC_SAMPLE,
+        "split_assignment": _po.SQL_SPLIT_ASSIGNMENT,
         "media_features": _po.SQL_MEDIA_FEATURES,
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
     }

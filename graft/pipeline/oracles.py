@@ -571,3 +571,22 @@ WITH toks AS (
 )
 SELECT term, n, df FROM c ORDER BY n DESC, term LIMIT 50
 """
+
+
+_U60 = ("('0x' || substr(md5(cast(doc_id AS varchar) || '#{salt}'), "
+        "1, 15))::BIGINT")
+
+SQL_DETERMINISTIC_SAMPLE = f"""
+SELECT doc_id FROM documents
+WHERE {_U60.format(salt='sample')} < {int(0.2 * 2**60)}
+"""
+
+SQL_SPLIT_ASSIGNMENT = f"""
+SELECT doc_id,
+       CASE WHEN {_U60.format(salt='split')} < {int(0.9 * 2**60)}
+              THEN 'train'
+            WHEN {_U60.format(salt='split')} < {int(0.95 * 2**60)}
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

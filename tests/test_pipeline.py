@@ -338,3 +338,55 @@ def test_knn_graph_topk_and_ties(spark):
         assert [(b, c) for c, b in want] == rows
     # vectors 3 and 4 are identical: each must rank the other first
     assert got[3][0][0] == 4 and got[4][0][0] == 3
+
+
+def test_deterministic_sample_and_splits(spark):
+    """Hash sampling: deterministic across reruns, ~p fraction,
+    disjoint salts independent; splits partition every row, are
+    append-stable, and match python md5 exactly."""
+    import hashlib
+
+    from graft.pipeline.splits import assign_splits, deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    s1 = sorted(r.doc_id for r in
+                deterministic_sample(df, 0.2, "doc_id").collect())
+    s2 = sorted(r.doc_id for r in
+                deterministic_sample(df, 0.2, "doc_id").collect())
+    assert s1 == s2
+    assert 120 < len(s1) < 280  # ~200 expected
+
+    def u60(k, salt):
+        return int(
+            hashlib.md5(f"{k}#{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    want = sorted(i for i in range(1000)
+                  if u60(i, "sample") < int(0.2 * 2**60))
+    assert s1 == want
+
+    out = {r.doc_id: r.split for r in assign_splits(df).collect()}
+    assert len(out) == 1000
+    counts = {}
+    for v in out.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert 800 < counts["train"] < 970
+    # python reference for the boundary logic
+    def split_of(k):
+        h = u60(k, "split")
+        if h < int(0.9 * 2**60):
+            return "train"
+        if h < int(0.95 * 2**60):
+            return "val"
+        return "test"
+
+    assert out == {i: split_of(i) for i in range(1000)}
+    # append stability: a subset keeps identical assignments
+    sub = {
+        r.doc_id: r.split
+        for r in assign_splits(df.where(F.col("doc_id") < 100)).collect()
+    }
+    assert sub == {k: v for k, v in out.items() if k < 100}
