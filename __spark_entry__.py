@@ -2419,6 +2419,14 @@ def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smooth_embeddings(base, pairs, alpha=0.5)
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction, k=3
+    (graft.pipeline.textstats.tfidf_top_terms)."""
+    from graft.pipeline.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
 def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-Bernoulli(0.2) document sample — reproducible across
     engines/partitionings/reruns (graft.pipeline.splits
@@ -2836,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "deterministic_sample": _q_deterministic_sample,
         "split_assignment": _q_split_assignment,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
     }
@@ -2938,6 +2947,7 @@ FROM e WHERE u = v""",
         "top_terms": _po.SQL_TOP_TERMS,
         "deterministic_sample": _po.SQL_DETERMINISTIC_SAMPLE,
         "split_assignment": _po.SQL_SPLIT_ASSIGNMENT,
+        "tfidf_top_terms": _po.SQL_TFIDF_TOP_TERMS,
         "media_features": _po.SQL_MEDIA_FEATURES,
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
     }

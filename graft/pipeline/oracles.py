@@ -590,3 +590,29 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / dfreq.dfreq), 6) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""

@@ -126,3 +126,47 @@ def top_terms(
         F.countDistinct("doc_id").alias("df"),
     )
     return counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document keyword extraction: ``(doc_id, term, score)`` — the
+    k terms with highest tf·idf per document (idf = ln(N / df_term),
+    ties broken (score DESC, term ASC), score rounded to 6 dp). The
+    cheap keyword/topic-feature table of a corpus build. Plan: one
+    explode + two hash aggs (term frequencies are map-side combinable),
+    a broadcast of the scalar N and the (vocabulary-sized) df table,
+    and one per-doc top-k window — nothing corpus-sized shuffles twice.
+    """
+    toks = df.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -390,3 +390,26 @@ def test_deterministic_sample_and_splits(spark):
         for r in assign_splits(df.where(F.col("doc_id") < 100)).collect()
     }
     assert sub == {k: v for k, v in out.items() if k < 100}
+
+
+def test_tfidf_top_terms(spark):
+    """tf-idf keywords against a hand-computed reference: the term
+    unique to a doc outranks corpus-wide terms; row budget respected."""
+    import math
+
+    from graft.pipeline.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark engine"), (1, "spark query engine"),
+         (2, "zebra zebra zebra spark")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in tfidf_top_terms(docs, k=2).collect():
+        out.setdefault(r.doc_id, {})[r.term] = r.score
+    assert all(len(v) <= 2 for v in out.values())
+    # doc 2: 'zebra' df=1 tf=3 -> 3*ln(3); 'spark' df=3 -> idf 0
+    assert out[2]["zebra"] == round(3 * math.log(3), 6)
+    assert out[2]["spark"] == 0.0
+    # doc 0: 'spark' tf=2 idf=0 -> 0; 'engine' df=2 tf=1 -> ln(1.5)
+    assert out[0]["engine"] == round(math.log(1.5), 6)
