@@ -900,6 +900,105 @@ SELECT prev_role, role, n,
 FROM pairs"""
 )
 
+# per-conversation inter-turn gap profile + Goh–Barabási burstiness
+_SQL_TURN_GAP_STATS = (
+    "WITH "
+    + _SQL_TT
+    + """
+, g AS (
+  SELECT conv_id,
+         fts - lag(fts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS gap
+  FROM tt
+), s AS (
+  SELECT conv_id, count(*) AS n_gaps, avg(gap) AS mu,
+         stddev_pop(gap) AS sg, max(gap) AS max_gap
+  FROM g WHERE gap IS NOT NULL GROUP BY conv_id
+)
+SELECT conv_id, n_gaps, round(mu, 6) AS mean_gap, round(sg, 6) AS std_gap,
+       CASE WHEN mu + sg = 0 THEN 0.0
+            ELSE round((sg - mu) / (sg + mu), 6) END AS burstiness,
+       max_gap
+FROM s"""
+)
+
+# actor co-occurrence PMI over conversations (set cooccurrence,
+# order-free — the association complement to the adjacency edge weights)
+_SQL_ACTOR_PMI = (
+    "WITH "
+    + _SQL_TT
+    + """
+, ca AS (
+  SELECT DISTINCT conv_id,
+         coalesce('tool:' || tool, 'role:' || role) AS actor
+  FROM tt
+), marg AS (SELECT actor, count(*) AS n FROM ca GROUP BY actor)
+, nt AS (SELECT count(DISTINCT conv_id) AS n_conv FROM ca)
+, pairs AS (
+  SELECT c1.actor AS a, c2.actor AS b, count(*) AS n_ab
+  FROM ca c1 JOIN ca c2 ON c1.conv_id = c2.conv_id AND c1.actor < c2.actor
+  GROUP BY c1.actor, c2.actor
+)
+SELECT p.a, p.b, p.n_ab,
+       round(ln(p.n_ab * nt.n_conv / (ma.n * mb.n)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON ma.actor = p.a
+JOIN marg mb ON mb.actor = p.b
+CROSS JOIN nt"""
+)
+
+# per-vertex 4-cycle counts: squares(x) = sum over diagonal partners y
+# of C(common(x,y), 2); one wedge self-join on the shared midpoint
+_SQL_SQUARE_COUNT = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, adj AS (SELECT DISTINCT src AS a, dst AS b FROM sym2 WHERE src <> dst)
+, pc AS (
+  SELECT a1.b AS u, a2.b AS v, count(*) AS c
+  FROM adj a1 JOIN adj a2 ON a1.a = a2.a AND a1.b < a2.b
+  GROUP BY a1.b, a2.b
+), sq AS (
+  SELECT u, v, ((c * (c - 1)) / 2)::BIGINT AS s FROM pc WHERE c >= 2
+), per AS (
+  SELECT id, sum(s) AS squares FROM (
+    SELECT u AS id, s FROM sq UNION ALL SELECT v AS id, s FROM sq
+  ) GROUP BY id
+)
+SELECT verts.id, coalesce(per.squares, 0)::BIGINT AS squares
+FROM verts LEFT JOIN per ON verts.id = per.id"""
+)
+
+# rich-club coefficients at the contract thresholds (Colizza et al.,
+# unnormalized): density among vertices of simple degree > k
+_SQL_RICH_CLUB = (
+    _SQL_ACTORS
+    + """
+, adj AS (
+  SELECT u AS a, v AS b FROM e WHERE u <> v
+  UNION
+  SELECT v, u FROM e WHERE u <> v
+), degs AS (SELECT a AS id, count(*) AS d FROM adj GROUP BY a)
+, und AS (SELECT u, v FROM e WHERE u < v)
+, em AS (
+  SELECT least(du.d, dv.d) AS m
+  FROM und p
+  JOIN degs du ON du.id = p.u
+  JOIN degs dv ON dv.id = p.v
+), ks AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) t(k))
+, agg AS (
+  SELECT ks.k::BIGINT AS k,
+         (SELECT count(*) FROM degs WHERE d > ks.k)::BIGINT AS n_nodes,
+         (SELECT count(*) FROM em WHERE m > ks.k)::BIGINT AS n_edges
+  FROM ks
+)
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM agg"""
+)
+
 # ego subgraph: 2-hop ball from the lexicographically-first actor, then
 # the induced canonical (u <= v) single-counted edge list
 _SQL_EGO_2HOP = (
@@ -2050,6 +2149,42 @@ def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_transitions(t)
 
 
+def _q_turn_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn gap profile + Goh–Barabási
+    burstiness (graft.transcripts.turn_gap_stats)."""
+    from graft.transcripts import turn_gap_stats
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return turn_gap_stats(t)
+
+
+def _q_actor_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actor co-occurrence PMI over conversations
+    (graft.transcripts.actor_pmi)."""
+    from graft.transcripts import actor_pmi
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return actor_pmi(t)
+
+
+def _q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-cycle counts on the simple actor graph
+    (graft.algos.structure.square_count)."""
+    from graft.algos.structure import square_count
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return square_count(g)
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients at the contract degree thresholds
+    (graft.algos.structure.rich_club)."""
+    from graft.algos.structure import rich_club
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return rich_club(g, ks=(1, 2, 4, 8, 16))
+
+
 def _q_ego_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Induced 2-hop ego subgraph of the lexicographically-first actor
     (graft.algos.subgraph.ego_edges): canonical u <= v single-counted
@@ -2811,6 +2946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_turns": _q_sessionized_turns,
         "conversation_stats": _q_conversation_stats,
         "role_transitions": _q_role_transitions,
+        "turn_gap_stats": _q_turn_gap_stats,
+        "actor_pmi": _q_actor_pmi,
+        "square_count": _q_square_count,
+        "rich_club": _q_rich_club,
         "window_fingerprints": _q_window_fingerprints,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "random_walks_4": _q_random_walks,
@@ -2916,6 +3055,10 @@ FROM e WHERE u = v""",
         "sessionized_turns": _SQL_SESSIONIZED_TURNS,
         "conversation_stats": _SQL_CONVERSATION_STATS,
         "role_transitions": _SQL_ROLE_TRANSITIONS,
+        "turn_gap_stats": _SQL_TURN_GAP_STATS,
+        "actor_pmi": _SQL_ACTOR_PMI,
+        "square_count": _SQL_SQUARE_COUNT,
+        "rich_club": _SQL_RICH_CLUB,
         "window_fingerprints": _SQL_WINDOW_FINGERPRINTS,
         "powerlaw_alpha": _SQL_POWERLAW_ALPHA,
         "k_core_3": _SQL_K_CORE_3,

@@ -1,5 +1,6 @@
 """Structural graph metrics: clustering coefficient, transitivity,
-degree assortativity, average neighbor degree.
+degree assortativity, average neighbor degree, per-vertex square (C4)
+counts, rich-club coefficients, degree-tail exponent.
 
 The cugraph API family the engine mirrors ships these alongside the
 pair-similarity scorers (reference ecosystem: examples/cugraph-cpp-api/
@@ -128,6 +129,120 @@ def avg_neighbor_degree(graph: Graph) -> DataFrame:
     )
     return graph.vertices().join(knn, "id", "left").select(
         "id", F.round(F.coalesce("knn", F.lit(0.0)), 6).alias("knn")
+    )
+
+
+def square_count(graph: Graph) -> DataFrame:
+    """Per-vertex 4-cycle (square) counts on the simple graph:
+    ``(id, squares long)`` — the number of (not necessarily induced)
+    cycles u—w1—v—w2 through each vertex, the standard C4 statistic
+    behind square clustering (Lind–González–Herrmann 2005 /
+    networkx.square_clustering's numerator).
+
+    Identity: every 4-cycle through x has a unique diagonal opposite y
+    (the non-adjacent-in-the-cycle fourth vertex), and its two midpoints
+    are common neighbors of {x, y} — so
+    ``squares(x) = Σ_y C(common(x, y), 2)`` over unordered pairs, with
+    each cycle counted once per member vertex via its own diagonal.
+
+    Plan: ONE wedge self-join keyed on the shared midpoint w (the same
+    shuffle class as triangle counting: Σ_w d(w)² wedge pairs — on
+    hub-heavy corpora cap adjacency upstream via
+    graft.algos.sampling hub caps, and AQE skew-splits the w key),
+    one pair groupBy, one union-groupBy back to vertices. Nothing
+    driver-sized.
+    """
+    adj = _simple_adj(graph)
+    pairs = (
+        adj.select(F.col("b").alias("u"), F.col("a").alias("w"))
+        .join(adj.select(F.col("b").alias("v"), F.col("a").alias("w")), "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select(
+            "u",
+            "v",
+            (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("s"),
+        )
+    )
+    per = (
+        pairs.select(F.col("u").alias("id"), "s")
+        .unionAll(pairs.select(F.col("v").alias("id"), "s"))
+        .groupBy("id")
+        .agg(F.sum("s").alias("squares"))
+    )
+    return graph.vertices().join(per, "id", "left").select(
+        "id", F.coalesce("squares", F.lit(0)).cast("long").alias("squares")
+    )
+
+
+def rich_club(graph: Graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16)) -> DataFrame:
+    """Rich-club coefficients ``(k, n_nodes, n_edges, phi)`` — for each
+    degree threshold k: the vertices of simple degree > k, the simple
+    edges with BOTH endpoints above threshold, and the realized density
+    φ(k) = 2·E_k / (N_k·(N_k−1)) (Colizza et al. 2006, unnormalized;
+    networkx.rich_club_coefficient semantics). φ is 0.0 when fewer than
+    two vertices qualify. The standard probe for whether hub actors
+    form their own tightly-wired core — i.e. whether hub mitigation
+    must also handle hub-hub edges.
+
+    Plan: degree agg once, two broadcast degree joins onto the
+    single-counted edge list, then a tiny literal k-table cross-joined
+    (broadcast) against the two aggregates — one pass over edges
+    regardless of how many thresholds are asked for.
+    """
+    spark = graph.edges.sparkSession
+    adj = _simple_adj(graph)
+    deg = _simple_degrees(adj)
+    und = adj.where(F.col("a") < F.col("b"))
+    em = (
+        und.join(
+            deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a"
+        )
+        .join(
+            deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b"
+        )
+        .select(F.least("da", "db").alias("m"))
+    )
+    ksdf = spark.createDataFrame(
+        [(int(k),) for k in sorted(set(ks))], "k long"
+    )
+    nk = (
+        ksdf.crossJoin(deg)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nodes")
+        )
+    )
+    ek = (
+        ksdf.crossJoin(em)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("m") > F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_edges")
+        )
+    )
+    n, e = F.col("n_nodes"), F.col("n_edges")
+    return (
+        ksdf.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce(n, F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce(e, F.lit(0)).cast("long").alias("n_edges"),
+        )
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.when(n >= 2, F.round(2.0 * e / (n * (n - 1)), 6))
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
     )
 
 

@@ -49,7 +49,7 @@ from graft.io import (
 
 ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
-    "wl", "conv-fingerprints", "sessionize",
+    "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
 }
 
 
@@ -76,20 +76,23 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"graft-{args.algo}").getOrCreate()
-    if args.algo in ("conv-fingerprints", "sessionize"):
+    if args.algo in (
+        "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi"
+    ):
         # transcript-table algos: no graph build, output keyed by conv
         from graft.algos.wl import conversation_wl_fingerprints
-        from graft.transcripts import sessionize
+        from graft.transcripts import actor_pmi, sessionize, turn_gap_stats
 
         df = read_transcript_source(spark, args.input)
         if args.input_kind == "events":
             df = events_to_transcripts(df)
         t0 = time.perf_counter()
-        out = (
-            conversation_wl_fingerprints(df)
-            if args.algo == "conv-fingerprints"
-            else sessionize(df)
-        )
+        out = {
+            "conv-fingerprints": conversation_wl_fingerprints,
+            "sessionize": sessionize,
+            "turn-gaps": turn_gap_stats,
+            "actor-pmi": actor_pmi,
+        }[args.algo](df)
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
             "algo": args.algo,

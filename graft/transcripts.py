@@ -1,5 +1,6 @@
 """Transcript-table analytics: sessionization, per-conversation stats,
-role-transition matrix.
+role-transition matrix, inter-turn timing/burstiness, actor
+co-occurrence PMI.
 
 The operators that sit BETWEEN raw transcript ingest and the link-graph
 derivation in a production pipeline over conversation data:
@@ -75,6 +76,117 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
             F.max(F.unix_timestamp(F.col("ts")))
             - F.min(F.unix_timestamp(F.col("ts")))
         ).alias("duration_s"),
+    )
+
+
+def turn_gap_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation inter-turn timing profile: ``(conv_id, n_gaps,
+    mean_gap, std_gap, burstiness, max_gap)`` over the successive-turn
+    gaps in whole seconds under the stable (conv_id, turn_idx) ordering.
+
+    ``burstiness`` is the Goh–Barabási coefficient B = (σ−μ)/(σ+μ)
+    (population σ): −1 for a perfectly periodic conversation, → +1 for
+    heavy-tailed bursts — the standard signal for separating steady
+    agent loops from human-paced interaction, and the quantitative
+    basis for choosing the :func:`sessionize` gap threshold. B is 0.0
+    when σ+μ = 0 (all turns same-second). Conversations with fewer
+    than two turns have no gaps and get no row.
+
+    Plan: one conv_id window shuffle (lag) + one groupBy on the same
+    key — at 10^12 turns this is the identical shuffle the edge
+    derivation already pays. Floats rounded to 6 dp so aggregation
+    order never shows.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gaps = (
+        transcripts.select(
+            "conv_id", (ts_s - F.lag(ts_s).over(w)).alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    mu, sg = F.col("mu"), F.col("sg")
+    return (
+        gaps.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg("gap").alias("mu"),
+            F.stddev_pop("gap").alias("sg"),
+            F.max("gap").alias("max_gap"),
+        )
+        .select(
+            "conv_id",
+            "n_gaps",
+            F.round(mu, 6).alias("mean_gap"),
+            F.round(sg, 6).alias("std_gap"),
+            F.when(mu + sg == 0, F.lit(0.0))
+            .otherwise(F.round((sg - mu) / (sg + mu), 6))
+            .alias("burstiness"),
+            "max_gap",
+        )
+    )
+
+
+def actor_pmi(transcripts: DataFrame) -> DataFrame:
+    """Actor co-occurrence pointwise mutual information over
+    conversations: ``(a, b, n_ab, pmi)`` for each unordered actor pair
+    (a < b) appearing together in at least one conversation, with
+
+        pmi = ln( n_ab · N / (n_a · n_b) )
+
+    where n_x counts conversations containing actor x and N is the
+    total conversation count — the classic association scorer (Church &
+    Hanks 1990) applied to the actor universe the edge derivation uses
+    (tool:<tool> if present else role:<role>). Positive pmi = the pair
+    co-occurs more than independence predicts (e.g. a tool that only
+    fires inside a particular protocol); strongly negative = actors
+    that avoid each other. Complements the adjacency-derived edge
+    weights with a set-cooccurrence signal that ignores turn order.
+
+    Plan: distinct (conv_id, actor) once, a self-join keyed on conv_id
+    (bounded: the actor universe per conversation is |roles| + |tools|,
+    a small constant, so pairs grow linearly in conversations), one
+    pair groupBy, two broadcast-able marginal joins, and the scalar N
+    rides in as a broadcast one-row cross join — no driver collect.
+    """
+    actor = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+    ca = transcripts.select("conv_id", actor.alias("actor")).distinct()
+    marg = ca.groupBy("actor").agg(F.count(F.lit(1)).alias("n"))
+    n_total = ca.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_conv")
+    )
+    pairs = (
+        ca.select("conv_id", F.col("actor").alias("a"))
+        .join(ca.select("conv_id", F.col("actor").alias("b")), "conv_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            marg.select(F.col("actor").alias("a"), F.col("n").alias("na")),
+            "a",
+        )
+        .join(
+            marg.select(F.col("actor").alias("b"), F.col("n").alias("nb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n_conv")
+                    / (F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )
 
 

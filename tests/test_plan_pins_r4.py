@@ -95,3 +95,37 @@ def test_single_shuffle_budgets(spark):
         [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
     )
     assert _plan(top_terms(docs)).count("Exchange") <= 3
+
+
+def test_square_rich_club_gap_pmi_plans(spark):
+    """The newest family stays JVM-side too, and the tiny-k rich-club
+    table broadcasts its threshold literals (no shuffle keyed on k)."""
+    from graft.algos.structure import rich_club, square_count
+    from graft.transcripts import actor_pmi, turn_gap_stats
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    t = _tx(spark)
+
+    _assert_jvm_only(square_count(g), "square_count")
+    rcdf = rich_club(g, ks=(1, 2, 4))
+    rcdf.collect()  # finalize AQE so join strategies are visible
+    rc = _assert_jvm_only(rcdf, "rich_club")
+    # the k-table rides broadcast nested-loop joins (one side always
+    # tiny), and the only k-keyed exchange moves map-side-combined
+    # partials (<= |ks| rows per task)
+    assert "BroadcastNestedLoopJoin" in rc
+    _assert_jvm_only(turn_gap_stats(t), "turn_gap_stats")
+    _assert_jvm_only(actor_pmi(t), "actor_pmi")
+    g.unpersist()
+
+
+def test_turn_gap_stats_single_shuffle(spark):
+    """turn_gap_stats reuses the conv_id partitioning between the lag
+    window and the groupBy: exactly ONE exchange beyond the input."""
+    from graft.transcripts import turn_gap_stats
+
+    t = _tx(spark)
+    base_ex = _plan(t).count("Exchange")
+    assert _plan(turn_gap_stats(t)).count("Exchange") - base_ex <= 1

@@ -219,3 +219,90 @@ def test_powerlaw_alpha_empty_tail(spark):
     row = powerlaw_alpha(g, d_min=5).first()
     g.unpersist()
     assert row.alpha is None and row.n_tail == 0
+
+
+def _brute_squares(edges):
+    """Independent C4 oracle: enumerate 4-subsets and check the three
+    cyclic pairings directly (no reuse of the diagonal identity)."""
+    import itertools
+
+    verts, adj = _adj(edges)
+    sq = {v: 0 for v in verts}
+    for quad in itertools.combinations(sorted(verts), 4):
+        a, b, c, d = quad
+        for p, q, r, s in ((a, b, c, d), (a, c, b, d), (a, b, d, c)):
+            if (
+                q in adj.get(p, ())
+                and r in adj.get(q, ())
+                and s in adj.get(r, ())
+                and p in adj.get(s, ())
+            ):
+                for v in quad:
+                    sq[v] += 1
+    return sq
+
+
+@pytest.mark.parametrize("edges", [
+    [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],  # one C4
+    fixtures.clique_ring_edges(),
+    random_graph(40, 0.15, seed=11, weighted=False),
+])
+def test_square_count_matches_brute_force(spark, edges):
+    from graft.algos.structure import square_count
+
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.squares for r in square_count(g).collect()}
+    g.unpersist()
+    want = _brute_squares(edges)
+    assert got == want
+
+
+def test_square_count_k4_and_self_loops(spark):
+    """K4 has three 4-cycles, each through all four vertices; a
+    self-loop vertex contributes nothing but still gets a zero row."""
+    from graft.algos.structure import square_count
+
+    edges = [
+        (a, b, 1.0) for a in range(4) for b in range(a + 1, 4)
+    ] + [(9, 9, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: r.squares for r in square_count(g).collect()}
+    g.unpersist()
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_rich_club_matches_brute_force(spark):
+    from graft.algos.structure import rich_club
+
+    edges = random_graph(50, 0.12, seed=13, weighted=False)
+    verts, adj = _adj(edges)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    rows = {r.k: r for r in rich_club(g, ks=(0, 1, 2, 4, 8, 16)).collect()}
+    g.unpersist()
+    und = {(u, v) for u, v, _ in edges if u < v} | {
+        (v, u) for u, v, _ in edges if v < u
+    }
+    for k, row in rows.items():
+        club = {v for v in verts if len(adj.get(v, ())) > k}
+        ek = sum(1 for u, v in und if u in club and v in club)
+        assert row.n_nodes == len(club), k
+        assert row.n_edges == ek, k
+        want = (
+            0.0 if len(club) < 2
+            else round(2.0 * ek / (len(club) * (len(club) - 1)), 6)
+        )
+        assert row.phi == pytest.approx(want, abs=1e-9), k
+
+
+def test_rich_club_empty_club_is_zero(spark):
+    from graft.algos.structure import rich_club
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    ).cache()
+    rows = {r.k: r for r in rich_club(g, ks=(1, 5)).collect()}
+    g.unpersist()
+    # degree>1 club = {1} (singleton → phi 0); degree>5 club empty
+    assert rows[1].n_nodes == 1 and rows[1].n_edges == 0
+    assert rows[1].phi == 0.0
+    assert rows[5].n_nodes == 0 and rows[5].phi == 0.0

@@ -110,3 +110,72 @@ def test_sessionize_then_stats_composes(spark):
     )
     assert per == 3
     assert s.select("session_idx").distinct().count() == 3
+
+
+def test_turn_gap_stats(spark):
+    from graft.transcripts import turn_gap_stats
+
+    t = _tx(spark, [
+        ("c", 0, "user", "a", None, 0),
+        ("c", 1, "assistant", "b", None, 60),
+        ("c", 2, "user", "c", None, 300),     # gaps 60, 240
+        ("d", 0, "user", "x", None, 0),       # single turn → no row
+        ("e", 0, "user", "x", None, 50),
+        ("e", 1, "user", "y", None, 50),      # gap 0 → burstiness guard
+    ])
+    got = {r.conv_id: r for r in turn_gap_stats(t).collect()}
+    assert set(got) == {"c", "e"}
+    c = got["c"]
+    # mu = 150, sigma_pop = 90, B = (90-150)/(90+150) = -0.25
+    assert (c.n_gaps, c.mean_gap, c.std_gap) == (2, 150.0, 90.0)
+    assert c.burstiness == -0.25
+    assert c.max_gap == 240
+    e = got["e"]
+    assert (e.n_gaps, e.mean_gap, e.std_gap) == (1, 0.0, 0.0)
+    assert e.burstiness == 0.0 and e.max_gap == 0
+
+
+def test_turn_gap_periodic_is_minus_one_like(spark):
+    """Perfectly periodic turns: sigma = 0 → burstiness = -1."""
+    from graft.transcripts import turn_gap_stats
+
+    t = _tx(spark, [("c", i, "user", "a", None, i * 30) for i in range(5)])
+    row = turn_gap_stats(t).first()
+    assert row.std_gap == 0.0
+    assert row.burstiness == -1.0
+
+
+def test_actor_pmi(spark):
+    import math
+
+    from graft.transcripts import actor_pmi
+
+    t = _tx(spark, [
+        ("c1", 0, "user", "a", None, 0),
+        ("c1", 1, "assistant", "b", None, 1),
+        ("c1", 2, "error", "b", "t1", 2),     # actor tool:t1
+        ("c2", 0, "user", "a", None, 0),
+        ("c2", 1, "assistant", "b", None, 1),
+        ("c3", 0, "user", "a", None, 0),
+    ])
+    got = {(r.a, r.b): (r.n_ab, r.pmi) for r in actor_pmi(t).collect()}
+    # N=3; n(user)=3, n(assistant)=2, n(tool:t1)=1
+    assert got[("role:assistant", "role:user")] == (2, 0.0)
+    assert got[("role:assistant", "tool:t1")] == (
+        1, round(math.log(3 / 2), 6)
+    )
+    assert got[("role:user", "tool:t1")] == (1, 0.0)
+    assert len(got) == 3
+
+
+def test_actor_pmi_repeated_turns_count_conversations_once(spark):
+    """PMI is set-cooccurrence: many turns by the same actor pair in
+    one conversation count once."""
+    from graft.transcripts import actor_pmi
+
+    t = _tx(spark, [
+        ("c", i, "user" if i % 2 == 0 else "assistant", "x", None, i)
+        for i in range(10)
+    ])
+    got = {(r.a, r.b): r.n_ab for r in actor_pmi(t).collect()}
+    assert got == {("role:assistant", "role:user"): 1}
