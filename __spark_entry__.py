@@ -999,6 +999,53 @@ SELECT k, n_nodes, n_edges,
 FROM agg"""
 )
 
+# top-k-per-endpoint union sparsifier (weight desc, neighbor asc)
+_SQL_SPARSIFY_TOP3 = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, rk AS (
+  SELECT src, dst, weight,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY weight DESC, dst) AS r
+  FROM sym2 WHERE src <> dst
+)
+SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v, weight
+FROM rk WHERE r <= 3"""
+)
+
+# seeded label spreading, 2 clamped rounds, role actors as seeds
+_SQL_LABEL_SPREADING_2R = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, d0 AS (
+  SELECT id, id AS label, 1.0 AS mass FROM verts WHERE id LIKE 'role:%'
+), g1 AS (
+  SELECT s.dst AS id, d.label, sum(s.weight * d.mass) AS m
+  FROM sym2 s JOIN d0 d ON d.id = s.src GROUP BY s.dst, d.label
+), n1 AS (
+  SELECT id, label, m / sum(m) OVER (PARTITION BY id) AS mass FROM g1
+), c1 AS (
+  SELECT id, label, mass FROM n1 WHERE id NOT IN (SELECT id FROM d0)
+  UNION ALL SELECT id, label, mass FROM d0
+), g2 AS (
+  SELECT s.dst AS id, d.label, sum(s.weight * d.mass) AS m
+  FROM sym2 s JOIN c1 d ON d.id = s.src GROUP BY s.dst, d.label
+), n2 AS (
+  SELECT id, label, m / sum(m) OVER (PARTITION BY id) AS mass FROM g2
+), c2 AS (
+  SELECT id, label, mass FROM n2 WHERE id NOT IN (SELECT id FROM d0)
+  UNION ALL SELECT id, label, mass FROM d0
+), rk AS (
+  SELECT id, label, mass,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY round(mass, 6) DESC, label) AS r
+  FROM c2
+)
+SELECT id, label, round(mass, 6) AS score FROM rk WHERE r = 1"""
+)
+
 # ego subgraph: 2-hop ball from the lexicographically-first actor, then
 # the induced canonical (u <= v) single-counted edge list
 _SQL_EGO_2HOP = (
@@ -1620,6 +1667,24 @@ _SQL_DIRECTED_BODY = r"""t AS (
 
 _SQL_DIRECTED = "WITH " + _SQL_DIRECTED_BODY
 
+# directed-edge reciprocity (turn-taking symmetry)
+_SQL_RECIPROCITY = (
+    _SQL_DIRECTED
+    + """
+, dd AS (SELECT DISTINCT src, dst FROM de WHERE src <> dst)
+, j AS (
+  SELECT dd.src, dd.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+  FROM dd LEFT JOIN dd r ON r.src = dd.dst AND r.dst = dd.src
+)
+SELECT count(*) AS n_directed,
+       sum(has_rev)::BIGINT AS n_reciprocal,
+       CASE WHEN count(*) = 0 THEN 0.0
+            ELSE round(sum(has_rev) * 1.0 / count(*), 6)
+       END AS reciprocity
+FROM j"""
+)
+
 
 def _sql_hits_iter(prev_h: str, cur_a: str, cur_h: str) -> str:
     """One unrolled HITS iteration: a = norm₂(Aᵀh); h = norm₂(A·a)."""
@@ -2183,6 +2248,40 @@ def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _actor_graph(spark, sf_dir).cache()
     return rich_club(g, ks=(1, 2, 4, 8, 16))
+
+
+def _q_sparsify_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-per-endpoint union sparsifier
+    (graft.algos.subgraph.sparsify_top_k), canonical edge list."""
+    from graft.algos.subgraph import sparsify_top_k
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return sparsify_top_k(g, k=3)
+
+
+def _q_label_spreading_2r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label spreading, 2 clamped rounds
+    (graft.algos.spreading.label_spreading): role actors seed their own
+    labels; every reached actor reports its dominant role basin +
+    confidence share."""
+    from graft.algos.spreading import label_spreading
+
+    g = _actor_graph(spark, sf_dir).cache()
+    seeds = (
+        g.vertices()
+        .where(F.col("id").startswith("role:"))
+        .select("id", F.col("id").alias("label"))
+    )
+    return label_spreading(g, seeds, rounds=2)
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity (turn-taking symmetry) on the
+    flow-directed actor graph (graft.algos.structure.reciprocity)."""
+    from graft.algos.structure import reciprocity
+
+    g = _directed_actor_graph(spark, sf_dir)
+    return reciprocity(g)
 
 
 def _q_ego_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2950,6 +3049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_pmi": _q_actor_pmi,
         "square_count": _q_square_count,
         "rich_club": _q_rich_club,
+        "sparsify_top3": _q_sparsify_top3,
+        "label_spreading_2r": _q_label_spreading_2r,
+        "reciprocity": _q_reciprocity,
         "window_fingerprints": _q_window_fingerprints,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "random_walks_4": _q_random_walks,
@@ -3059,6 +3161,9 @@ FROM e WHERE u = v""",
         "actor_pmi": _SQL_ACTOR_PMI,
         "square_count": _SQL_SQUARE_COUNT,
         "rich_club": _SQL_RICH_CLUB,
+        "sparsify_top3": _SQL_SPARSIFY_TOP3,
+        "label_spreading_2r": _SQL_LABEL_SPREADING_2R,
+        "reciprocity": _SQL_RECIPROCITY,
         "window_fingerprints": _SQL_WINDOW_FINGERPRINTS,
         "powerlaw_alpha": _SQL_POWERLAW_ALPHA,
         "k_core_3": _SQL_K_CORE_3,

@@ -16,8 +16,12 @@ from graft.algos.structure import (  # noqa: F401
     avg_neighbor_degree,
     clustering_coefficient,
     degree_assortativity,
+    reciprocity,
+    rich_club,
+    square_count,
     transitivity,
 )
+from graft.algos.spreading import label_spreading  # noqa: F401
 from graft.algos.kcore import core_number, k_core  # noqa: F401
 from graft.algos.ktruss import k_truss  # noqa: F401
 from graft.algos.truss import truss_number  # noqa: F401
@@ -41,4 +45,8 @@ from graft.algos.wl import (  # noqa: F401
     graph_fingerprint,
     wl_colors,
 )
-from graft.algos.subgraph import ego_edges, quotient_edges  # noqa: F401
+from graft.algos.subgraph import (  # noqa: F401
+    ego_edges,
+    quotient_edges,
+    sparsify_top_k,
+)

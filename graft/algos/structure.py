@@ -246,6 +246,46 @@ def rich_club(graph: Graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16)) -> DataFrame
     )
 
 
+def reciprocity(graph: Graph) -> DataFrame:
+    """Directed-graph reciprocity as one row ``(n_directed,
+    n_reciprocal, reciprocity)`` — the fraction of distinct non-loop
+    directed edges whose reverse edge also exists
+    (networkx.reciprocity over the whole graph). On a transcript-derived
+    actor graph this measures conversational turn-taking symmetry:
+    ~1.0 = strict alternation protocols, ~0.0 = one-way pipelines
+    (announcer → tool chains). Takes the DIRECTED edge table
+    (graft.io.transcripts_to_directed_edges); on a symmetrized
+    undirected graph it is trivially 1.0.
+
+    Plan: one distinct + one self-join on the reversed key + one scalar
+    agg — no driver-side data, broadcast-free, AQE handles skew.
+    """
+    de = (
+        graph.without_self_loops().select("src", "dst").distinct()
+    )
+    rev = de.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    n, r = F.col("n_directed"), F.col("n_reciprocal")
+    return (
+        de.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed"),
+            F.sum(F.coalesce("has_rev", F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+        .select(
+            "n_directed",
+            "n_reciprocal",
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(F.round(r / n, 6))
+            .alias("reciprocity"),
+        )
+    )
+
+
 def powerlaw_alpha(graph: Graph, d_min: int = 2) -> DataFrame:
     """One-row ``(alpha double, n_tail long, d_min long)`` — the
     continuous maximum-likelihood (Hill) estimate of the degree-tail

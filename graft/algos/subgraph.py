@@ -26,7 +26,7 @@ exactly the Leiden contraction cost envelope.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graft.algos.bfs import bfs_hops
@@ -53,6 +53,40 @@ def ego_edges(graph: Graph, source, radius: int = 2) -> DataFrame:
         .select(
             F.col("src").alias("u"), F.col("dst").alias("v"), "weight"
         )
+    )
+
+
+def sparsify_top_k(graph: Graph, k: int) -> DataFrame:
+    """Degree-bounded graph sparsifier: keep each vertex's ``k``
+    strongest incident edges (weight desc, neighbor id asc as the
+    deterministic tie-break); an undirected edge survives when EITHER
+    endpoint ranks it — the standard mutual-kNN-union backbone that
+    bounds every vertex's retained degree to at most ~2k while
+    preserving hub-to-hub trunk edges. The preprocessing step that
+    makes O(d²) per-vertex analytics (squares, triangles, wedge
+    scorers) safe on hub-heavy corpora. Self-loops are dropped
+    (they are not neighbors).
+
+    Returns the canonical single-counted ``(u, v, weight)`` edge list
+    (u <= v).
+
+    Plan: ONE per-src window (row_number) over the symmetrized
+    adjacency + a canonicalizing distinct — a single shuffle each. The
+    hub's window partition is a single-task sort of its d rows, the
+    same envelope as every ranked-adjacency op here; salt upstream if
+    one vertex's edge list alone exceeds a task (graft.skew).
+    """
+    adj = graph.without_self_loops().select("src", "dst", "weight")
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), "dst")
+    return (
+        adj.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .distinct()
     )
 
 

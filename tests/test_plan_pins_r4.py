@@ -129,3 +129,24 @@ def test_turn_gap_stats_single_shuffle(spark):
     t = _tx(spark)
     base_ex = _plan(t).count("Exchange")
     assert _plan(turn_gap_stats(t)).count("Exchange") - base_ex <= 1
+
+
+def test_sparsify_spreading_reciprocity_plans(spark):
+    """The second late-r4 batch is JVM-only as well; sparsify keeps a
+    single exchange beyond its input (one per-src window, the
+    canonicalizing distinct rides the same partitioning or AQE-local)."""
+    from graft.algos.spreading import label_spreading
+    from graft.algos.structure import reciprocity
+    from graft.algos.subgraph import sparsify_top_k
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    _assert_jvm_only(sparsify_top_k(g, 3), "sparsify_top_k")
+    _assert_jvm_only(reciprocity(g), "reciprocity")
+    seeds = spark.createDataFrame([(0, "a"), (7, "b")],
+                                  "id long, label string")
+    _assert_jvm_only(
+        label_spreading(g, seeds, rounds=1), "label_spreading"
+    )
+    g.unpersist()

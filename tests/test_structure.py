@@ -306,3 +306,32 @@ def test_rich_club_empty_club_is_zero(spark):
     assert rows[1].n_nodes == 1 and rows[1].n_edges == 0
     assert rows[1].phi == 0.0
     assert rows[5].n_nodes == 0 and rows[5].phi == 0.0
+
+
+def test_reciprocity_hand_example(spark):
+    from graft.algos.structure import reciprocity
+
+    # a→b, b→a, a→c, c→d, d→c, e→e(loop): 5 non-loop directed edges,
+    # 4 of them reciprocated → 0.8; the loop is excluded
+    edges = [
+        (0, 1, 1.0), (1, 0, 2.0), (0, 2, 1.0),
+        (2, 3, 1.0), (3, 2, 1.0), (4, 4, 1.0),
+    ]
+    g = Graph(fixtures.edges_df(spark, edges), symmetric=False)
+    row = reciprocity(g).first()
+    assert (row.n_directed, row.n_reciprocal) == (5, 4)
+    assert row.reciprocity == 0.8
+
+
+def test_reciprocity_extremes(spark):
+    from graft.algos.structure import reciprocity
+
+    one_way = Graph(
+        fixtures.edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)]),
+        symmetric=False,
+    )
+    assert reciprocity(one_way).first().reciprocity == 0.0
+    sym = Graph.from_undirected(
+        fixtures.edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    )
+    assert reciprocity(sym).first().reciprocity == 1.0

@@ -107,3 +107,49 @@ def test_quotient_conserves_total_weight(spark):
     m = g.total_edge_weight()
     g.unpersist()
     assert abs(total - m) < 1e-9
+
+
+def test_sparsify_top_k_matches_brute_force(spark):
+    from graft.algos.subgraph import sparsify_top_k
+    from tests.reference_impls import random_graph
+
+    edges = random_graph(40, 0.2, seed=21, weighted=True)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    # brute force over the same symmetrized weighted adjacency the
+    # engine sees (from_undirected sums parallel edges)
+    wsum: dict[tuple[int, int], float] = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        wsum[key] = wsum.get(key, 0.0) + w
+    nbrs: dict[int, list] = {}
+    for (u, v), w in wsum.items():
+        nbrs.setdefault(u, []).append((v, w))
+        nbrs.setdefault(v, []).append((u, w))
+    want = set()
+    k = 3
+    for u, lst in nbrs.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for v, w in lst[:k]:
+            want.add((min(u, v), max(u, v)))
+    got = {(r.u, r.v) for r in sparsify_top_k(g, k=3).collect()}
+    g.unpersist()
+    assert got == want
+    # retained degree of every vertex stays bounded by construction
+    # (each vertex CONTRIBUTES at most k edges; its retained degree can
+    # exceed k only via other vertices' picks of it)
+    assert len(got) <= sum(min(k, len(v)) for v in nbrs.values())
+
+
+def test_sparsify_keeps_weight_and_drops_loops(spark):
+    from graft.algos.subgraph import sparsify_top_k
+
+    g = Graph.from_undirected(fixtures.edges_df(spark, [
+        (0, 1, 5.0), (0, 2, 3.0), (0, 3, 1.0), (0, 0, 9.0),
+    ])).cache()
+    rows = {(r.u, r.v): r.weight for r in sparsify_top_k(g, 2).collect()}
+    g.unpersist()
+    # vertex 0 keeps its two heaviest; 1/2/3 each keep their only edge,
+    # which re-adds (0,3); the loop never appears
+    assert rows == {(0, 1): 5.0, (0, 2): 3.0, (0, 3): 1.0}
