@@ -2588,6 +2588,17 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster
+    (graft.pipeline.dedup.select_survivors): the dedup DECISION step —
+    keep the highest-quality member of each transitive cluster. The
+    oracle replays clustering AND the quality formula AND the argmax,
+    certifying the three-operator composition end to end."""
+    from graft.pipeline.dedup import select_survivors
+
+    return select_survivors(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graft.pipeline.dedup import simhash
 
@@ -3075,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
@@ -3185,6 +3197,7 @@ FROM e WHERE u = v""",
         "minhash_signatures": _po.SQL_MINHASH,
         "near_dup_pairs": _po.SQL_NEAR_DUP_PAIRS,
         "near_dup_clusters": _po.SQL_NEAR_DUP_CLUSTERS,
+        "dedup_survivors": _po.SQL_DEDUP_SURVIVORS,
         "simhash": _po.SQL_SIMHASH,
         "cosine_topk": _po.SQL_COSINE_TOPK,
         "ann_topk": _po.SQL_ANN_TOPK,

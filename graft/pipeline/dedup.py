@@ -260,3 +260,55 @@ def near_dup_clusters(
             ),
         )
     )
+
+
+def select_survivors(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    scores: DataFrame | None = None,
+    text_col: str = "text",
+    **cluster_kwargs,
+) -> DataFrame:
+    """The dedup DECISION step: quality-aware canonical selection per
+    near-duplicate cluster — keep the HIGHEST-QUALITY member rather
+    than the arbitrary min-id one, the policy an actual training-data
+    build applies after transitive clustering (boilerplate mirrors of
+    a page survive as the cleanest copy, not the lowest doc_id).
+
+    Returns ``(doc_id, cluster_id, quality, survivor boolean,
+    cluster_size long)`` covering every document; exactly one survivor
+    per cluster, chosen by (quality desc, doc_id asc) — quality is the
+    6-dp-rounded engine score so the argmax is engine-portable.
+    ``clusters`` defaults to :func:`near_dup_clusters` (pass a
+    precomputed run to reuse it); ``scores`` defaults to the engine's
+    :func:`graft.pipeline.textstats.quality_scores` (pass any
+    ``(doc_id, quality)`` table to rank by a custom policy).
+
+    Scale shape: clustering cost is the near-dup pipeline's (bounded
+    buckets, pair graph only); selection itself is one broadcast-able
+    score join + two window functions over the cluster key — clusters
+    are tiny (duplicate groups), so the windows never see skew beyond
+    the largest duplicate family, which the bucket cap already bounds.
+    """
+    from graft.pipeline.textstats import quality_scores
+
+    if clusters is None:
+        clusters = near_dup_clusters(docs, text_col=text_col,
+                                     **cluster_kwargs)
+    if scores is None:
+        scores = quality_scores(docs, text_col).select("doc_id", "quality")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    w_size = Window.partitionBy("cluster_id")
+    return (
+        clusters.select("doc_id", "cluster_id")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.row_number().over(w_rank) == 1).alias("survivor"),
+            F.count(F.lit(1)).over(w_size).alias("cluster_size"),
+        )
+    )

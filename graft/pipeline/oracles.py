@@ -208,8 +208,9 @@ WITH q AS (
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
-SQL_QUALITY_SCORES = f"""
-WITH raw AS (
+# WITH-less body shared by SQL_QUALITY_SCORES and the quality-aware
+# survivor selection; final CTE `qual` carries the rounded scores
+_QUALITY_BODY = f"""raw AS (
   SELECT doc_id,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
@@ -229,16 +230,66 @@ WITH raw AS (
                    AND n_alpha / n_tokens <= 12.0
               THEN 1.0 ELSE 0.5 END AS wl_ok
   FROM raw
+), qual AS (
+  SELECT doc_id,
+         round(0.3 * len_ok + 0.3 * alpha_ratio
+               + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0))
+               + 0.2 * wl_ok, 6) AS quality,
+         round(alpha_ratio, 6) AS alpha_ratio,
+         round(punct_ratio, 6) AS punct_ratio,
+         n_tokens
+  FROM feat
+)"""
+
+SQL_QUALITY_SCORES = (
+    "WITH "
+    + _QUALITY_BODY
+    + """
+SELECT doc_id, quality, alpha_ratio, punct_ratio, n_tokens FROM qual"""
 )
-SELECT doc_id,
-       round(0.3 * len_ok + 0.3 * alpha_ratio
-             + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0))
-             + 0.2 * wl_ok, 6) AS quality,
-       round(alpha_ratio, 6) AS alpha_ratio,
-       round(punct_ratio, 6) AS punct_ratio,
-       n_tokens
-FROM feat
-"""
+
+
+def _survivors_sql(**kwargs) -> str:
+    """Quality-aware survivor selection per transitive near-dup cluster
+    (mirrors graft.pipeline.dedup.select_survivors): the cluster
+    recursion + the quality formula + (quality desc, doc_id asc)
+    argmax and cluster sizes."""
+    return (
+        "WITH RECURSIVE "
+        + _near_dup_sql(**kwargs)
+        + """
+, sym AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+), reach(v, u) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.v, s.v FROM reach r JOIN sym s ON r.u = s.u
+), labels AS (
+  SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+), cl AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+), """
+        + _QUALITY_BODY
+        + """
+, jq AS (
+  SELECT cl.doc_id, cl.cluster_id, q.quality
+  FROM cl JOIN qual q ON q.doc_id = cl.doc_id
+), rk AS (
+  SELECT doc_id, cluster_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM jq
+)
+SELECT doc_id, cluster_id, quality, r = 1 AS survivor, cluster_size
+FROM rk"""
+    )
+
+
+SQL_DEDUP_SURVIVORS = _survivors_sql()
 
 # media_features: synth_media documents payload length 64 + (i % 5) * 32
 # bytes for media_id i (graft/pipeline/multimodal.py:37) — the oracle

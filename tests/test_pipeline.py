@@ -413,3 +413,43 @@ def test_tfidf_top_terms(spark):
     assert out[2]["spark"] == 0.0
     # doc 0: 'spark' tf=2 idf=0 -> 0; 'engine' df=2 tf=1 -> ln(1.5)
     assert out[0]["engine"] == round(math.log(1.5), 6)
+
+
+def test_select_survivors_quality_argmax(spark, docs):
+    from graft.pipeline.dedup import select_survivors
+    from graft.pipeline.textstats import quality_scores
+
+    out = {r.doc_id: r for r in
+           select_survivors(docs, threshold=0.5).collect()}
+    assert len(out) == len(DOCS)
+    q = {r.doc_id: r.quality for r in quality_scores(docs).collect()}
+    # docs 0/1/2 form one cluster: the survivor is the quality argmax
+    # with doc_id asc tie-break, computed independently here
+    cluster = [0, 1, 2]
+    best = min(cluster, key=lambda d: (-q[d], d))
+    for d in cluster:
+        assert out[d].cluster_id == 0
+        assert out[d].cluster_size == 3
+        assert out[d].survivor == (d == best)
+        assert out[d].quality == q[d]
+    # singletons survive themselves
+    assert out[3].survivor and out[3].cluster_size == 1
+    assert out[4].survivor and out[4].cluster_size == 1
+    # exactly one survivor per cluster
+    assert sum(1 for r in out.values() if r.survivor) == len(DOCS) - 2
+
+
+def test_select_survivors_custom_scores(spark, docs):
+    """A custom (doc_id, quality) policy table overrides the engine
+    score — here an inverted-id score makes the HIGHEST doc_id win."""
+    from pyspark.sql import functions as F
+
+    from graft.pipeline.dedup import select_survivors
+
+    scores = docs.select(
+        "doc_id", (-F.col("doc_id")).cast("double").alias("quality")
+    )
+    out = {r.doc_id: r.survivor for r in
+           select_survivors(docs, scores=scores,
+                            threshold=0.5).collect()}
+    assert out[0] and not out[1] and not out[2]  # -0 is max of {0,-1,-2}
