@@ -1667,6 +1667,41 @@ _SQL_DIRECTED_BODY = r"""t AS (
 
 _SQL_DIRECTED = "WITH " + _SQL_DIRECTED_BODY
 
+def _sql_directed_pr_iter(prev: str, cur: str, alpha: float = 0.85) -> str:
+    """One unrolled DIRECTED PageRank superstep: dangling mass (rank on
+    vertices with no out-edges) redistributes uniformly, and vertices
+    with no in-edges still receive the base term (LEFT JOIN + coalesce),
+    mirroring graft.algos.pagerank's directed branch."""
+    return f"""
+, {cur}_dm AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM {prev} r LEFT JOIN dout o ON o.src = r.id
+  WHERE o.src IS NULL
+), {cur} AS (
+  SELECT v.id,
+         (1 - {alpha}) / (SELECT n FROM dnv)
+           + {alpha} * (SELECT dm FROM {cur}_dm) / (SELECT n FROM dnv)
+           + {alpha} * coalesce(i.s, 0.0) AS rank
+  FROM dverts v LEFT JOIN (
+    SELECT e2.dst AS id, sum(r.rank * e2.weight / o.s) AS s
+    FROM de e2
+    JOIN {prev} r ON e2.src = r.id
+    JOIN dout o ON e2.src = o.src
+    GROUP BY e2.dst
+  ) i ON v.id = i.id
+)"""
+
+
+_SQL_PAGERANK_DIRECTED_3ITER = (
+    _SQL_DIRECTED
+    + ", dout AS (SELECT src, sum(weight) AS s FROM de GROUP BY src)"
+    + ", r0 AS (SELECT id, 1.0 / (SELECT n FROM dnv) AS rank FROM dverts)"
+    + _sql_directed_pr_iter("r0", "r1")
+    + _sql_directed_pr_iter("r1", "r2")
+    + _sql_directed_pr_iter("r2", "r3")
+    + "\nSELECT id, round(rank, 6) AS rank FROM r3"
+)
+
 # directed-edge reciprocity (turn-taking symmetry)
 _SQL_RECIPROCITY = (
     _SQL_DIRECTED
@@ -2273,6 +2308,17 @@ def _q_label_spreading_2r(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("id").alias("label"))
     )
     return label_spreading(g, seeds, rounds=2)
+
+
+def _q_pagerank_directed_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the FLOW-DIRECTED actor graph, 3 probe-free
+    iterations: exercises the engine's directed branch — dangling-mass
+    uniform redistribution + base-term fill for in-edge-less vertices
+    (graft.algos.pagerank lines handling graph.symmetric=False) — which
+    the symmetric contract rows structurally skip."""
+    g = _directed_actor_graph(spark, sf_dir).cache()
+    pr = pagerank(g, fixed_iterations=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
 def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3063,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_top3": _q_sparsify_top3,
         "label_spreading_2r": _q_label_spreading_2r,
         "reciprocity": _q_reciprocity,
+        "pagerank_directed_3iter": _q_pagerank_directed_3iter,
         "window_fingerprints": _q_window_fingerprints,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "random_walks_4": _q_random_walks,
@@ -3176,6 +3223,7 @@ FROM e WHERE u = v""",
         "sparsify_top3": _SQL_SPARSIFY_TOP3,
         "label_spreading_2r": _SQL_LABEL_SPREADING_2R,
         "reciprocity": _SQL_RECIPROCITY,
+        "pagerank_directed_3iter": _SQL_PAGERANK_DIRECTED_3ITER,
         "window_fingerprints": _SQL_WINDOW_FINGERPRINTS,
         "powerlaw_alpha": _SQL_POWERLAW_ALPHA,
         "k_core_3": _SQL_K_CORE_3,
