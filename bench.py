@@ -228,6 +228,21 @@ def powerlaw_throughput() -> dict[str, float]:
     t_wl = _timed(
         lambda: wl_colors(big, rounds=2).count(), "wl_2rounds"
     )
+    # sparsify → square-count composition (r4): the documented hub
+    # mitigation, measured. Raw C4 counting pays Σ d(w)² wedge pairs —
+    # hub-quadratic on a powerlaw graph; the top-16 sparsifier bounds
+    # retained degree first, making the wedge join linear-ish. The cell
+    # times the WHOLE composition (sparsify + re-symmetrize + count).
+    from graft.algos.structure import square_count
+    from graft.algos.subgraph import sparsify_top_k
+
+    def _sparse_squares() -> int:
+        kept = sparsify_top_k(big, k=16).select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "weight"
+        )
+        return square_count(Graph.from_undirected(kept)).count()
+
+    t_sq = _timed(_sparse_squares, "sparsify16_square_count")
     big.unpersist()
     spark.stop()
     return {
@@ -239,6 +254,7 @@ def powerlaw_throughput() -> dict[str, float]:
         "betweenness_k4_2m_edges": t_btw,
         "hyper_anf_3hops_2m_edges": t_anf,
         "wl_2rounds_2m_edges": t_wl,
+        "sparsify16_square_count_2m_edges": t_sq,
         "_wl_sym_rows_per_sec_per_round": round(n_edges * 2 / t_wl, 1),
         "_powerlaw_edges_per_sec_per_superstep": round(
             n_edges * PR_ITERS / t, 1
