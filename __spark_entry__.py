@@ -1877,6 +1877,55 @@ def _q_sssp_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decayed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted actor edge table (half-life 7 days, anchored at
+    the corpus max ts) — certifies graft.io.transcripts_to_decayed_edges.
+    Any weighted operator (PageRank, Leiden, SSSP) consumes it as-is."""
+    from graft.io import transcripts_to_decayed_edges
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return transcripts_to_decayed_edges(t, half_life_s=604_800.0)
+
+
+# decayed-edge oracle: the static derivation's CTE chain with ts carried
+# through, decay anchored at max(ts), 0.5 ** (age_s / 7-day half-life)
+_SQL_DECAYED_EDGES = r"""WITH t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_type IN ('purchase', 'error')
+              THEN 't' || cast(try_cast(regexp_extract(props, '(\d+)', 1)
+                                        AS bigint)
+                               % 8 AS varchar)
+         END AS tool,
+         ts
+  FROM events
+), a AS (
+  SELECT conv_id, turn_idx,
+         coalesce('tool:' || tool, 'role:' || role) AS actor, ts
+  FROM t
+), p AS (
+  SELECT conv_id, actor, ts,
+         lag(actor) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_actor
+  FROM a
+), pairs AS (
+  SELECT least(prev_actor, actor) AS u, greatest(prev_actor, actor) AS v, ts
+  FROM p WHERE prev_actor IS NOT NULL
+  UNION ALL
+  SELECT least('conv:' || conv_id, actor), greatest('conv:' || conv_id, actor),
+         ts
+  FROM a
+), r AS (
+  SELECT max(ts) AS ref_ts FROM t
+)
+SELECT u, v,
+       round(sum(power(0.5, (epoch_us(r.ref_ts) - epoch_us(pairs.ts))
+                            / 1000000.0 / 604800.0)), 6) AS weight
+FROM pairs, r GROUP BY u, v
+"""
+
+
 def _directed_actor_graph(spark: SparkSession, sf_dir: str) -> Graph:
     """Flow-directed string-keyed actor graph (earlier turn's actor →
     later turn's actor) — input for the direction-aware operators."""
@@ -3116,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_3iter": _q_katz_3iter,
         "eigenvector_3iter": _q_eigenvector_3iter,
         "directed_edges": _q_directed_edges,
+        "decayed_edges": _q_decayed_edges,
         "hits_3iter": _q_hits_3iter,
         "scc_components": _q_scc,
         "k_core_3": _q_k_core,
@@ -3231,6 +3281,7 @@ FROM e WHERE u = v""",
         "eigenvector_3iter": _SQL_EIGENVECTOR_3ITER,
         "directed_edges": _SQL_DIRECTED
         + "SELECT src, dst, weight FROM de",
+        "decayed_edges": _SQL_DECAYED_EDGES,
         "hits_3iter": _SQL_HITS_3ITER,
         "scc_components": _SQL_SCC,
         # leiden_communities / louvain_communities / leiden_quality /

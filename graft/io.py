@@ -244,6 +244,74 @@ def transcripts_to_edges_windowed(
     )
 
 
+def transcripts_to_decayed_edges(
+    transcripts: DataFrame,
+    half_life_s: float = 604_800.0,
+    include_conv_edges: bool = True,
+) -> DataFrame:
+    """Recency-weighted variant of :func:`transcripts_to_edges`: the same
+    actor-adjacency derivation, but each co-adjacency contributes
+    ``0.5 ** (age_s / half_life_s)`` instead of 1, where ``age_s`` is the
+    contributing turn's age in seconds relative to the corpus max ``ts``
+    (the LATER turn of an adjacency pair — the turn whose arrival creates
+    the edge, consistent with the windowed/streaming semantics).
+
+    This is the edge table a live 10^12-turn deployment actually ranks
+    with: stale links fade exponentially instead of accumulating forever,
+    and any weighted downstream operator (PageRank, Louvain/Leiden, SSSP,
+    link scorers) consumes it unchanged. The reference's static edge
+    weighting is the ``half_life_s → inf`` limit (weights → raw counts).
+
+    Determinism: the decay anchor is ``max(ts)`` over the input (a
+    one-row tree-reduced aggregate broadcast into the scan), never
+    wall-clock "now", so the same snapshot always yields the same graph.
+    Weights round to 6 dp so float summation order never shows.
+
+    Scale: identical plan shape to the static derivation — one window
+    shuffle on conv_id + one keyed agg; the scalar max adds one
+    map-side-combinable agg and a 1-row broadcast. Nothing new shuffles.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    actor = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("role:"), F.col("role")))
+    t = transcripts.select(
+        "conv_id", "turn_idx", actor.alias("actor"), "ts"
+    ).withColumn("prev_actor", F.lag("actor").over(w))
+
+    adj = t.where(F.col("prev_actor").isNotNull()).select(
+        F.least("prev_actor", "actor").alias("u"),
+        F.greatest("prev_actor", "actor").alias("v"),
+        "ts",
+    )
+    parts = [adj]
+    if include_conv_edges:
+        conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+        parts.append(
+            t.select(
+                F.least(conv, F.col("actor")).alias("u"),
+                F.greatest(conv, F.col("actor")).alias("v"),
+                "ts",
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionAll(p)
+    ref = transcripts.agg(F.max("ts").alias("ref_ts"))
+    # timestamp_diff works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (a double cast does not), and an interval difference is immune to
+    # session-timezone/DST interpretation.
+    age_s = F.timestamp_diff(
+        "MICROSECOND", F.col("ts"), F.col("ref_ts")
+    ) / F.lit(1_000_000.0)
+    decay = F.pow(F.lit(0.5), age_s / F.lit(float(half_life_s)))
+    return (
+        pairs.crossJoin(F.broadcast(ref))
+        .groupBy("u", "v")
+        .agg(F.round(F.sum(decay), 6).alias("weight"))
+    )
+
+
 def transcripts_to_directed_edges(transcripts: DataFrame) -> DataFrame:
     """Directed variant of :func:`transcripts_to_edges`: one edge per
     adjacent turn pair under the stable turn ordering, oriented in

@@ -188,3 +188,62 @@ def test_transcripts_to_directed_edges_flow_orientation(spark):
         ("tool:search", "role:assistant"): 1.0,     # c1 2→3
         ("role:assistant", "role:assistant"): 1.0,  # c1 3→4 self-loop
     }
+
+
+def test_transcripts_to_decayed_edges_exact_halflife(spark):
+    """Each co-adjacency contributes 0.5 ** (age/half_life) where age is
+    the LATER turn's age vs the corpus max ts; hand-checkable values."""
+    import datetime as dt
+
+    from graft.io import transcripts_to_decayed_edges
+
+    base = dt.datetime(2026, 1, 1)
+    hl = 100.0  # seconds
+    rows = [
+        ("c1", 0, "user", "t0", None, base),
+        ("c1", 1, "assistant", "t1", None, base + dt.timedelta(seconds=100)),
+        ("c1", 2, "user", "t2", None, base + dt.timedelta(seconds=200)),
+        ("c2", 0, "user", "t0", None, base + dt.timedelta(seconds=200)),
+        ("c2", 1, "assistant", "t1", None, base + dt.timedelta(seconds=200)),
+    ]
+    t = spark.createDataFrame(rows, schema=fixtures.TRANSCRIPT_SCHEMA)
+    got = {
+        (r.u, r.v): r.weight
+        for r in transcripts_to_decayed_edges(
+            t, half_life_s=hl, include_conv_edges=False
+        ).collect()
+    }
+    # max ts = base+200s. c1 adjacencies: later turns at +100 (age 100,
+    # 0.5) and +200 (age 0, 1.0); c2 adjacency: later turn at +200 (1.0).
+    assert got == {("role:assistant", "role:user"): pytest.approx(2.5)}
+
+    full = {
+        (r.u, r.v): r.weight
+        for r in transcripts_to_decayed_edges(
+            t, half_life_s=hl, include_conv_edges=True
+        ).collect()
+    }
+    # conv:c1 membership turns at ages 200/100/0 → 0.25 + 0.5 or 1.0
+    assert full[("conv:c1", "role:user")] == pytest.approx(0.25 + 1.0)
+    assert full[("conv:c1", "role:assistant")] == pytest.approx(0.5)
+    assert full[("conv:c2", "role:user")] == pytest.approx(1.0)
+
+
+def test_transcripts_to_decayed_edges_infinite_halflife_is_counts(spark, transcripts):
+    """half_life → inf limit: decayed weights == the static count
+    weights (the reference's weighting), on the synthetic corpus."""
+    from graft.io import transcripts_to_decayed_edges
+
+    static = {
+        (r.u, r.v): r.weight
+        for r in transcripts_to_edges(transcripts).collect()
+    }
+    decayed = {
+        (r.u, r.v): r.weight
+        for r in transcripts_to_decayed_edges(
+            transcripts, half_life_s=1e15
+        ).collect()
+    }
+    assert decayed.keys() == static.keys()
+    for k, w in static.items():
+        assert decayed[k] == pytest.approx(w, abs=1e-5)
