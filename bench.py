@@ -212,12 +212,18 @@ def powerlaw_throughput() -> dict[str, float]:
     # HyperANF (r4): 3 sketch-union rounds over the 4M-row table — one
     # keyed shuffle of (vertex, HLL sketch) rows per hop, the
     # reachability-profile operator that replaces exact (quadratic)
-    # ball materialization at web scale
+    # ball materialization at web scale. Register count drives BOTH the
+    # shuffle bytes and the union CPU linearly: lg_k=10 measured 113.8s
+    # vs 19.5s at lg_k=8 on this graph (same session, ~4% divergence in
+    # N(3) — inside the ~6.5% HLL bound). 2^8 registers is the
+    # register size the HyperANF paper itself runs at web scale, so the
+    # bench pins the scale configuration; accuracy-first callers keep
+    # the library default lg_k=12.
     from graft.algos.anf import neighborhood_function
 
     t_anf = _timed(
         lambda: neighborhood_function(
-            big, max_hops=3, lg_config_k=10
+            big, max_hops=3, lg_config_k=8
         ).count(),
         "hyper_anf_3hops",
     )

@@ -44,6 +44,7 @@ from graft.io import (
     actor_edges_to_long,
     events_to_transcripts,
     read_transcript_source,
+    transcripts_to_decayed_edges,
     transcripts_to_edges,
 )
 
@@ -57,7 +58,10 @@ def build_graph(spark: SparkSession, args) -> tuple[Graph, "DataFrame"]:
     df = read_transcript_source(spark, args.input)
     if args.input_kind == "events":
         df = events_to_transcripts(df)
-    uv = transcripts_to_edges(df)
+    if args.half_life_s:
+        uv = transcripts_to_decayed_edges(df, half_life_s=args.half_life_s)
+    else:
+        uv = transcripts_to_edges(df)
     edges, mapping = actor_edges_to_long(uv)
     return Graph.from_undirected(edges).cache(), mapping
 
@@ -73,6 +77,12 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--half-life-s", type=float, default=None,
+        help="recency-decay half-life in seconds: edge weights become "
+        "sum of 0.5**(age/half_life) anchored at the corpus max ts "
+        "(default: raw co-adjacency counts)",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"graft-{args.algo}").getOrCreate()
