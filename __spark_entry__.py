@@ -2936,6 +2936,28 @@ def _q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI + ARI between the deterministic 2-round LPA labeling and the
+    connected-components labeling — certifies
+    graft.quality.partition_agreement (contingency table, entropies,
+    pair counts, trivial-partition guards) end to end against an
+    independent SQL derivation of both labelings AND both indices."""
+    from graft.quality import partition_agreement
+
+    g = _actor_graph(spark, sf_dir).cache()
+    la = label_propagation(g, max_iter=2).select(
+        "id", F.col("label").alias("community")
+    )
+    lb = connected_components(g).select(
+        "id", F.col("comp").alias("community")
+    )
+    return partition_agreement(la, lb).select(
+        "n",
+        F.round("nmi", 6).alias("nmi"),
+        F.round("ari", 6).alias("ari"),
+    )
+
+
 def _q_streaming_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming ingest path, certified against the SAME
     SQL oracle as the batch derivation: events→transcripts parquet is
@@ -3100,6 +3122,56 @@ FROM vol v LEFT JOIN win w ON v.community = w.community"""
 )
 
 
+# partition agreement (NMI + ARI) between the 2-round LPA labeling and
+# the connected-components labeling: both labelings re-derived in SQL
+# (LPA unroll + recursive reachability), then the contingency table,
+# entropies, and Hubert–Arabie pair counts assembled independently
+_SQL_PARTITION_AGREEMENT = (
+    "WITH RECURSIVE "
+    + _SQL_ACTORS_BODY
+    + _SQL_SYM2
+    + ", l0 AS (SELECT id, id AS label FROM verts)"
+    + _sql_lpa_round("l0", "l1")
+    + _sql_lpa_round("l1", "l2")
+    + """
+, reach(v, u) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym2 s ON r.u = s.src
+)
+, cc AS (SELECT v AS id, min(u) AS comp FROM reach GROUP BY v)
+, la AS (SELECT id, cast(label AS varchar) AS ca FROM l2)
+, lb AS (SELECT id, cast(comp AS varchar) AS cb FROM cc)
+, cont AS (
+  SELECT ca, cb, cast(count(*) AS double) AS nij
+  FROM la JOIN lb USING (id) GROUP BY ca, cb
+)
+, am AS (SELECT ca, sum(nij) AS ai FROM cont GROUP BY ca)
+, bm AS (SELECT cb, sum(nij) AS bj FROM cont GROUP BY cb)
+, tot AS (SELECT sum(nij) AS n FROM cont)
+, mi AS (
+  SELECT sum((c.nij / t.n) * ln(t.n * c.nij / (a.ai * b.bj))) AS mi,
+         sum(c.nij * (c.nij - 1) / 2) AS s_nij
+  FROM cont c JOIN am a USING (ca) JOIN bm b USING (cb) CROSS JOIN tot t
+)
+, ha AS (SELECT -sum((ai / n) * ln(ai / n)) AS h_a,
+                sum(ai * (ai - 1) / 2) AS s_a FROM am CROSS JOIN tot)
+, hb AS (SELECT -sum((bj / n) * ln(bj / n)) AS h_b,
+                sum(bj * (bj - 1) / 2) AS s_b FROM bm CROSS JOIN tot)
+SELECT cast(t.n AS bigint) AS n,
+       round(CASE WHEN ha.h_a + hb.h_b > 0
+                  THEN 2 * mi.mi / (ha.h_a + hb.h_b) ELSE 1.0 END, 6) AS nmi,
+       round(CASE WHEN (ha.s_a + hb.s_b) / 2.0
+                       - ha.s_a * hb.s_b / (t.n * (t.n - 1) / 2.0) <> 0
+                  THEN (mi.s_nij
+                        - ha.s_a * hb.s_b / (t.n * (t.n - 1) / 2.0))
+                       / ((ha.s_a + hb.s_b) / 2.0
+                          - ha.s_a * hb.s_b / (t.n * (t.n - 1) / 2.0))
+                  ELSE 1.0 END, 6) AS ari
+FROM tot t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_edges": _q_transcript_edges,
@@ -3116,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
         "lpa_conductance": _q_lpa_conductance,
+        "partition_agreement": _q_partition_agreement,
         "lpa_modularity": _q_lpa_modularity,
         "anf_3hops": _q_anf_3hops,
         "streaming_edge_ingest": _q_streaming_edges,
@@ -3225,6 +3298,7 @@ FROM e WHERE u = v""",
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
         "lpa_conductance": _SQL_LPA_CONDUCTANCE,
+        "partition_agreement": _SQL_PARTITION_AGREEMENT,
         "lpa_modularity": _SQL_LPA_MODULARITY,
         "anf_3hops": _SQL_ANF_3HOPS,
         # the streaming ingest must reproduce the batch derivation exactly,

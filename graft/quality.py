@@ -128,6 +128,97 @@ def conductance(edges: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+def partition_agreement(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    label_col: str = "community",
+) -> DataFrame:
+    """Agreement between two labelings: NMI and Adjusted Rand Index.
+
+    The standard instruments for comparing community detections — e.g.
+    Leiden vs Louvain on the same graph, a warm-started refresh vs a
+    cold run, or an engine labeling vs ground truth (the comparisons
+    the reference performs by eye across its example drivers,
+    examples/test1.py:44-61). Both inputs are ``(id, <label_col>)``
+    tables; agreement is computed over the inner-joined id set.
+
+    Returns ONE row ``(n long, nmi double, ari double)``:
+
+    - ``nmi`` = MI(A,B) / mean(H(A), H(B)) (arithmetic normalization,
+      sklearn's default); defined as 1.0 when both entropies are 0
+      (two trivial single-cluster partitions agree perfectly).
+    - ``ari`` = (Σij C(nij,2) − E) / (½[Σi C(ai,2) + Σj C(bj,2)] − E)
+      with E = Σi C(ai,2)·Σj C(bj,2)/C(n,2) (Hubert–Arabie); defined
+      as 1.0 when the denominator is 0 (both partitions trivial).
+
+    Scale shape: one id equi-join, one (label_a, label_b) contingency
+    hash-agg, then all arithmetic over contingency-sized tables whose
+    row count is bounded by #communities_a × #communities_b (the pairs
+    that actually co-occur), never by |V| or |E|. The scalar total
+    rides along as a broadcast cross join — no driver collect.
+    """
+    a = labels_a.select(
+        F.col("id"), F.col(label_col).cast("string").alias("ca")
+    )
+    b = labels_b.select(
+        F.col("id"), F.col(label_col).cast("string").alias("cb")
+    )
+    cont = (
+        a.join(b, "id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+    )
+    ma = cont.groupBy("ca").agg(F.sum("nij").alias("ai"))
+    mb = cont.groupBy("cb").agg(F.sum("nij").alias("bj"))
+    tot = cont.agg(F.sum("nij").alias("n"))
+
+    def comb2(c):
+        return F.col(c) * (F.col(c) - 1) / 2.0
+
+    mi_row = (
+        cont.join(F.broadcast(ma), "ca")
+        .join(F.broadcast(mb), "cb")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nij") / F.col("n"))
+                * F.log(F.col("n") * F.col("nij") / (F.col("ai") * F.col("bj")))
+            ).alias("mi"),
+            F.sum(comb2("nij")).alias("s_nij"),
+        )
+    )
+    ha_row = ma.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n")))).alias("h_a"),
+        F.sum(comb2("ai")).alias("s_a"),
+    )
+    hb_row = mb.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n")))).alias("h_b"),
+        F.sum(comb2("bj")).alias("s_b"),
+    )
+    exp_idx = F.col("s_a") * F.col("s_b") / (F.col("n") * (F.col("n") - 1) / 2.0)
+    max_idx = (F.col("s_a") + F.col("s_b")) / 2.0
+    return (
+        tot.crossJoin(F.broadcast(mi_row))
+        .crossJoin(F.broadcast(ha_row))
+        .crossJoin(F.broadcast(hb_row))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.when(
+                F.col("h_a") + F.col("h_b") > 0,
+                2.0 * F.col("mi") / (F.col("h_a") + F.col("h_b")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("nmi"),
+            F.when(
+                max_idx - exp_idx != 0,
+                (F.col("s_nij") - exp_idx) / (max_idx - exp_idx),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("ari"),
+        )
+    )
+
+
 def modularity(edges: DataFrame, assign: DataFrame) -> float:
     """Q = Σ_c [Σin_c/(2m) − (Σtot_c/(2m))²] (custom_louvain.py:92-122
     semantics via the closed form, SURVEY.md §2.3 A7). Σin is the

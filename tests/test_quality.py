@@ -57,3 +57,88 @@ def test_singleton_partition_modularity_negative_or_zero(spark):
     got = modularity(g.edges, _assign(spark, labels))
     assert got == pytest.approx(modularity_ref(edges, labels), abs=1e-9)
     assert got < 0
+
+
+# ---------------------------------------------------------------------------
+# partition_agreement (NMI + ARI)
+
+
+def _agree_ref(la, lb):
+    """Hand NMI/ARI from the contingency table (independent of the
+    engine's formula assembly)."""
+    import math
+    from collections import Counter
+
+    ids = sorted(set(la) & set(lb))
+    n = len(ids)
+    cont = Counter((la[i], lb[i]) for i in ids)
+    ai = Counter(la[i] for i in ids)
+    bj = Counter(lb[i] for i in ids)
+    mi = sum(
+        (c / n) * math.log(n * c / (ai[x] * bj[y]))
+        for (x, y), c in cont.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ai.values())
+    hb = -sum((c / n) * math.log(c / n) for c in bj.values())
+    nmi = 1.0 if ha + hb == 0 else 2 * mi / (ha + hb)
+
+    def c2(x):
+        return x * (x - 1) / 2.0
+
+    s_nij = sum(c2(c) for c in cont.values())
+    s_a = sum(c2(c) for c in ai.values())
+    s_b = sum(c2(c) for c in bj.values())
+    exp = s_a * s_b / c2(n)
+    mx = (s_a + s_b) / 2.0
+    ari = 1.0 if mx - exp == 0 else (s_nij - exp) / (mx - exp)
+    return n, nmi, ari
+
+
+def _labels_df(spark, labels):
+    return spark.createDataFrame(
+        [(k, v) for k, v in labels.items()], "id long, community long"
+    )
+
+
+def test_agreement_identical_partitions(spark):
+    from graft.quality import partition_agreement
+
+    la = {v: v % 4 for v in range(20)}
+    row = partition_agreement(_labels_df(spark, la), _labels_df(spark, la)).first()
+    assert row["n"] == 20
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-12)
+    assert row["ari"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_agreement_matches_hand_formulas(spark):
+    from graft.quality import partition_agreement
+
+    la = {v: v % 4 for v in range(23)}
+    lb = {v: (v // 3) % 5 for v in range(23)}
+    n, nmi, ari = _agree_ref(la, lb)
+    row = partition_agreement(_labels_df(spark, la), _labels_df(spark, lb)).first()
+    assert row["n"] == n
+    assert row["nmi"] == pytest.approx(nmi, abs=1e-12)
+    assert row["ari"] == pytest.approx(ari, abs=1e-12)
+
+
+def test_agreement_trivial_single_cluster_both(spark):
+    from graft.quality import partition_agreement
+
+    la = {v: 0 for v in range(8)}
+    row = partition_agreement(_labels_df(spark, la), _labels_df(spark, la)).first()
+    # both entropies 0 and both index sums trivial -> defined as 1.0
+    assert row["nmi"] == 1.0 and row["ari"] == 1.0
+
+
+def test_agreement_inner_join_and_relabel_invariance(spark):
+    from graft.quality import partition_agreement
+
+    la = {v: v % 3 for v in range(15)}
+    lb = {v: (v % 3) * 100 + 7 for v in range(10, 25)}  # overlap = 10..14
+    n, nmi, ari = _agree_ref(la, lb)
+    row = partition_agreement(_labels_df(spark, la), _labels_df(spark, lb)).first()
+    assert row["n"] == n == 5
+    # on the overlap the partitions are identical up to relabeling
+    assert row["nmi"] == pytest.approx(nmi, abs=1e-12)
+    assert row["ari"] == pytest.approx(ari, abs=1e-12)
