@@ -1444,6 +1444,45 @@ JOIN degs da ON j.src = da.id
 JOIN degs db ON j.dst = db.id"""
 )
 
+# categorical mixing over actor-type prefixes; adj from _SQL_PAIR_BASE
+# is the both-orientations self-loop-free simple edge list
+_SQL_ATTR_MIX_BASE = (
+    _SQL_PAIR_BASE
+    + """, lab AS (
+  SELECT id, split_part(id, ':', 1) AS cat
+  FROM (SELECT DISTINCT src AS id FROM adj)
+)
+, mcnt AS (
+  SELECT la.cat AS ca, lb.cat AS cb, cast(count(*) AS double) AS c
+  FROM adj j JOIN lab la ON j.src = la.id JOIN lab lb ON j.dst = lb.id
+  GROUP BY la.cat, lb.cat
+)
+, mtot AS (SELECT sum(c) AS t FROM mcnt)
+"""
+)
+
+_SQL_ATTRIBUTE_MIXING = (
+    _SQL_ATTR_MIX_BASE
+    + """SELECT ca, cb, round(c / (SELECT t FROM mtot), 6) AS frac
+FROM mcnt"""
+)
+
+_SQL_ATTRIBUTE_ASSORTATIVITY = (
+    _SQL_ATTR_MIX_BASE
+    + """, mfrac AS (SELECT ca, cb, c / (SELECT t FROM mtot) AS f FROM mcnt)
+, mtr AS (SELECT coalesce(sum(f), 0) AS tr FROM mfrac WHERE ca = cb)
+, mam AS (SELECT ca AS cat, sum(f) AS ai FROM mfrac GROUP BY ca)
+, mbm AS (SELECT cb AS cat, sum(f) AS bi FROM mfrac GROUP BY cb)
+, mab AS (
+  SELECT coalesce(sum(a.ai * b.bi), 0) AS ab
+  FROM mam a JOIN mbm b USING (cat)
+)
+SELECT round(CASE WHEN 1 - mab.ab <> 0
+                  THEN (mtr.tr - mab.ab) / (1 - mab.ab)
+                  ELSE 1.0 END, 6) AS assortativity
+FROM mtr CROSS JOIN mab"""
+)
+
 _SQL_AVG_NEIGHBOR_DEGREE = (
     _SQL_STRUCT_BASE
     + """
@@ -2088,6 +2127,36 @@ def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _actor_graph(spark, sf_dir).cache()
     r = degree_assortativity(g)
     return spark.createDataFrame([(r,)], "assortativity double").select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def _actor_categories(g: Graph) -> DataFrame:
+    """(id, cat) — the actor-key prefix (conv/role/tool) as the
+    categorical vertex attribute."""
+    return g.vertices().select(
+        "id", F.split_part(F.col("id"), F.lit(":"), F.lit(1)).alias("cat")
+    )
+
+
+def _q_attribute_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mixing matrix over actor-type prefixes (conv/role/
+    tool): the fraction of simple edges joining each category pair."""
+    from graft.algos.structure import attribute_mixing
+
+    g = _actor_graph(spark, sf_dir).cache()
+    mix = attribute_mixing(g, _actor_categories(g))
+    return mix.select("ca", "cb", F.round("frac", 6).alias("frac"))
+
+
+def _q_attribute_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical assortativity over the actor-type prefixes —
+    do conversations/roles/tools preferentially wire within their own
+    kind? (scalar; certifies the mixing-marginal assembly)."""
+    from graft.algos.structure import attribute_assortativity
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return attribute_assortativity(g, _actor_categories(g)).select(
         F.round("assortativity", 6).alias("assortativity")
     )
 
@@ -3203,6 +3272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering,
         "transitivity": _q_transitivity,
         "degree_assortativity": _q_assortativity,
+        "attribute_mixing": _q_attribute_mixing,
+        "attribute_assortativity": _q_attribute_assortativity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "betweenness": _q_betweenness,
         "closeness": _q_closeness,
@@ -3315,6 +3386,8 @@ FROM e WHERE u = v""",
         "clustering_coefficient": _SQL_CLUSTERING,
         "transitivity": _SQL_TRANSITIVITY,
         "degree_assortativity": _SQL_ASSORTATIVITY,
+        "attribute_mixing": _SQL_ATTRIBUTE_MIXING,
+        "attribute_assortativity": _SQL_ATTRIBUTE_ASSORTATIVITY,
         "avg_neighbor_degree": _SQL_AVG_NEIGHBOR_DEGREE,
         "random_walks_4": _SQL_RANDOM_WALKS,
         "closeness": _SQL_CLOSENESS,

@@ -313,3 +313,67 @@ def powerlaw_alpha(graph: Graph, d_min: int = 2) -> DataFrame:
         F.count(F.lit(1)).alias("n_tail"),
         F.lit(d_min).cast("long").alias("d_min"),
     )
+
+
+def attribute_mixing(graph: Graph, attrs: DataFrame) -> DataFrame:
+    """Categorical mixing matrix over the simple graph:
+    ``(ca, cb, frac double)`` — the fraction of (both-orientations)
+    self-loop-free edges whose endpoints carry categories (ca, cb)
+    (networkx.attribute_mixing_matrix semantics; symmetric for
+    undirected input by construction). ``attrs`` is ``(id, cat)``;
+    edges with an unlabeled endpoint are excluded (inner join).
+
+    Scale: one edge scan + two attrs joins (attrs is vertex-sized and
+    usually broadcast-able) + one category-pair hash-agg; the result is
+    bounded by #categories², and the normalizing total rides as a
+    broadcast cross join — no driver collect.
+    """
+    adj = _simple_adj(graph)
+    la = attrs.select(F.col("id").alias("a"), F.col("cat").alias("ca"))
+    lb = attrs.select(F.col("id").alias("b"), F.col("cat").alias("cb"))
+    cnt = (
+        adj.join(la, "a")
+        .join(lb, "b")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "ca", "cb", (F.col("c") / F.col("t")).alias("frac")
+    )
+
+
+def attribute_assortativity(graph: Graph, attrs: DataFrame) -> DataFrame:
+    """Newman's categorical assortativity coefficient as ONE row
+    ``(assortativity double)``:
+
+        r = (Σ_i e_ii − Σ_i a_i b_i) / (1 − Σ_i a_i b_i)
+
+    over the attribute mixing matrix e (attribute_mixing), with a_i/b_i
+    its row/column marginals (networkx
+    .attribute_assortativity_coefficient). Defined as 1.0 when every
+    labeled edge stays within one category (denominator 0 — trivially
+    perfectly assortative). All arithmetic happens on the
+    #categories²-bounded mixing table; nothing is collected.
+    """
+    mix = attribute_mixing(graph, attrs)
+    tr = mix.where(F.col("ca") == F.col("cb")).agg(
+        F.coalesce(F.sum("frac"), F.lit(0.0)).alias("tr")
+    )
+    am = mix.groupBy(F.col("ca").alias("cat")).agg(F.sum("frac").alias("ai"))
+    bm = mix.groupBy(F.col("cb").alias("cat")).agg(F.sum("frac").alias("bi"))
+    ab = (
+        am.join(bm, "cat")
+        .agg(F.coalesce(F.sum(F.col("ai") * F.col("bi")), F.lit(0.0)).alias("ab"))
+    )
+    return (
+        tr.crossJoin(F.broadcast(ab))
+        .select(
+            F.when(
+                F.lit(1.0) - F.col("ab") != 0,
+                (F.col("tr") - F.col("ab")) / (F.lit(1.0) - F.col("ab")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("assortativity")
+        )
+    )

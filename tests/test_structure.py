@@ -335,3 +335,79 @@ def test_reciprocity_extremes(spark):
         fixtures.edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)])
     )
     assert reciprocity(sym).first().reciprocity == 1.0
+
+
+# ---------------------------------------------------------------------------
+# attribute mixing / categorical assortativity
+
+
+def _attr_assort_ref(edges, cats):
+    """Hand Newman r from the both-orientations simple edge list."""
+    from collections import Counter
+
+    pairs = set()
+    for u, v, *_ in edges:
+        if u != v:
+            pairs.add((u, v))
+            pairs.add((v, u))
+    e = Counter((cats[a], cats[b]) for a, b in pairs if a in cats and b in cats)
+    t = sum(e.values())
+    tr = sum(c for (x, y), c in e.items() if x == y) / t
+    ai = Counter()
+    bi = Counter()
+    for (x, y), c in e.items():
+        ai[x] += c / t
+        bi[y] += c / t
+    sab = sum(ai[x] * bi.get(x, 0.0) for x in ai)
+    return 1.0 if 1 - sab == 0 else (tr - sab) / (1 - sab)
+
+
+def _cats_df(spark, cats):
+    return spark.createDataFrame(
+        [(k, v) for k, v in cats.items()], "id long, cat string"
+    )
+
+
+def test_attribute_mixing_fractions(spark):
+    from graft.algos.structure import attribute_mixing
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 3, 9.0)]
+    cats = {0: "r", 1: "t", 2: "t", 3: "r"}
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    rows = {
+        (r.ca, r.cb): r.frac
+        for r in attribute_mixing(g, _cats_df(spark, cats)).collect()
+    }
+    # 3 undirected non-loop edges -> 6 directed: r-t, t-r, t-t x2, t-r, r-t
+    assert sum(rows.values()) == pytest.approx(1.0)
+    assert rows[("r", "t")] == rows[("t", "r")]  # symmetric
+    assert rows[("t", "t")] == pytest.approx(2 / 6)
+    assert ("r", "r") not in rows
+
+
+def test_attribute_assortativity_matches_hand_formula(spark):
+    from graft.algos.structure import attribute_assortativity
+
+    edges = random_graph(24, 0.2, seed=11)
+    cats = {v: ("a", "b", "c")[v % 3] for v in range(24)}
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    want = _attr_assort_ref(edges, cats)
+    got = attribute_assortativity(g, _cats_df(spark, cats)).first()[0]
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_attribute_assortativity_extremes(spark):
+    from graft.algos.structure import attribute_assortativity
+
+    # two disjoint triangles, one category each -> all edges intra -> 1.0
+    intra = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+             (3, 4, 1.0), (4, 5, 1.0), (5, 3, 1.0)]
+    cats = {v: "x" if v < 3 else "y" for v in range(6)}
+    g = Graph.from_undirected(fixtures.edges_df(spark, intra)).cache()
+    assert attribute_assortativity(g, _cats_df(spark, cats)).first()[0] == 1.0
+
+    # balanced complete bipartite across categories -> -1.0
+    cross = [(u, v, 1.0) for u in (0, 1, 2) for v in (3, 4, 5)]
+    g2 = Graph.from_undirected(fixtures.edges_df(spark, cross)).cache()
+    got = attribute_assortativity(g2, _cats_df(spark, cats)).first()[0]
+    assert got == pytest.approx(-1.0, abs=1e-12)
