@@ -1147,6 +1147,21 @@ _SQL_SORENSEN = (
     + _SQL_PAIR_TAIL
 )
 
+_SQL_COMMON_NEIGHBORS = (
+    _SQL_PAIR_BASE
+    + """SELECT p.u, p.v, coalesce(c.nc, 0) AS n_common
+FROM und p
+LEFT JOIN com c ON c.u = p.u AND c.v = p.v"""
+)
+
+_SQL_PREF_ATTACH = (
+    _SQL_PAIR_BASE
+    + """SELECT p.u, p.v, du.d * dv.d AS pref_attach
+FROM und p
+JOIN degs du ON du.id = p.u
+JOIN degs dv ON dv.id = p.v"""
+)
+
 # degree-weighted common-neighbor sums (Adamic-Adar / resource
 # allocation): the same wedge as `com`, with the midpoint's degree
 # joined in before the pair groupBy
@@ -2591,6 +2606,24 @@ def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorensen_coefficient(g)
 
 
+def _q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge raw common-neighbor counts (networkx
+    common_neighbors) — the denominator-free link-prediction score."""
+    from graft.algos.jaccard import common_neighbors
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return common_neighbors(g)
+
+
+def _q_pref_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge preferential-attachment score du*dv (networkx
+    preferential_attachment) — the wedge-free family member."""
+    from graft.algos.jaccard import preferential_attachment
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return preferential_attachment(g)
+
+
 def _q_katz_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katz centrality, 3 probe-free supersteps (alpha=0.05, beta=1,
     final L2 normalization) against the unrolled SQL recurrence."""
@@ -3269,6 +3302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorensen_coefficient": _q_sorensen,
         "adamic_adar": _q_adamic_adar,
         "resource_allocation": _q_resource_allocation,
+        "common_neighbors": _q_common_neighbors,
+        "preferential_attachment": _q_pref_attach,
         "clustering_coefficient": _q_clustering,
         "transitivity": _q_transitivity,
         "degree_assortativity": _q_assortativity,
@@ -3383,6 +3418,8 @@ FROM e WHERE u = v""",
         "sorensen_coefficient": _SQL_SORENSEN,
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "resource_allocation": _SQL_RESOURCE_ALLOCATION,
+        "common_neighbors": _SQL_COMMON_NEIGHBORS,
+        "preferential_attachment": _SQL_PREF_ATTACH,
         "clustering_coefficient": _SQL_CLUSTERING,
         "transitivity": _SQL_TRANSITIVITY,
         "degree_assortativity": _SQL_ASSORTATIVITY,

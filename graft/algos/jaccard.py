@@ -172,6 +172,72 @@ def resource_allocation(
     )
 
 
+def common_neighbors(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, n_common long)`` — the raw common-neighbor
+    count |N(u) ∩ N(v)| (networkx ``common_neighbors``), the
+    denominator-free member of the link-prediction family. Same
+    candidate semantics as :func:`vertex_jaccard` (pairs with no
+    common neighbors — including edge-less endpoints — score 0, never
+    dropped). One bounded wedge join, no degree joins at all."""
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    if pairs is None:
+        pairs = adj.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    counts = (
+        pairs.join(
+            adj.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u"
+        )
+        .join(
+            adj.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return pairs.join(counts, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("n_common", F.lit(0)).alias("n_common")
+    )
+
+
+def preferential_attachment(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, pref_attach long)`` — |N(u)| · |N(v)|, the
+    preferential-attachment link-prediction score (networkx
+    ``preferential_attachment``). The only family member that needs NO
+    wedge join: two broadcast-able degree joins against the candidate
+    list, so at 10^12-turn scale it prices every candidate pair at two
+    hash-lookups regardless of hub size. Edge-less endpoints take
+    degree 0 (score 0, row kept) like the rest of the family."""
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    deg = adj.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    if pairs is None:
+        pairs = adj.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    return (
+        pairs.join(
+            deg.select(F.col("id").alias("u"), F.col("d").alias("du")),
+            "u", "left",
+        )
+        .join(
+            deg.select(F.col("id").alias("v"), F.col("d").alias("dv")),
+            "v", "left",
+        )
+        .select(
+            "u",
+            "v",
+            (F.coalesce("du", F.lit(0)) * F.coalesce("dv", F.lit(0)))
+            .alias("pref_attach"),
+        )
+    )
+
+
 def sorensen_coefficient(
     graph: Graph, pairs: DataFrame | None = None
 ) -> DataFrame:

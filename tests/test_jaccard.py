@@ -2,7 +2,9 @@
 
 from graft import fixtures
 from graft.algos.jaccard import (
+    common_neighbors,
     overlap_coefficient,
+    preferential_attachment,
     sorensen_coefficient,
     vertex_jaccard,
 )
@@ -77,6 +79,43 @@ def test_overlap_and_sorensen(spark):
         assert got_s[(u, v)] == round(
             2 * nc / (len(adj[u]) + len(adj[v])), 6
         ), (u, v)
+
+
+def test_common_neighbors_and_pref_attach(spark):
+    """Brute-force neighborhood oracle over every edge for the two
+    denominator-free scorers (networkx common_neighbors /
+    preferential_attachment semantics)."""
+    edges = fixtures.clique_ring_edges()
+    adj: dict[int, set[int]] = {}
+    for u, v, _ in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got_c = {(r.u, r.v): r.n_common for r in common_neighbors(g).collect()}
+    got_p = {(r.u, r.v): r.pref_attach
+             for r in preferential_attachment(g).collect()}
+    g.unpersist()
+    assert set(got_c) == set(got_p) and len(got_c) == 35
+    for (u, v), nc in got_c.items():
+        assert nc == len(adj[u] & adj[v]), (u, v)
+        assert got_p[(u, v)] == len(adj[u]) * len(adj[v]), (u, v)
+
+
+def test_common_neighbors_pref_attach_edge_less_endpoints(spark):
+    """Candidate pairs with edge-less endpoints score 0, never drop."""
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    pairs = spark.createDataFrame([(0, 999), (0, 2)], "u long, v long")
+    got_c = {(r.u, r.v): r.n_common
+             for r in common_neighbors(g, pairs=pairs).collect()}
+    got_p = {(r.u, r.v): r.pref_attach
+             for r in preferential_attachment(g, pairs=pairs).collect()}
+    g.unpersist()
+    # (0,2) same clique: common {1,3}; deg(0)=4 (incl. ring edge), deg(2)=3
+    assert got_c == {(0, 999): 0, (0, 2): 2}
+    assert got_p == {(0, 999): 0, (0, 2): 12}
 
 
 def test_overlap_edge_less_endpoints_score_zero(spark):
