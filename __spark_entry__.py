@@ -325,14 +325,10 @@ _SQL_CORE_NUMBERS = (
 _SQL_K_CORE_3 = _SQL_CORE_FIXPOINT + "\nSELECT id FROM c8 WHERE core >= 3"
 
 
-def _build_sql_betweenness(depth: int) -> str:
-    """Unrolled exact all-sources Brandes betweenness (textbook
-    semantics, normalized 1/((n−1)(n−2)) like networkx on undirected
-    graphs): multi-source level-synchronous BFS keyed on (s, id)
-    carrying shortest-path counts sigma, then the dependency
-    back-propagation delta(v) = Σ_w sigma_v/sigma_w · (1 + delta_w)
-    over successor levels, depths descending — the same superstep
-    structure the engine runs (graft.algos.betweenness). ``depth``
+def _sql_brandes_chain(depth: int) -> str:
+    """The shared unrolled Brandes CTE chain (multi-source BFS levels
+    f0..f{depth} carrying sigma + back-propagated deltas dl{depth}..dl0)
+    used by BOTH the vertex and the edge betweenness oracles. ``depth``
     unrolled BFS rounds must exceed the graph eccentricity; the
     certificate that the final frontier is EMPTY at the contract SFs is
     tests/test_betweenness.py::test_betweenness_oracle_unroll_exhausts.
@@ -378,12 +374,21 @@ def _build_sql_betweenness(depth: int) -> str:
     GROUP BY f2.s, f2.id
   ) g ON g.s = f.s AND g.id = f.id
 )"""
+    return sql
+
+
+def _build_sql_betweenness(depth: int) -> str:
+    """Unrolled exact all-sources Brandes VERTEX betweenness (textbook
+    semantics, normalized 1/((n−1)(n−2)) like networkx on undirected
+    graphs) — the shared chain plus the per-vertex delta accumulation
+    (same superstep structure the engine runs, graft.algos.betweenness).
+    """
     # Brandes accumulates delta(v) over all sources for v ≠ s, i.e. the
     # levels at depth ≥ 1 (the deepest level's delta is 0 — harmless)
     acc = " UNION ALL ".join(
         f"SELECT s, id, delta FROM dl{d}" for d in range(1, depth + 1)
     )
-    sql += f"""
+    return _sql_brandes_chain(depth) + f"""
 , acc AS ({acc})
 SELECT v.id,
        round(coalesce(b.b, 0.0) / ((SELECT n FROM nv) - 1)
@@ -391,11 +396,37 @@ SELECT v.id,
 FROM verts v LEFT JOIN (
   SELECT id, sum(delta) AS b FROM acc GROUP BY id
 ) b ON b.id = v.id"""
-    return sql
+
+
+def _build_sql_edge_betweenness(depth: int) -> str:
+    """Unrolled exact all-sources Brandes EDGE betweenness
+    (networkx.edge_betweenness_centrality semantics, normalized
+    1/(n(n−1))): the shared chain, with the per-edge dependency
+    σ_v/σ_w · (1 + δ_w) re-derived at every depth INCLUDING the
+    source's own incident edges (depth 0) and accumulated per
+    unordered edge — exactly what
+    graft.algos.betweenness.edge_betweenness_centrality computes."""
+    acc = " UNION ALL ".join(
+        f"""SELECT least(f2.id, sd.dst) AS u, greatest(f2.id, sd.dst) AS v,
+       f2.sigma / w.sigma * (1.0 + w.delta) AS c
+FROM f{d} f2 JOIN sd ON sd.src = f2.id
+JOIN dl{d + 1} w ON w.s = f2.s AND w.id = sd.dst"""
+        for d in range(0, depth)
+    )
+    return _sql_brandes_chain(depth) + f"""
+, eacc AS ({acc})
+SELECT e.u, e.v,
+       round(coalesce(b.b, 0.0) / (SELECT n FROM nv)
+             / ((SELECT n FROM nv) - 1), 6) AS betweenness
+FROM (SELECT src AS u, dst AS v FROM sd WHERE src < dst) e
+LEFT JOIN (
+  SELECT u, v, sum(c) AS b FROM eacc GROUP BY u, v
+) b ON b.u = e.u AND b.v = e.v"""
 
 
 _SQL_BETWEENNESS_DEPTH = 8
 _SQL_BETWEENNESS = _build_sql_betweenness(_SQL_BETWEENNESS_DEPTH)
+_SQL_EDGE_BETWEENNESS = _build_sql_edge_betweenness(_SQL_BETWEENNESS_DEPTH)
 
 
 def _sql_truss_hindex_round(prev: str, cur: str) -> str:
@@ -2517,6 +2548,19 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(g, normalized=True)
 
 
+def _q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-sources EDGE betweenness (Girvan–Newman edge scorer),
+    same multi-source Brandes supersteps with the per-edge dependency
+    accumulated before the vertex groupBy; hash-certified against the
+    depth-unrolled SQL twin (_build_sql_edge_betweenness, same empty-
+    frontier certificate) and pinned against the textbook oracle in
+    tests/test_betweenness.py."""
+    from graft.algos.betweenness import edge_betweenness_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return edge_betweenness_centrality(g, normalized=True)
+
+
 def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact closeness centrality (Wasserman–Faust), all sources in
     flight in one multi-source BFS; the oracle replays the all-pairs
@@ -3311,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_assortativity": _q_attribute_assortativity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "betweenness": _q_betweenness,
+        "edge_betweenness": _q_edge_betweenness,
         "closeness": _q_closeness,
         "harmonic_centrality": _q_harmonic,
         "neighbor_sample_2hop": _q_neighbor_sample,
@@ -3437,6 +3482,7 @@ FROM e WHERE u = v""",
         "graph_diameter": _SQL_DIAMETER,
         "degree_histogram": _SQL_DEGREE_HISTOGRAM,
         "betweenness": _SQL_BETWEENNESS,
+        "edge_betweenness": _SQL_EDGE_BETWEENNESS,
         "core_numbers": _SQL_CORE_NUMBERS,
         "truss_numbers": _SQL_TRUSS_NUMBERS,
         "k_truss_10": _SQL_K_TRUSS_10,

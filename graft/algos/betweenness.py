@@ -33,6 +33,34 @@ from graft.checkpoint import drop_spill, truncate
 from graft.graph import Graph
 
 
+def _forward_levels(adj, sources, _t) -> list[DataFrame]:
+    """Multi-source level-synchronous BFS carrying shortest-path counts
+    sigma: one edge join + anti-join + hash-agg per DEPTH for all
+    sources at once, state keyed (s, id). Returns the per-depth levels
+    (``levels[d]`` = vertices at distance d from their source s)."""
+    frontier = _t(
+        sources.select("s", F.col("s").alias("id"),
+                       F.lit(1.0).alias("sigma"))
+    )
+    visited = frontier.select("s", "id")
+    levels: list[DataFrame] = [frontier]
+    while True:
+        reached = (
+            levels[-1]
+            .join(adj.withColumnRenamed("src", "id"), "id")
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .join(visited, ["s", "id"], "left_anti")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = _t(reached)
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        visited = _t(visited.unionAll(nxt.select("s", "id")))
+    return levels
+
+
 def betweenness_centrality(
     graph: Graph,
     k: int | None = None,
@@ -81,27 +109,7 @@ def betweenness_centrality(
         return out
 
     with superstep_conf(spark, adj.count()):
-        # ---- forward: multi-source BFS carrying sigma ----
-        frontier = _t(
-            sources.select("s", F.col("s").alias("id"),
-                           F.lit(1.0).alias("sigma"))
-        )
-        visited = frontier.select("s", "id")
-        levels: list[DataFrame] = [frontier]
-        while True:
-            reached = (
-                levels[-1]
-                .join(adj.withColumnRenamed("src", "id"), "id")
-                .select("s", F.col("dst").alias("id"), "sigma")
-                .join(visited, ["s", "id"], "left_anti")
-                .groupBy("s", "id")
-                .agg(F.sum("sigma").alias("sigma"))
-            )
-            nxt = _t(reached)
-            if nxt.limit(1).count() == 0:
-                break
-            levels.append(nxt)
-            visited = _t(visited.unionAll(nxt.select("s", "id")))
+        levels = _forward_levels(adj, sources, _t)
 
         # ---- backward: dependency accumulation, depths descending ----
         # delta at the deepest level is 0; each shallower level gathers
@@ -160,6 +168,138 @@ def betweenness_centrality(
             verts.join(bc, "id", "left")
             .select(
                 "id",
+                F.round(
+                    F.coalesce("b", F.lit(0.0)) * F.lit(factor), 6
+                ).alias("betweenness"),
+            )
+        )
+        for df in spills:
+            drop_spill(df)
+        drop_spill(adj)
+    return out
+
+
+def edge_betweenness_centrality(
+    graph: Graph,
+    k: int | None = None,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns ``(u, v, betweenness double)`` — one row per undirected
+    simple edge (u < v), networkx.edge_betweenness_centrality
+    semantics: Σ_{s≠t} σ(s,t|e)/σ(s,t), halved for the undirected
+    double count, normalized by 1/(n(n−1)) when ``normalized`` (so the
+    two conventions compose to 2/(n(n−1)) per unordered pair).
+
+    Same multi-source Brandes supersteps as
+    :func:`betweenness_centrality`; the per-edge dependency is the
+    backward gather's addend BEFORE its vertex groupBy —
+    σ_v/σ_w · (1 + δ_w) for the tree edge (v, w) with w one BFS level
+    deeper — accumulated over every depth INCLUDING the source's own
+    incident edges (vertex Brandes discards the source's delta; edge
+    Brandes keeps every edge on a shortest path). Edges whose endpoints
+    sit at equal depth from a source carry no flow from it and simply
+    never appear in that source's accumulation. ``k``/``sources``
+    sample exactly as in :func:`betweenness_centrality` (Girvan–Newman
+    at 100 TB runs on sampled sources or not at all).
+    """
+    verts = graph.vertices_cached()
+    n = graph.num_vertices()
+    spark = graph.edges.sparkSession
+    adj = truncate(
+        graph.without_self_loops().select("src", "dst").distinct()
+    )
+    und = adj.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    if n < 2:
+        drop_spill(adj)
+        return und.select("u", "v", F.lit(0.0).alias("betweenness"))
+
+    explicit_sources = sources is not None
+    if sources is None:
+        src_pool = verts
+        if k is not None and k < n:
+            src_pool = (
+                verts.orderBy(F.xxhash64("id", F.lit(seed))).limit(k)
+            )
+        sources = src_pool
+    sources = sources.select(F.col("id").alias("s"))
+    n_src = sources.count()
+    if n_src == 0:
+        drop_spill(adj)
+        return und.select("u", "v", F.lit(0.0).alias("betweenness"))
+
+    spills: list[DataFrame] = []
+
+    def _t(df: DataFrame) -> DataFrame:
+        out = truncate(df)
+        spills.append(out)
+        return out
+
+    with superstep_conf(spark, adj.count()):
+        levels = _forward_levels(adj, sources, _t)
+
+        acc: list[DataFrame] = []
+        delta = levels[-1].select(
+            "s", "id", F.lit(0.0).alias("delta")
+        )
+        for d in range(len(levels) - 2, -1, -1):
+            below = levels[d + 1].join(delta, ["s", "id"]).select(
+                "s",
+                F.col("id").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                "delta",
+            )
+            contrib = _t(
+                levels[d]
+                .join(adj.withColumnRenamed("src", "id"), "id")
+                .select("s", "id", "sigma", F.col("dst").alias("w"))
+                .join(below, ["s", "w"])
+                .select(
+                    "s",
+                    "id",
+                    "w",
+                    (
+                        F.col("sigma") / F.col("sigma_w")
+                        * (F.lit(1.0) + F.col("delta"))
+                    ).alias("c"),
+                )
+            )
+            acc.append(contrib.select("id", "w", "c"))
+            gathered = contrib.groupBy("s", "id").agg(
+                F.sum("c").alias("delta")
+            )
+            delta = _t(
+                levels[d]
+                .join(gathered, ["s", "id"], "left")
+                .select("s", "id",
+                        F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            )
+
+        factor = 0.5
+        if normalized:
+            factor = 1.0 / (n * (n - 1))
+        if not explicit_sources and n_src < n:
+            factor *= n / n_src
+        if acc:
+            total = acc[0]
+            for a in acc[1:]:
+                total = total.unionAll(a)
+            eb = (
+                total.groupBy(
+                    F.least("id", "w").alias("u"),
+                    F.greatest("id", "w").alias("v"),
+                )
+                .agg(F.sum("c").alias("b"))
+            )
+        else:
+            eb = und.select("u", "v", F.lit(0.0).alias("b")).limit(0)
+        out = truncate(
+            und.join(eb, ["u", "v"], "left").select(
+                "u",
+                "v",
                 F.round(
                     F.coalesce("b", F.lit(0.0)) * F.lit(factor), 6
                 ).alias("betweenness"),

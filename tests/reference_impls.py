@@ -457,6 +457,58 @@ def brandes_betweenness_ref(
     return {v: bc[v] * scale for v in verts}
 
 
+def brandes_edge_betweenness_ref(
+    edges, normalized: bool = True, sources=None
+) -> dict:
+    """Textbook Brandes EDGE betweenness on the undirected simple graph
+    (networkx.edge_betweenness_centrality semantics): ``{(u, v): b}``
+    with u < v, normalized 1/(n(n−1)) else halved."""
+    from collections import deque
+
+    adj: dict = {}
+    verts: set = set()
+    for e in edges:
+        u, v = e[0], e[1]
+        verts.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    eb: dict = {}
+    for u in adj:
+        for v in adj[u]:
+            if u < v:
+                eb[(u, v)] = 0.0
+    for s in (sources if sources is not None else verts):
+        stack, preds = [], {v: [] for v in verts}
+        sigma = {v: 0.0 for v in verts}
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in verts}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1 + delta[w])
+                eb[(min(v, w), max(v, w))] += c
+                delta[v] += c
+    n = len(verts)
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    else:
+        scale = 0.5
+    return {e: b * scale for e, b in eb.items()}
+
+
 def all_pairs_hops_ref(edges) -> dict:
     """BFS hop distances between every reachable (s, v) pair on the
     undirected simple graph: ``{(s, v): d}`` including (s, s): 0."""

@@ -3,9 +3,16 @@
 import pytest
 
 from graft import fixtures
-from graft.algos.betweenness import betweenness_centrality
+from graft.algos.betweenness import (
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 from graft.graph import Graph
-from tests.reference_impls import brandes_betweenness_ref, random_graph
+from tests.reference_impls import (
+    brandes_betweenness_ref,
+    brandes_edge_betweenness_ref,
+    random_graph,
+)
 
 
 def _run(spark, edges, **kw):
@@ -91,6 +98,62 @@ def test_k_equal_n_is_exact_and_sampling_bounds(spark):
     top = max(exact, key=exact.get)
     rank = sorted(sampled, key=sampled.get, reverse=True)
     assert rank.index(top) < len(rank) / 2
+
+
+def _run_edges(spark, edges, **kw):
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {(r.u, r.v): r.betweenness
+           for r in edge_betweenness_centrality(g, **kw).collect()}
+    g.unpersist()
+    return got
+
+
+def test_edge_betweenness_path_golden(spark):
+    """On a 5-path the middle edge carries 2·3=6 of the 20 ordered
+    pairs (networkx edge_betweenness_centrality values exactly)."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    got = _run_edges(spark, edges, normalized=True)
+    want = brandes_edge_betweenness_ref(edges, normalized=True)
+    assert set(got) == set(want)
+    for e, b in want.items():
+        assert got[e] == pytest.approx(b, abs=1e-6), e
+    assert got[(1, 2)] == pytest.approx(12 / 20, abs=1e-6)
+    assert got[(0, 1)] == pytest.approx(8 / 20, abs=1e-6)
+
+
+@pytest.mark.parametrize("normalized", [True, False])
+def test_edge_betweenness_clique_ring(spark, normalized):
+    edges = fixtures.clique_ring_edges()
+    got = _run_edges(spark, edges, normalized=normalized)
+    want = brandes_edge_betweenness_ref(edges, normalized=normalized)
+    assert set(got) == set(want) and len(got) == 35
+    for e, b in want.items():
+        assert got[e] == pytest.approx(b, abs=1e-6), e
+
+
+def test_edge_betweenness_random_and_disconnected(spark):
+    edges = random_graph(30, 0.12, seed=17, weighted=False)
+    edges += [(100, 101, 1.0), (101, 102, 1.0)]  # separate component
+    got = _run_edges(spark, edges, normalized=True)
+    want = brandes_edge_betweenness_ref(edges, normalized=True)
+    assert set(got) == set(want)
+    for e, b in want.items():
+        assert got[e] == pytest.approx(b, abs=1e-6), e
+
+
+def test_edge_betweenness_explicit_sources(spark):
+    edges = fixtures.clique_ring_edges()
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    srcs = spark.createDataFrame([(0,), (9,)], "id long")
+    got = {(r.u, r.v): r.betweenness
+           for r in edge_betweenness_centrality(
+               g, sources=srcs, normalized=False).collect()}
+    g.unpersist()
+    want = brandes_edge_betweenness_ref(
+        edges, normalized=False, sources=[0, 9]
+    )
+    for e, b in want.items():
+        assert got[e] == pytest.approx(b, abs=1e-6), e
 
 
 @pytest.mark.parametrize(
