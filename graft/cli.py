@@ -51,6 +51,7 @@ from graft.io import (
 ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
+    "betweenness", "edge-betweenness",
 }
 
 
@@ -77,6 +78,13 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--k-sources", type=int, default=None,
+        help="betweenness/edge-betweenness: sample this many BFS "
+        "sources and rescale by n/k (the networkx/cugraph estimator — "
+        "exact betweenness is O(V*E) on any engine, so at scale you "
+        "sample; default: exact, all sources)",
+    )
     p.add_argument(
         "--half-life-s", type=float, default=None,
         help="recency-decay half-life in seconds: edge weights become "
@@ -130,6 +138,31 @@ def main(argv=None) -> None:
         from graft.algos.wl import wl_colors
 
         out = wl_colors(g, rounds=min(args.max_iter, 4))
+    elif args.algo == "betweenness":
+        from graft.algos.betweenness import betweenness_centrality
+
+        out = betweenness_centrality(g, k=args.k_sources, seed=args.seed)
+    elif args.algo == "edge-betweenness":
+        from graft.algos.betweenness import edge_betweenness_centrality
+
+        eb = edge_betweenness_centrality(g, k=args.k_sources,
+                                         seed=args.seed)
+        # edge-keyed output: map BOTH endpoints back to actor strings
+        out = (
+            eb.join(mapping.withColumnRenamed("id", "u"), "u")
+            .drop("u").withColumnRenamed("vid", "actor_u")
+            .join(mapping.withColumnRenamed("id", "v"), "v")
+            .drop("v").withColumnRenamed("vid", "actor_v")
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        elapsed = time.perf_counter() - t0
+        n_edges = g.edges.count()
+        print(json.dumps({
+            "algo": args.algo, "seconds": round(elapsed, 3),
+            "sym_edge_rows": n_edges,
+            "edges_per_sec": round(n_edges / elapsed, 1),
+        }))
+        return
     else:
         out = leiden(g, gamma=args.gamma, seed=args.seed, checkpointer=ckpt)
     out = out.join(mapping, "id").drop("id").withColumnRenamed("vid", "actor")

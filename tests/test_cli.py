@@ -23,6 +23,19 @@ def test_cli_pagerank_roundtrip(spark, tmp_path, capsys):
     assert got.count() > 0
 
 
+def test_cli_edge_betweenness_sampled(spark, tmp_path, capsys):
+    src = _write_transcripts(spark, tmp_path)
+    out = str(tmp_path / "eb")
+    main(["--algo", "edge-betweenness", "--input", src, "--output", out,
+          "--k-sources", "8"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["algo"] == "edge-betweenness"
+    got = spark.read.parquet(out)
+    assert {"actor_u", "actor_v", "betweenness"} <= set(got.columns)
+    assert got.count() > 0
+    assert got.where("betweenness < 0").count() == 0
+
+
 def test_cli_half_life_changes_weights_not_vertices(spark, tmp_path, capsys):
     src = _write_transcripts(spark, tmp_path)
     out_static = str(tmp_path / "pr_static")
