@@ -7,7 +7,9 @@ from graft.algos.leiden import leiden  # noqa: F401
 from graft.algos.bfs import bfs_hops  # noqa: F401
 from graft.algos.jaccard import (  # noqa: F401
     adamic_adar,
+    common_neighbors,
     overlap_coefficient,
+    preferential_attachment,
     resource_allocation,
     sorensen_coefficient,
     vertex_jaccard,
@@ -31,7 +33,10 @@ from graft.algos.centrality import (  # noqa: F401
     katz_centrality,
 )
 from graft.algos.scc import strongly_connected_components  # noqa: F401
-from graft.algos.betweenness import betweenness_centrality  # noqa: F401
+from graft.algos.betweenness import (  # noqa: F401
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 from graft.algos.closeness import (  # noqa: F401
     closeness_centrality,
     harmonic_centrality,
