@@ -2877,6 +2877,41 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean of the embedding column, computed by the
+    distributed Arrow partial-sum pass (graft.pipeline.embeddings
+    .embedding_moments — the PCA/whitening statistics engine); only the
+    d parameter-bounded aggregates cross to the driver, re-emitted here
+    as rows so the DuckDB unnest oracle value-certifies the kernel."""
+    from graft.pipeline.embeddings import embedding_moments
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, mean, _ = embedding_moments(emb)
+    return spark.createDataFrame(
+        [(i, round(float(v), 6)) for i, v in enumerate(mean)],
+        "pos long, avg_v double",
+    )
+
+
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d population covariance from the same single-pass Arrow
+    partial sums (the input to pca_components/whitening) — d² scalars,
+    certified cell-by-cell against the DuckDB self-join oracle."""
+    from graft.pipeline.embeddings import embedding_moments
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, _, cov = embedding_moments(emb)
+    d = cov.shape[0]
+    return spark.createDataFrame(
+        [
+            (i, j, round(float(cov[i, j]), 6))
+            for i in range(d)
+            for j in range(d)
+        ],
+        "i long, j long, cov double",
+    )
+
+
 def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One GraphSAGE-style mean-smoothing layer over the certified
     near-dup pair graph (graft.pipeline.similarity.smooth_embeddings) —
@@ -3414,6 +3449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "smoothed_embeddings": _q_smoothed_embeddings,
+        "embedding_mean": _q_embedding_mean,
+        "embedding_covariance": _q_embedding_covariance,
         "knn_graph": _q_knn_graph,
         "top_terms": _q_top_terms,
         "deterministic_sample": _q_deterministic_sample,
@@ -3533,6 +3570,8 @@ FROM e WHERE u = v""",
         "ivf_topk": _po.SQL_IVF_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,
+        "embedding_mean": _po.SQL_EMBEDDING_MEAN,
+        "embedding_covariance": _po.SQL_EMBEDDING_COVARIANCE,
         "knn_graph": _po.SQL_KNN_GRAPH,
         "top_terms": _po.SQL_TOP_TERMS,
         "deterministic_sample": _po.SQL_DETERMINISTIC_SAMPLE,

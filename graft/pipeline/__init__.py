@@ -25,3 +25,9 @@ from graft.pipeline.similarity import (  # noqa: F401
     lsh_bucket_topk,
     embedding_near_dups,
 )
+from graft.pipeline.embeddings import (  # noqa: F401
+    embedding_moments,
+    pca_components,
+    project_embeddings,
+    whiten_embeddings,
+)

@@ -667,3 +667,33 @@ SELECT doc_id, term, score FROM (
   FROM scored
 ) WHERE rn <= 3
 """
+
+
+# embedding moments (PCA/whitening statistics): per-dimension mean and
+# the d×d population covariance — the SQL twins of the Arrow
+# partial-sum pass in graft.pipeline.embeddings.embedding_moments.
+# DuckDB arrays are 1-indexed; range(len) generates 0-based dims.
+SQL_EMBEDDING_MEAN = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT pos, round(avg(v), 6) AS avg_v FROM x GROUP BY pos
+"""
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT a.pos AS i, b.pos AS j,
+       round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
+FROM x a JOIN x b USING (vec_id)
+GROUP BY a.pos, b.pos
+"""
