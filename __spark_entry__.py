@@ -2912,6 +2912,18 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (k=8) over the embedding column —
+    deterministic vec_id%k partition init, Arrow-matmul assignment
+    (6-dp distances, lowest-cid ties), partial-sum recentroids; the
+    DuckDB twin unrolls both rounds (oracles._kmeans_sql)."""
+    from graft.pipeline.embeddings import kmeans
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(emb, k=8, n_iter=2)
+    return assign
+
+
 def _q_smoothed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One GraphSAGE-style mean-smoothing layer over the certified
     near-dup pair graph (graft.pipeline.similarity.smooth_embeddings) —
@@ -3451,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smoothed_embeddings": _q_smoothed_embeddings,
         "embedding_mean": _q_embedding_mean,
         "embedding_covariance": _q_embedding_covariance,
+        "kmeans_2iter": _q_kmeans_2iter,
         "knn_graph": _q_knn_graph,
         "top_terms": _q_top_terms,
         "deterministic_sample": _q_deterministic_sample,
@@ -3572,6 +3585,7 @@ FROM e WHERE u = v""",
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,
         "embedding_mean": _po.SQL_EMBEDDING_MEAN,
         "embedding_covariance": _po.SQL_EMBEDDING_COVARIANCE,
+        "kmeans_2iter": _po.SQL_KMEANS_2ITER,
         "knn_graph": _po.SQL_KNN_GRAPH,
         "top_terms": _po.SQL_TOP_TERMS,
         "deterministic_sample": _po.SQL_DETERMINISTIC_SAMPLE,

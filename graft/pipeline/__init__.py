@@ -27,6 +27,7 @@ from graft.pipeline.similarity import (  # noqa: F401
 )
 from graft.pipeline.embeddings import (  # noqa: F401
     embedding_moments,
+    kmeans,
     pca_components,
     project_embeddings,
     whiten_embeddings,

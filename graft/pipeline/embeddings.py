@@ -164,6 +164,152 @@ def project_embeddings(
     )
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: ``(id_col, centroid_id)`` — argmin
+    squared L2 distance, distances compared at 6 dp with ties going to
+    the LOWER centroid id (engine-portable, SQL-reproducible). One
+    Arrow-batched matmul pass; the (k, d) centroid matrix ships with
+    the kernel (same shape as :func:`similarity.ivf_assign`). NULL
+    vectors are dropped."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cnorm2 = (c * c).sum(axis=1)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep = pdf[pdf[vec_col].notna()]
+            if keep.empty:
+                continue
+            m = np.array(list(keep[vec_col]), dtype=np.float64)
+            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
+            # constant per row, so argmin over (-2 v.c + ||c||^2) —
+            # but round the FULL distance so the 6-dp tie contract
+            # matches the SQL oracle exactly
+            d2 = np.round(
+                (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + cnorm2,
+                6,
+            )
+            best = np.argmin(d2, axis=1)  # first (lowest) cid on ties
+            yield pd.DataFrame(
+                {
+                    id_col: keep[id_col].to_numpy(),
+                    "centroid_id": best.astype(np.int64),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, centroid_id long"
+    )
+
+
+def _centroid_means(
+    emb: DataFrame,
+    assign: DataFrame,
+    k: int,
+    d: int,
+    prev: np.ndarray,
+    vec_col: str,
+    id_col: str,
+) -> np.ndarray:
+    """New centroid matrix = per-cluster mean, via per-batch partial
+    sums keyed by centroid id (≤ k tiny rows per Arrow batch; only
+    k·(d+1) scalars reach the driver). An emptied cluster keeps its
+    previous centroid (the standard Lloyd convention)."""
+    joined = emb.select(id_col, vec_col).join(assign, id_col)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep = pdf[pdf[vec_col].notna()]
+            if keep.empty:
+                continue
+            m = np.array(list(keep[vec_col]), dtype=np.float64)
+            cids = keep["centroid_id"].to_numpy()
+            rows = []
+            for cid in np.unique(cids):
+                sel = m[cids == cid]
+                rows.append(
+                    {
+                        "cid": int(cid),
+                        "n": int(sel.shape[0]),
+                        "s": sel.sum(axis=0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    partials = joined.mapInPandas(
+        fn, schema="cid long, n long, s array<double>"
+    )
+    folded = (
+        partials.select("cid", "n", F.posexplode("s").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("x"), F.sum("n").alias("cnt"))
+        .collect()
+    )
+    out = prev.copy()
+    sums = np.zeros((k, d))
+    counts = np.zeros(k, dtype=np.int64)
+    for r in folded:
+        sums[int(r["cid"]), int(r["pos"])] = float(r["x"])
+        counts[int(r["cid"])] = int(r["cnt"])
+    nonempty = counts > 0
+    out[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return out
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """Lloyd k-means over the embedding column: returns the final
+    ``(id_col, centroid_id)`` assignment and the (k, d) centroid
+    matrix after ``n_iter`` rounds.
+
+    Init is the deterministic random-partition scheme: centroid j =
+    mean of the vectors with ``id_col % k == j`` — fully
+    SQL-expressible, so a fixed-iteration run has an exact DuckDB twin
+    (the `kmeans_2iter` contract row unrolls two Lloyd rounds).
+
+    Per round: ONE Arrow-matmul assignment pass (centroids broadcast
+    inside the kernel, scan never shuffled) + ONE partial-sum
+    recentroid pass shuffling ≤ k·(d+1) scalars per batch — at
+    10^12-row scale each round is two scans and no row-scaled shuffle,
+    the plan a vector-quantization / corpus-clustering pipeline needs.
+    Empty clusters keep their previous centroid."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    base = emb.where(F.col(vec_col).isNotNull())
+    init_assign = base.select(
+        id_col, (F.col(id_col) % k).cast("long").alias("centroid_id")
+    )
+    d_probe = base.select(F.size(vec_col).alias("d")).first()
+    if d_probe is None:
+        raise ValueError("embedding column has no non-null vectors")
+    d = int(d_probe["d"])
+    cents = _centroid_means(
+        base, init_assign, k, d, np.zeros((k, d)), vec_col, id_col
+    )
+    assign = init_assign
+    for _ in range(n_iter):
+        assign = kmeans_assign(base, cents, vec_col, id_col)
+        cents = _centroid_means(
+            base, assign, k, d, cents, vec_col, id_col
+        )
+    return assign, cents
+
+
 def whiten_embeddings(
     emb: DataFrame,
     k: int,

@@ -697,3 +697,51 @@ SELECT a.pos AS i, b.pos AS j,
 FROM x a JOIN x b USING (vec_id)
 GROUP BY a.pos, b.pos
 """
+
+
+def _kmeans_sql(k: int, rounds: int) -> str:
+    """Unrolled Lloyd k-means twin of graft.pipeline.embeddings.kmeans:
+    vec_id%k partition init, per-round nearest-centroid assignment on
+    6-dp-rounded squared L2 with lowest-cid ties, recentroid by plain
+    avg. (The engine keeps a previous centroid when a cluster empties;
+    the SQL drops it — equivalent whenever no cluster empties at the
+    contract SFs, which the green hash itself certifies end-to-end.)"""
+    sql = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+, a0 AS (
+  SELECT vec_id, vec_id % {k} AS cid
+  FROM embeddings WHERE embedding IS NOT NULL
+)"""
+    for r in range(rounds):
+        sql += """
+, c{r} AS MATERIALIZED (
+  SELECT a.cid, x.pos, avg(x.v) AS cv
+  FROM x JOIN a{r} a USING (vec_id)
+  GROUP BY a.cid, x.pos
+)
+, d{n} AS MATERIALIZED (
+  SELECT x.vec_id, c.cid,
+         round(sum((x.v - c.cv) * (x.v - c.cv)), 6) AS d2
+  FROM x JOIN c{r} c ON c.pos = x.pos
+  GROUP BY x.vec_id, c.cid
+)
+, a{n} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cid) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+)""".replace("{r}", str(r)).replace("{n}", str(r + 1))
+    sql += f"""
+SELECT vec_id, cid AS centroid_id FROM a{rounds}"""
+    return sql.replace("{k}", str(k))
+
+
+SQL_KMEANS_2ITER = _kmeans_sql(8, 2)

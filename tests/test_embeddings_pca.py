@@ -98,6 +98,63 @@ def test_projection_matches_numpy(emb_df, emb_np):
         np.testing.assert_allclose(got[i], np.round(row, 6), atol=2e-6)
 
 
+def _kmeans_ref(x, ids, k, n_iter):
+    """Exact Lloyd reference with the engine's conventions: vec_id%k
+    partition init, 6-dp-rounded distances, lowest-cid ties, empty
+    clusters keep their previous centroid."""
+    d = x.shape[1]
+    cents = np.zeros((k, d))
+    assign = ids % k
+    for j in range(k):
+        if (assign == j).any():
+            cents[j] = x[assign == j].mean(axis=0)
+    for _ in range(n_iter):
+        d2 = np.round(
+            ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            if (assign == j).any():
+                cents[j] = x[assign == j].mean(axis=0)
+    return assign, cents
+
+
+def test_kmeans_matches_lloyd_reference(emb_df, emb_np):
+    from graft.pipeline.embeddings import kmeans
+
+    ids = np.arange(len(emb_np))
+    for n_iter in (0, 2):
+        adf, cents = kmeans(emb_df, k=5, n_iter=n_iter)
+        got = {r.vec_id: r.centroid_id for r in adf.collect()}
+        want_a, want_c = _kmeans_ref(emb_np, ids, 5, n_iter)
+        assert got == {int(i): int(a) for i, a in zip(ids, want_a)}
+        np.testing.assert_allclose(cents, want_c, atol=1e-9)
+
+
+def test_kmeans_improves_inertia(emb_df, emb_np):
+    """Lloyd monotonicity: 3 rounds never score worse than 1."""
+    from graft.pipeline.embeddings import kmeans
+
+    def inertia(adf, cents):
+        a = {r.vec_id: r.centroid_id for r in adf.collect()}
+        return sum(
+            ((emb_np[i] - cents[a[i]]) ** 2).sum() for i in a
+        )
+
+    a1, c1 = kmeans(emb_df, k=4, n_iter=1)
+    a3, c3 = kmeans(emb_df, k=4, n_iter=3)
+    assert inertia(a3, c3) <= inertia(a1, c1) + 1e-9
+
+
+def test_kmeans_validates_args(emb_df):
+    from graft.pipeline.embeddings import kmeans
+
+    with pytest.raises(ValueError):
+        kmeans(emb_df, k=0)
+    with pytest.raises(ValueError):
+        kmeans(emb_df, k=3, n_iter=-1)
+
+
 def test_whitening_gives_unit_variance(emb_df, emb_np):
     k = 4
     got = np.array(
