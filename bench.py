@@ -249,7 +249,42 @@ def powerlaw_throughput() -> dict[str, float]:
         return square_count(Graph.from_undirected(kept)).count()
 
     t_sq = _timed(_sparse_squares, "sparsify16_square_count")
+    # edge betweenness (r4): same sampled-Brandes supersteps as the
+    # vertex cell, plus the per-edge accumulation + unordered-edge fold
+    from graft.algos.betweenness import edge_betweenness_centrality
+
+    t_ebtw = _timed(
+        lambda: edge_betweenness_centrality(big, k=4, seed=1).count(),
+        "edge_betweenness_k4",
+    )
     big.unpersist()
+    # k-means + whitening over a synthesized 200k x 64 embedding table
+    # (deterministic, seed 7): two Lloyd rounds = 2 Arrow-matmul
+    # assignment scans + 2 partial-sum recentroid scans; whitening =
+    # 1 moments scan + 1 projection scan. The vector-pipeline cost
+    # envelope at 12.8M floats.
+    import numpy as _np
+    import pandas as _pd
+
+    from graft.pipeline.embeddings import kmeans, whiten_embeddings
+
+    rng = _np.random.default_rng(7)
+    mat = rng.standard_normal((200_000, 64)).astype("float64")
+    emb = spark.createDataFrame(
+        _pd.DataFrame(
+            {"vec_id": _np.arange(200_000), "embedding": list(mat)}
+        )
+    ).repartition(CPUS).cache()
+    emb.count()
+    t_km = _timed(
+        lambda: kmeans(emb, k=64, n_iter=2)[0].count(),
+        "kmeans_2iter_200k",
+    )
+    t_wh = _timed(
+        lambda: whiten_embeddings(emb, k=16).count(),
+        "whiten16_200k",
+    )
+    emb.unpersist()
     spark.stop()
     return {
         "pagerank_powerlaw_2m_edges": t,
@@ -261,6 +296,9 @@ def powerlaw_throughput() -> dict[str, float]:
         "hyper_anf_3hops_2m_edges": t_anf,
         "wl_2rounds_2m_edges": t_wl,
         "sparsify16_square_count_2m_edges": t_sq,
+        "edge_betweenness_k4_2m_edges": t_ebtw,
+        "kmeans64_2iter_200kx64": t_km,
+        "whiten16_200kx64": t_wh,
         "_wl_sym_rows_per_sec_per_round": round(n_edges * 2 / t_wl, 1),
         "_powerlaw_edges_per_sec_per_superstep": round(
             n_edges * PR_ITERS / t, 1
