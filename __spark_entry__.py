@@ -2877,6 +2877,21 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _round6_half_up(x: float) -> float:
+    """6-dp rounding with halves away from zero — the convention Spark
+    F.round and DuckDB round() share; Python's built-in round() is
+    banker's (half-to-even) and would diverge on exact .5e-6
+    boundaries. Used by the driver-side moment rows, the one query
+    family whose values are emitted from Python."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension mean of the embedding column, computed by the
     distributed Arrow partial-sum pass (graft.pipeline.embeddings
@@ -2888,7 +2903,7 @@ def _q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     _, mean, _ = embedding_moments(emb)
     return spark.createDataFrame(
-        [(i, round(float(v), 6)) for i, v in enumerate(mean)],
+        [(i, _round6_half_up(float(v))) for i, v in enumerate(mean)],
         "pos long, avg_v double",
     )
 
@@ -2904,7 +2919,7 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = cov.shape[0]
     return spark.createDataFrame(
         [
-            (i, j, round(float(cov[i, j]), 6))
+            (i, j, _round6_half_up(float(cov[i, j])))
             for i in range(d)
             for j in range(d)
         ],

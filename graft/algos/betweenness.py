@@ -61,6 +61,26 @@ def _forward_levels(adj, sources, _t) -> list[DataFrame]:
     return levels
 
 
+def _select_sources(
+    verts: DataFrame,
+    n: int,
+    k: int | None,
+    sources: DataFrame | None,
+    seed: int,
+) -> tuple[DataFrame, int, bool]:
+    """Shared source-selection contract for the Brandes family:
+    explicit ``sources`` win (no rescale), else all vertices, else a
+    deterministic xxhash64-ordered sample of ``k``. Returns the
+    one-column ``(s)`` table, its count, and whether it was explicit."""
+    explicit = sources is not None
+    if sources is None:
+        sources = verts
+        if k is not None and k < n:
+            sources = verts.orderBy(F.xxhash64("id", F.lit(seed))).limit(k)
+    sources = sources.select(F.col("id").alias("s"))
+    return sources, sources.count(), explicit
+
+
 def betweenness_centrality(
     graph: Graph,
     k: int | None = None,
@@ -83,23 +103,15 @@ def betweenness_centrality(
     spark = graph.edges.sparkSession
     if n < 3:
         return verts.select("id", F.lit(0.0).alias("betweenness"))
+
+    sources, n_src, explicit_sources = _select_sources(
+        verts, n, k, sources, seed
+    )
+    if n_src == 0:
+        return verts.select("id", F.lit(0.0).alias("betweenness"))
     adj = truncate(
         graph.without_self_loops().select("src", "dst").distinct()
     )
-
-    explicit_sources = sources is not None
-    if sources is None:
-        src_pool = verts
-        if k is not None and k < n:
-            src_pool = (
-                verts.orderBy(F.xxhash64("id", F.lit(seed))).limit(k)
-            )
-        sources = src_pool
-    sources = sources.select(F.col("id").alias("s"))
-    n_src = sources.count()
-    if n_src == 0:
-        drop_spill(adj)
-        return verts.select("id", F.lit(0.0).alias("betweenness"))
 
     spills: list[DataFrame] = []
 
@@ -207,29 +219,27 @@ def edge_betweenness_centrality(
     verts = graph.vertices_cached()
     n = graph.num_vertices()
     spark = graph.edges.sparkSession
-    adj = truncate(
-        graph.without_self_loops().select("src", "dst").distinct()
+    # early returns derive from the RAW edge lineage (not the spill-
+    # backed adj) so they stay readable after the spill cleanup
+    simple = graph.without_self_loops().select("src", "dst").distinct()
+    und_zero = simple.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(0.0).alias("betweenness"),
     )
+    if n < 2:
+        return und_zero
+
+    sources, n_src, explicit_sources = _select_sources(
+        verts, n, k, sources, seed
+    )
+    if n_src == 0:
+        return und_zero
+
+    adj = truncate(simple)
     und = adj.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    if n < 2:
-        drop_spill(adj)
-        return und.select("u", "v", F.lit(0.0).alias("betweenness"))
-
-    explicit_sources = sources is not None
-    if sources is None:
-        src_pool = verts
-        if k is not None and k < n:
-            src_pool = (
-                verts.orderBy(F.xxhash64("id", F.lit(seed))).limit(k)
-            )
-        sources = src_pool
-    sources = sources.select(F.col("id").alias("s"))
-    n_src = sources.count()
-    if n_src == 0:
-        drop_spill(adj)
-        return und.select("u", "v", F.lit(0.0).alias("betweenness"))
 
     spills: list[DataFrame] = []
 

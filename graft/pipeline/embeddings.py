@@ -164,6 +164,20 @@ def project_embeddings(
     )
 
 
+def _nearest_cids(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Shared nearest-centroid rule: argmin squared L2, distances
+    compared at 6 dp, ties to the LOWER centroid id (SQL-reproducible;
+    np.argmin returns the first minimum)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    d2 = np.round(
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ c.T)
+        + (c * c).sum(axis=1),
+        6,
+    )
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
 def kmeans_assign(
     emb: DataFrame,
     centroids: np.ndarray,
@@ -177,7 +191,6 @@ def kmeans_assign(
     the kernel (same shape as :func:`similarity.ivf_assign`). NULL
     vectors are dropped."""
     c = np.asarray(centroids, dtype=np.float64)
-    cnorm2 = (c * c).sum(axis=1)
 
     def fn(batches):
         import pandas as pd
@@ -187,19 +200,10 @@ def kmeans_assign(
             if keep.empty:
                 continue
             m = np.array(list(keep[vec_col]), dtype=np.float64)
-            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
-            # constant per row, so argmin over (-2 v.c + ||c||^2) —
-            # but round the FULL distance so the 6-dp tie contract
-            # matches the SQL oracle exactly
-            d2 = np.round(
-                (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + cnorm2,
-                6,
-            )
-            best = np.argmin(d2, axis=1)  # first (lowest) cid on ties
             yield pd.DataFrame(
                 {
                     id_col: keep[id_col].to_numpy(),
-                    "centroid_id": best.astype(np.int64),
+                    "centroid_id": _nearest_cids(m, c),
                 }
             )
 
@@ -210,18 +214,20 @@ def kmeans_assign(
 
 def _centroid_means(
     emb: DataFrame,
-    assign: DataFrame,
+    centroids: np.ndarray | None,
     k: int,
     d: int,
     prev: np.ndarray,
     vec_col: str,
     id_col: str,
 ) -> np.ndarray:
-    """New centroid matrix = per-cluster mean, via per-batch partial
-    sums keyed by centroid id (≤ k tiny rows per Arrow batch; only
-    k·(d+1) scalars reach the driver). An emptied cluster keeps its
+    """One FUSED Lloyd half-round: assign each vector in-kernel (argmin
+    against ``centroids``, or the pmod(id, k) partition init when
+    ``centroids`` is None) and emit per-(batch, cid) partial sums — no
+    assignment table is ever joined back, so the embedding scan is
+    never shuffled; ≤ k tiny rows leave each Arrow batch and only
+    k·(d+1) scalars reach the driver. An emptied cluster keeps its
     previous centroid (the standard Lloyd convention)."""
-    joined = emb.select(id_col, vec_col).join(assign, id_col)
 
     def fn(batches):
         import pandas as pd
@@ -231,7 +237,11 @@ def _centroid_means(
             if keep.empty:
                 continue
             m = np.array(list(keep[vec_col]), dtype=np.float64)
-            cids = keep["centroid_id"].to_numpy()
+            if centroids is None:
+                # np.mod is pmod (sign of divisor): safe for any id
+                cids = np.mod(keep[id_col].to_numpy(), k)
+            else:
+                cids = _nearest_cids(m, centroids)
             rows = []
             for cid in np.unique(cids):
                 sel = m[cids == cid]
@@ -244,7 +254,7 @@ def _centroid_means(
                 )
             yield pd.DataFrame(rows)
 
-    partials = joined.mapInPandas(
+    partials = emb.select(id_col, vec_col).mapInPandas(
         fn, schema="cid long, n long, s array<double>"
     )
     folded = (
@@ -276,37 +286,42 @@ def kmeans(
     matrix after ``n_iter`` rounds.
 
     Init is the deterministic random-partition scheme: centroid j =
-    mean of the vectors with ``id_col % k == j`` — fully
+    mean of the vectors with ``pmod(id_col, k) == j`` — fully
     SQL-expressible, so a fixed-iteration run has an exact DuckDB twin
     (the `kmeans_2iter` contract row unrolls two Lloyd rounds).
 
-    Per round: ONE Arrow-matmul assignment pass (centroids broadcast
-    inside the kernel, scan never shuffled) + ONE partial-sum
-    recentroid pass shuffling ≤ k·(d+1) scalars per batch — at
-    10^12-row scale each round is two scans and no row-scaled shuffle,
-    the plan a vector-quantization / corpus-clustering pipeline needs.
-    Empty clusters keep their previous centroid."""
+    Per round: ONE fused Arrow-matmul pass assigns in-kernel and emits
+    per-cid partial sums directly (≤ k·(d+1) scalars shuffled per
+    batch) — the assignment is never materialized or joined back, so
+    at 10^12-row scale each round is exactly one scan with no
+    row-scaled shuffle; one final assignment pass produces the output
+    table. Empty clusters keep their previous centroid."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     base = emb.where(F.col(vec_col).isNotNull())
-    init_assign = base.select(
-        id_col, (F.col(id_col) % k).cast("long").alias("centroid_id")
-    )
     d_probe = base.select(F.size(vec_col).alias("d")).first()
     if d_probe is None:
         raise ValueError("embedding column has no non-null vectors")
     d = int(d_probe["d"])
     cents = _centroid_means(
-        base, init_assign, k, d, np.zeros((k, d)), vec_col, id_col
+        base, None, k, d, np.zeros((k, d)), vec_col, id_col
     )
-    assign = init_assign
+    assign_cents: np.ndarray | None = None
     for _ in range(n_iter):
-        assign = kmeans_assign(base, cents, vec_col, id_col)
+        assign_cents = cents
         cents = _centroid_means(
-            base, assign, k, d, cents, vec_col, id_col
+            base, assign_cents, k, d, cents, vec_col, id_col
         )
+    if assign_cents is None:  # n_iter == 0: the partition init itself
+        assign = base.select(
+            id_col,
+            F.pmod(F.col(id_col), F.lit(k)).cast("long")
+            .alias("centroid_id"),
+        )
+    else:
+        assign = kmeans_assign(base, assign_cents, vec_col, id_col)
     return assign, cents
 
 

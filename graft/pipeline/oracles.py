@@ -701,7 +701,7 @@ GROUP BY a.pos, b.pos
 
 def _kmeans_sql(k: int, rounds: int) -> str:
     """Unrolled Lloyd k-means twin of graft.pipeline.embeddings.kmeans:
-    vec_id%k partition init, per-round nearest-centroid assignment on
+    pmod(vec_id, k) partition init, per-round nearest-centroid assignment on
     6-dp-rounded squared L2 with lowest-cid ties, recentroid by plain
     avg. (The engine keeps a previous centroid when a cluster empties;
     the SQL drops it — equivalent whenever no cluster empties at the
@@ -715,7 +715,7 @@ WITH x AS (
   WHERE embedding IS NOT NULL
 )
 , a0 AS (
-  SELECT vec_id, vec_id % {k} AS cid
+  SELECT vec_id, ((vec_id % {k}) + {k}) % {k} AS cid
   FROM embeddings WHERE embedding IS NOT NULL
 )"""
     for r in range(rounds):

@@ -156,6 +156,24 @@ def test_edge_betweenness_explicit_sources(spark):
         assert got[e] == pytest.approx(b, abs=1e-6), e
 
 
+def test_edge_betweenness_early_returns_are_materializable(spark):
+    """Regression: the n<2 / empty-source early returns must not hang
+    off the dropped spill files (they used to crash on .collect())."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    empty = spark.createDataFrame([], "id long")
+    rows = edge_betweenness_centrality(g, sources=empty).collect()
+    assert {(r.u, r.v, r.betweenness) for r in rows} == {
+        (0, 1, 0.0), (1, 2, 0.0)
+    }
+    g.unpersist()
+    g1 = Graph.from_undirected(
+        fixtures.edges_df(spark, [(5, 5, 1.0)])
+    ).cache()
+    assert edge_betweenness_centrality(g1).collect() == []
+    g1.unpersist()
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )

@@ -146,6 +146,30 @@ def test_kmeans_improves_inertia(emb_df, emb_np):
     assert inertia(a3, c3) <= inertia(a1, c1) + 1e-9
 
 
+def test_kmeans_negative_ids_use_pmod(spark):
+    """Regression: negative vector ids must land in [0, k) at init
+    (Spark/C-style % would emit negative cluster ids and corrupt the
+    recentroid fold via numpy index wraparound)."""
+    from graft.pipeline.embeddings import kmeans
+
+    df = spark.createDataFrame(
+        [(-1, [0.0, 0.0]), (-2, [1.0, 1.0]), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for n_iter in (0, 1):
+        adf, cents = kmeans(df, k=2, n_iter=n_iter)
+        got = {r.vec_id: r.centroid_id for r in adf.collect()}
+        assert set(got) == {-1, -2, 3}
+        assert all(0 <= c < 2 for c in got.values())
+        assert np.isfinite(cents).all()
+    # init semantics: pmod(-1,2)=1, pmod(-2,2)=0, pmod(3,2)=1
+    adf0, cents0 = kmeans(df, k=2, n_iter=0)
+    got0 = {r.vec_id: r.centroid_id for r in adf0.collect()}
+    assert got0 == {-1: 1, -2: 0, 3: 1}
+    np.testing.assert_allclose(cents0[0], [1.0, 1.0])
+    np.testing.assert_allclose(cents0[1], [5.0, 5.0])
+
+
 def test_kmeans_validates_args(emb_df):
     from graft.pipeline.embeddings import kmeans
 
