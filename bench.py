@@ -274,7 +274,7 @@ def powerlaw_throughput() -> dict[str, float]:
         _pd.DataFrame(
             {"vec_id": _np.arange(200_000), "embedding": list(mat)}
         )
-    ).repartition(CPUS).cache()
+    ).repartition(int(CPUS)).cache()
     emb.count()
     t_km = _timed(
         lambda: kmeans(emb, k=64, n_iter=2)[0].count(),
