@@ -2770,6 +2770,36 @@ def _q_louvain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ecg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECG ensemble clustering labels (cugraph.ecg parity): 4 level-1
+    Louvain votes reweight the edges (2-core-gated, min_weight floor),
+    full Louvain runs once on the vote graph. Rows-only: seed-dependent
+    greedy fixpoint with no honest SQL twin (like leiden/louvain
+    labels); golden/determinism pytest in tests/test_ecg.py."""
+    from graft.algos.ecg import ecg
+
+    e, _ = actor_edges_to_long(_edges_uv(spark, sf_dir))
+    g = Graph.from_undirected(e).cache()
+    return ecg(g, ensemble_size=4, seed=1234)
+
+
+def _q_ecg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only regression pin: (n_communities, modularity) of the ECG
+    partition under the fixed seed — makes the driver's rows-only check
+    regression-detecting for the ensemble path too (same rationale as
+    _q_leiden_quality)."""
+    from graft.algos.ecg import ecg
+
+    e, _ = actor_edges_to_long(_edges_uv(spark, sf_dir))
+    g = Graph.from_undirected(e).cache()
+    labels, q = ecg(g, ensemble_size=4, seed=1234, return_quality=True)
+    n = labels.agg(F.countDistinct("community")).first()[0]
+    return spark.createDataFrame(
+        [(int(n), float(round(q, 6)))],
+        "n_communities long, modularity double",
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
@@ -3462,6 +3492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
         "louvain_quality": _q_louvain_quality,
+        "ecg_communities": _q_ecg_communities,
+        "ecg_quality": _q_ecg_quality,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,

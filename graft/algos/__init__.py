@@ -4,6 +4,7 @@ from graft.algos.lpa import label_propagation  # noqa: F401
 from graft.algos.triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from graft.algos.louvain import louvain  # noqa: F401
 from graft.algos.leiden import leiden  # noqa: F401
+from graft.algos.ecg import ecg  # noqa: F401
 from graft.algos.bfs import bfs_hops  # noqa: F401
 from graft.algos.jaccard import (  # noqa: F401
     adamic_adar,
