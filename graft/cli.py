@@ -51,7 +51,7 @@ from graft.io import (
 ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
-    "betweenness", "edge-betweenness",
+    "betweenness", "edge-betweenness", "ecg",
 }
 
 
@@ -142,6 +142,10 @@ def main(argv=None) -> None:
         from graft.algos.betweenness import betweenness_centrality
 
         out = betweenness_centrality(g, k=args.k_sources, seed=args.seed)
+    elif args.algo == "ecg":
+        from graft.algos.ecg import ecg
+
+        out = ecg(g, seed=args.seed)
     elif args.algo == "edge-betweenness":
         from graft.algos.betweenness import edge_betweenness_centrality
 
