@@ -3071,6 +3071,33 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
 
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.textstats import pii_scan
+
+    return pii_scan(_docs(spark, sf_dir))
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graft.pipeline.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic split of the
+    documents table: docs with doc_id % 41 == 0 play the held-out eval
+    set, the rest are the training corpus scanned for 3-gram overlap.
+    The eval shingle set is DISTINCT + broadcast, so the corpus-side
+    probe is a map-only join — the plan a 100-TB decontamination pass
+    needs (the eval side is benchmark-sized, never corpus-sized)."""
+    from graft.pipeline.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 41 != 0)
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    return decontaminate(train, ev, k=3, threshold=0.1)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k with engine-portable
     md5-Rademacher hyperplanes — the oracle reproduces the bucketing,
@@ -3518,6 +3545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
+        "pii_scan": _q_pii_scan,
+        "doc_repetition": _q_repetition_stats,
+        "decontamination": _q_decontamination,
     }
 
 
@@ -3640,4 +3670,7 @@ FROM e WHERE u = v""",
         "tfidf_top_terms": _po.SQL_TFIDF_TOP_TERMS,
         "media_features": _po.SQL_MEDIA_FEATURES,
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
+        "pii_scan": _po.SQL_PII_SCAN,
+        "doc_repetition": _po.SQL_REPETITION_STATS,
+        "decontamination": _po.SQL_DECONTAMINATION,
     }

@@ -12,6 +12,8 @@ from graft.pipeline.textstats import (  # noqa: F401
     quality_scores,
     lang_id,
     fingerprints,
+    pii_scan,
+    repetition_stats,
 )
 from graft.pipeline.dedup import (  # noqa: F401
     exact_dedup,
@@ -19,6 +21,7 @@ from graft.pipeline.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    decontaminate,
 )
 from graft.pipeline.similarity import (  # noqa: F401
     cosine_topk,

@@ -312,3 +312,62 @@ def select_survivors(
             F.count(F.lit(1)).over(w_size).alias("cluster_size"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose k-token
+    shingles overlap an evaluation set (the GPT-3/Llama n-gram-overlap
+    protocol, shingler shared with :func:`minhash_signatures`).
+
+    Returns ``(doc_id, n_grams, n_hit, overlap_frac, contaminated)``
+    for every row of ``docs`` — distinct shingle count, how many of
+    those shingles appear anywhere in ``eval_docs``, their ratio
+    (6 dp), and ``overlap_frac >= threshold``. Documents too short to
+    form a shingle score 0 / clean.
+
+    Scale shape: the eval side collapses to its DISTINCT shingle set —
+    benchmark-sized, not corpus-sized — and is broadcast by default so
+    the corpus-side probe is a map-only broadcast join (no shuffle of
+    the 100-TB side); pass ``broadcast_eval=False`` to fall back to a
+    shuffle join when the eval corpus is itself huge. The per-doc
+    reduction is one hash agg keyed by doc_id (map-side combinable).
+    """
+    train_sh = _shingles(docs, text_col, k)
+    eval_sh = (
+        _shingles(eval_docs, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    agg = (
+        train_sh.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    frac = F.when(
+        F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+        F.col("n_hit") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(frac, 6).alias("overlap_frac"),
+            (F.round(frac, 6) >= threshold).alias("contaminated"),
+        )
+    )

@@ -745,3 +745,102 @@ SELECT vec_id, cid AS centroid_id FROM a{rounds}"""
 
 
 SQL_KMEANS_2ITER = _kmeans_sql(8, 2)
+
+
+# --- PII scan (textstats.pii_scan): RE2 twins of the Java patterns ---
+_PII_EMAIL = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+SQL_PII_SCAN = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(text, '{_PII_IPV4}'))
+         + len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+FROM documents
+"""
+
+
+# --- repetition stats (textstats.repetition_stats) ---
+SQL_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lns,
+         list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                     t -> t <> '') AS l
+  FROM documents
+), lin AS (
+  SELECT doc_id,
+         CASE WHEN len(lns) > 0
+              THEN round(1.0 - 1.0 * len(list_distinct(lns)) / len(lns), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM base
+), bg AS (
+  SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+        FROM base WHERE len(l) >= 2)
+), bc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), bi AS (
+  SELECT doc_id, sum(c) AS bt, max(c) AS bm, count(*) AS bd
+  FROM bc GROUP BY doc_id
+), tg AS (
+  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+        FROM base WHERE len(l) >= 3)
+), tc AS (
+  SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g
+), tri AS (
+  SELECT doc_id, sum(c) AS tt, max(c) AS tm, count(*) AS td
+  FROM tc GROUP BY doc_id
+)
+SELECT lin.doc_id, dup_line_frac,
+       round(CASE WHEN coalesce(bt, 0) > 0
+                  THEN 1.0 * bm / bt ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN coalesce(bt, 0) > 0
+                  THEN 1.0 * (bt - bd) / bt ELSE 0.0 END, 6)
+         AS dup_bigram_frac,
+       round(CASE WHEN coalesce(tt, 0) > 0
+                  THEN 1.0 * (tt - td) / tt ELSE 0.0 END, 6)
+         AS dup_trigram_frac
+FROM lin LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+"""
+
+
+def _decontaminate_sql(mod: int = 41, threshold: float = 0.1) -> str:
+    """Oracle for dedup.decontaminate over the contract split: eval =
+    documents with doc_id % mod == 0, train = the rest; k=3 shingles
+    (reuses the certified _SQL_SHINGLES CTE)."""
+    return f"""
+WITH {_SQL_SHINGLES.strip().lstrip(',').strip()}
+, train AS (SELECT * FROM sh WHERE doc_id % {mod} <> 0)
+, ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {mod} = 0)
+, agg AS (
+  SELECT t.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM train t LEFT JOIN ev e USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_hit, 0) AS n_hit,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN 1.0 * coalesce(n_hit, 0) / n_grams
+                  ELSE 0.0 END, 6) AS overlap_frac,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN 1.0 * coalesce(n_hit, 0) / n_grams
+                  ELSE 0.0 END, 6) >= {threshold} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN agg USING (doc_id)
+"""
+
+
+SQL_DECONTAMINATION = _decontaminate_sql()

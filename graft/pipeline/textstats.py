@@ -107,6 +107,121 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+# PII patterns — deliberately lookaround-free ASCII classes so the Java
+# (Spark) and RE2 (DuckDB oracle) regex engines match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over a document corpus.
+
+    Returns ``(doc_id, n_emails, n_phones, n_ipv4, n_pii, redacted_fp)``
+    — per-pattern match counts and the md5 fingerprint of the redacted
+    text (emails → ``<EMAIL>``, then IPv4 → ``<IP>``, then phones →
+    ``<PHONE>``, in that fixed order so overlapping matches resolve
+    identically on every engine). Pure column expressions: the corpus
+    never leaves the JVM and the scan is one codegen stage — the
+    cheapest possible shape for a 100-TB redaction pass. The
+    fingerprint (not the redacted text itself) keeps the output row
+    narrow; callers wanting the text apply the same three
+    ``regexp_replace`` steps.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE))
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        (n_emails + n_ipv4 + n_phones).alias("n_pii"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def _word_ngrams(toks, n: int):
+    """Array of (non-distinct) n-token grams; empty when len(toks) < n."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Returns ``(doc_id, dup_line_frac, top_bigram_frac, dup_bigram_frac,
+    dup_trigram_frac)`` — the standard repetition quality filters:
+    fraction of non-unique lines, the most frequent word-bigram's share
+    of all bigrams, and the non-unique fraction of word bi-/trigrams
+    (tokenizer shared with :func:`token_counts`; all rounded to 6 dp;
+    docs too short to form a gram score 0.0).
+
+    Plan shape: the line metric is a pure array expression (no
+    shuffle); the n-gram metrics are one explode + two hash aggs each,
+    keyed by (doc_id, gram) so partial aggregation absorbs long
+    documents — nothing corpus-sized shuffles more than once, and the
+    per-doc join keys are the natural doc_id partitioning.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0))
+    base = df.select("doc_id", F.round(dup_line, 6).alias("dup_line_frac"))
+
+    toks = _tokens(F.col(text_col))
+
+    def _gram_stats(n: int, prefix: str) -> DataFrame:
+        grams = df.select(
+            "doc_id", F.explode(_word_ngrams(toks, n)).alias("g")
+        )
+        c = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return c.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.max("c").alias(f"{prefix}_max"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+        )
+
+    bi = _gram_stats(2, "bi")
+    tri = _gram_stats(3, "tri")
+    out = base.join(bi, "doc_id", "left").join(tri, "doc_id", "left")
+
+    def _frac(num, den):
+        return F.round(
+            F.when(F.coalesce(den, F.lit(0)) > 0, num / den).otherwise(0.0), 6
+        )
+
+    return out.select(
+        "doc_id",
+        "dup_line_frac",
+        _frac(F.col("bi_max"), F.col("bi_total")).alias("top_bigram_frac"),
+        _frac(
+            F.col("bi_total") - F.col("bi_distinct"), F.col("bi_total")
+        ).alias("dup_bigram_frac"),
+        _frac(
+            F.col("tri_total") - F.col("tri_distinct"), F.col("tri_total")
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def top_terms(
     df: DataFrame, k: int = 50, text_col: str = "text"
 ) -> DataFrame:

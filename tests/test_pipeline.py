@@ -453,3 +453,105 @@ def test_select_survivors_custom_scores(spark, docs):
            select_survivors(docs, scores=scores,
                             threshold=0.5).collect()}
     assert out[0] and not out[1] and not out[2]  # -0 is max of {0,-1,-2}
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from graft.pipeline.textstats import pii_scan
+
+    rows = [
+        (0, "mail me at a.b+c@example.com or admin@sub.example.org now"),
+        (1, "server 10.0.0.1 and 192.168.100.42 are up"),
+        (2, "call 555-867-5309 or 555.123.4567"),
+        (3, "clean document with no identifiers at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_pii"]) == (2, 2)
+    assert (got[1]["n_ipv4"], got[1]["n_pii"]) == (2, 2)
+    assert (got[2]["n_phones"], got[2]["n_pii"]) == (2, 2)
+    assert got[3]["n_pii"] == 0
+    assert got[4]["n_pii"] == 0
+    # redaction fingerprint: no-PII doc hashes its own text; PII docs don't
+    import hashlib
+
+    assert got[3]["redacted_fp"] == hashlib.md5(rows[3][1].encode()).hexdigest()
+    red0 = "mail me at <EMAIL> or <EMAIL> now"
+    assert got[0]["redacted_fp"] == hashlib.md5(red0.encode()).hexdigest()
+
+
+def test_pii_scan_matches_duckdb(spark):
+    """Java-regex and RE2 dialects agree on the PII patterns —
+    count and full redacted-text fingerprint, including the tricky
+    digit-run boundaries (phone-inside-IP, >3-digit octets)."""
+    import duckdb
+
+    from graft.pipeline.oracles import SQL_PII_SCAN
+    from graft.pipeline.textstats import pii_scan
+
+    rows = [
+        (0, "x a@b.co 1.2.3.4 999-999-9999 y"),
+        (1, "not-an-ip 1234.5.6.78901 but 12.34.56.78 yes"),
+        (2, "dotted 123.456.7890 reads as a phone, not an ip"),
+        (3, "overlap trap 10.20.30.40.50.60 several octets"),
+        (4, "e@ma.il@double.at strange"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in pii_scan(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.sql(SQL_PII_SCAN).fetchall())
+    assert got == want
+
+
+def test_repetition_stats(spark):
+    from graft.pipeline.textstats import repetition_stats
+
+    rows = [
+        # 4 lines, 2 identical -> dup_line_frac 0.25; heavy bigram repeat
+        (0, "spam spam spam spam\nunique line one\nspam spam spam spam\nlast"),
+        # no repetition at all
+        (1, "alpha beta gamma delta epsilon"),
+        # too short for any gram
+        (2, "word"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[0]["dup_line_frac"] == 0.25
+    # doc0 tokens: 4+3+4+1=12 -> 11 bigrams, "spam spam" appears 6 times
+    assert got[0]["top_bigram_frac"] == round(6 / 11, 6)
+    assert got[0]["dup_bigram_frac"] > 0.3
+    assert got[1]["dup_bigram_frac"] == 0.0
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
+
+
+def test_decontaminate_flags_overlap(spark):
+    from graft.pipeline.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps high"),   # 4/4 eval 3-grams hit
+            (1, "a completely different sentence with no overlap here"),
+            (2, "xy"),                                # sub-shingle-length
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in decontaminate(train, ev, k=3, threshold=0.5).collect()}
+    assert got[0]["n_grams"] == 4 and got[0]["n_hit"] == 3
+    assert got[0]["overlap_frac"] == 0.75 and got[0]["contaminated"]
+    assert got[1]["n_hit"] == 0 and not got[1]["contaminated"]
+    # the short doc still reports (its sub-length shingle misses)
+    assert not got[2]["contaminated"]

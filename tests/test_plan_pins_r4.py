@@ -150,3 +150,31 @@ def test_sparsify_spreading_reciprocity_plans(spark):
         label_spreading(g, seeds, rounds=1), "label_spreading"
     )
     g.unpersist()
+
+
+def test_pipeline_text_ops_plan_pins(spark):
+    """pii_scan/repetition_stats/decontaminate stay JVM-side;
+    decontaminate's eval-side probe is broadcast (map-only on the
+    corpus side — the 100-TB-safe shape) with no sort-merge join."""
+    from graft.pipeline.dedup import decontaminate
+    from graft.pipeline.textstats import pii_scan, repetition_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} a@b.co") for i in range(8)],
+        "doc_id long, text string",
+    )
+    _assert_jvm_only(pii_scan(docs), "pii_scan")
+    _assert_jvm_only(repetition_stats(docs), "repetition_stats")
+    d = decontaminate(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 3 == 0),
+    )
+    p = _assert_jvm_only(d, "decontaminate")
+    # the shingle-probe join must broadcast the eval side (map-only on
+    # the corpus side); the doc_id anchor join may shuffle — both of
+    # its sides are corpus-sized, that one is AQE's call
+    probe = [
+        ln for ln in p.splitlines()
+        if "BroadcastHashJoin" in ln and "shingle" in ln
+    ]
+    assert probe, f"eval-shingle probe not broadcast:\n{p}"
