@@ -2783,6 +2783,22 @@ def _q_ecg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecg(g, ensemble_size=4, seed=1234)
 
 
+def _rmat_oracle() -> str:
+    from graft.algos.generators import rmat_sql
+
+    return rmat_sql(scale=8, n_edges=2048)
+
+
+def _q_rmat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed R-MAT edge generation (cugraph
+    graph_generators parity): 2048 edges over 2^8 vertices from
+    md5-prefix bits — one shuffle-free map stage, and the DuckDB
+    oracle regenerates the identical multiset (hash-certified)."""
+    from graft.algos.generators import rmat_edges
+
+    return rmat_edges(spark, scale=8, n_edges=2048)
+
+
 def _q_ecg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only regression pin: (n_communities, modularity) of the ECG
     partition under the fixed seed — makes the driver's rows-only check
@@ -3521,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_quality": _q_louvain_quality,
         "ecg_communities": _q_ecg_communities,
         "ecg_quality": _q_ecg_quality,
+        "rmat_edges": _q_rmat_edges,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -3673,4 +3690,5 @@ FROM e WHERE u = v""",
         "pii_scan": _po.SQL_PII_SCAN,
         "doc_repetition": _po.SQL_REPETITION_STATS,
         "decontamination": _po.SQL_DECONTAMINATION,
+        "rmat_edges": _rmat_oracle(),
     }
