@@ -81,12 +81,143 @@ def _select_sources(
     return sources, sources.count(), explicit
 
 
+def _brandes_tail_ready(
+    adj: DataFrame, n_src: int, threshold: int
+) -> bool:
+    """One-task dispatch gate for the Brandes family: the edge table
+    must fit one Arrow batch (same 8M-row envelope as the leiden tail)
+    AND the kernel work n_src * rows * diameter must stay interactive —
+    bounded here by n_src * rows <= 1.28e8 (~a few seconds of numpy
+    scans). Everything else runs the superstep path; 0 forces it."""
+    if not threshold:
+        return False
+    m = adj.count()
+    return m <= threshold and n_src * m <= 128_000_000
+
+
+def _sequential_brandes(
+    graph: Graph,
+    adj: DataFrame,
+    sources: DataFrame,
+    per_edge: bool,
+    factor: float,
+) -> DataFrame:
+    """Sequential-tail execution (same pattern/rationale as
+    graft.algos.seq_tail): the full Brandes pass as ONE cogrouped
+    ``applyInPandas`` task — per source, a vectorized level-synchronous
+    BFS + dependency sweep over the symmetric edge arrays. Identical
+    semantics to the superstep path (same source set, same factor,
+    same 6-dp round), without paying O(k · diameter) job rounds on a
+    graph that fits one Arrow batch. Only entered when the source set
+    is sampling-sized (the gate in the callers), so per-source work is
+    O(E · diameter) numpy scans — milliseconds at tail scale."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = graph.vertices().schema["id"].dataType.simpleString()
+    nodes = (
+        graph.vertices()
+        .join(
+            sources.select(F.col("s").alias("id"))
+            .withColumn("is_src", F.lit(1)),
+            "id",
+            "left",
+        )
+        .select(
+            F.lit(0).alias("_g"),
+            "id",
+            F.coalesce("is_src", F.lit(0)).alias("is_src"),
+        )
+    )
+    edges = adj.select(F.lit(0).alias("_g"), "src", "dst")
+    out_schema = (
+        f"u {id_type}, v {id_type}, betweenness double"
+        if per_edge
+        else f"id {id_type}, betweenness double"
+    )
+
+    def fn(vpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(vpdf["id"].to_numpy())
+        ids = vpdf["id"].to_numpy()[order]
+        is_src = vpdf["is_src"].to_numpy()[order]
+        nv = len(ids)
+        pos = pd.Series(np.arange(nv), index=ids)
+        esrc = pos[epdf["src"].to_numpy()].to_numpy()
+        edst = pos[epdf["dst"].to_numpy()].to_numpy()
+        ne = len(esrc)
+        bc = np.zeros(nv)
+        eacc = np.zeros(ne) if per_edge else None
+        for s in np.where(is_src == 1)[0]:
+            dist = np.full(nv, -1, dtype=np.int64)
+            sigma = np.zeros(nv)
+            dist[s] = 0
+            sigma[s] = 1.0
+            d = 0
+            while True:
+                at_d = np.where(dist[esrc] == d)[0]
+                if at_d.size == 0:
+                    break
+                heads = edst[at_d]
+                unvis = dist[heads] == -1
+                dist[heads[unvis]] = d + 1
+                nxt = dist[heads] == d + 1
+                np.add.at(sigma, heads[nxt], sigma[esrc[at_d[nxt]]])
+                d += 1
+            # backward sweep, depths descending: delta at level L is
+            # complete before any (L-1 -> L) tree edge consumes it
+            delta = np.zeros(nv)
+            for dd in range(d, 0, -1):
+                m = np.where((dist[esrc] == dd - 1) & (dist[edst] == dd))[0]
+                if m.size == 0:
+                    continue
+                contrib = (
+                    sigma[esrc[m]] / sigma[edst[m]]
+                    * (1.0 + delta[edst[m]])
+                )
+                if per_edge:
+                    eacc[m] += contrib
+                np.add.at(delta, esrc[m], contrib)
+            if not per_edge:
+                delta[s] = 0.0  # Brandes discards the source's delta
+                bc += delta
+        # HALF_UP at 6 dp like Spark's round (values are nonnegative)
+        if per_edge:
+            u = np.minimum(esrc, edst)
+            v = np.maximum(esrc, edst)
+            folded = (
+                pd.DataFrame({"u": u, "v": v, "b": eacc})
+                .groupby(["u", "v"], as_index=False)["b"].sum()
+            )
+            return pd.DataFrame(
+                {
+                    "u": ids[folded["u"].to_numpy()],
+                    "v": ids[folded["v"].to_numpy()],
+                    "betweenness": np.floor(
+                        folded["b"].to_numpy() * factor * 1e6 + 0.5
+                    ) / 1e6,
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "betweenness": np.floor(bc * factor * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return (
+        nodes.groupBy("_g")
+        .cogroup(edges.groupBy("_g"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def betweenness_centrality(
     graph: Graph,
     k: int | None = None,
     sources: DataFrame | None = None,
     normalized: bool = True,
     seed: int = 42,
+    sequential_threshold: int = 8_000_000,
 ) -> DataFrame:
     """Returns ``(id, betweenness double)`` — unweighted betweenness on
     the undirected simple graph (networkx.betweenness_centrality
@@ -97,6 +228,12 @@ def betweenness_centrality(
     ``seed``) and rescale by n/k — the networkx/cugraph estimator.
     ``sources``: explicit one-column ``(id)`` source table (overrides
     ``k``; no rescaling — partial betweenness from those sources).
+
+    Graphs whose simple adjacency fits one Arrow batch
+    (≤ ``sequential_threshold`` rows) with a sampling-sized source set
+    (≤ 512) run as ONE executor task (_sequential_brandes; 0 forces
+    the superstep path) — below that size the O(k · diameter) job
+    rounds cost more than the whole remaining computation.
     """
     verts = graph.vertices_cached()
     n = graph.num_vertices()
@@ -112,6 +249,19 @@ def betweenness_centrality(
     adj = truncate(
         graph.without_self_loops().select("src", "dst").distinct()
     )
+
+    factor = 0.5
+    if normalized:
+        factor = 1.0 / ((n - 1) * (n - 2))
+    if not explicit_sources and n_src < n:
+        factor *= n / n_src
+
+    if _brandes_tail_ready(adj, n_src, sequential_threshold):
+        out = truncate(
+            _sequential_brandes(graph, adj, sources, False, factor)
+        )
+        drop_spill(adj)
+        return out
 
     spills: list[DataFrame] = []
 
@@ -170,12 +320,8 @@ def betweenness_centrality(
 
         # undirected: every (s, t) pair is counted from both endpoints
         # when sources cover the graph, so halve; then the networkx
-        # rescale (sampled estimator multiplies back by n/k)
-        factor = 0.5
-        if normalized:
-            factor = 1.0 / ((n - 1) * (n - 2))
-        if not explicit_sources and n_src < n:
-            factor *= n / n_src
+        # rescale (sampled estimator multiplies back by n/k) — factor
+        # computed above, shared with the sequential tail
         out = truncate(
             verts.join(bc, "id", "left")
             .select(
@@ -197,6 +343,7 @@ def edge_betweenness_centrality(
     sources: DataFrame | None = None,
     normalized: bool = True,
     seed: int = 42,
+    sequential_threshold: int = 8_000_000,
 ) -> DataFrame:
     """Returns ``(u, v, betweenness double)`` — one row per undirected
     simple edge (u < v), networkx.edge_betweenness_centrality
@@ -240,6 +387,19 @@ def edge_betweenness_centrality(
     und = adj.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
+
+    factor = 0.5
+    if normalized:
+        factor = 1.0 / (n * (n - 1))
+    if not explicit_sources and n_src < n:
+        factor *= n / n_src
+
+    if _brandes_tail_ready(adj, n_src, sequential_threshold):
+        out = truncate(
+            _sequential_brandes(graph, adj, sources, True, factor)
+        )
+        drop_spill(adj)
+        return out
 
     spills: list[DataFrame] = []
 
@@ -288,11 +448,6 @@ def edge_betweenness_centrality(
                         F.coalesce("delta", F.lit(0.0)).alias("delta"))
             )
 
-        factor = 0.5
-        if normalized:
-            factor = 1.0 / (n * (n - 1))
-        if not explicit_sources and n_src < n:
-            factor *= n / n_src
         if acc:
             total = acc[0]
             for a in acc[1:]:

@@ -197,3 +197,47 @@ def test_betweenness_oracle_unroll_exhausts(sf_dir):
         + f"\nSELECT count(*) FROM f{d}"
     ).fetchone()[0]
     assert n_last == 0
+
+
+def test_both_paths_agree_vertex(spark):
+    """Default dispatch (sequential tail) and the forced superstep
+    path produce identical values on a random graph — the same
+    both-paths contract as pagerank/components."""
+    edges = random_graph(40, 0.12, seed=5, weighted=False)
+    tail = _run(spark, edges, normalized=True)
+    bsp = _run(spark, edges, normalized=True, sequential_threshold=0)
+    assert set(tail) == set(bsp)
+    for v in tail:
+        assert tail[v] == pytest.approx(bsp[v], abs=1e-6), v
+
+
+def test_both_paths_agree_vertex_sampled(spark):
+    edges = fixtures.clique_ring_edges()
+    tail = _run(spark, edges, k=5, seed=3)
+    bsp = _run(spark, edges, k=5, seed=3, sequential_threshold=0)
+    for v in tail:
+        assert tail[v] == pytest.approx(bsp[v], abs=1e-6), v
+
+
+def test_both_paths_agree_edge(spark):
+    edges = random_graph(30, 0.15, seed=11, weighted=False)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    tail = {(r.u, r.v): r.betweenness
+            for r in edge_betweenness_centrality(g).collect()}
+    bsp = {(r.u, r.v): r.betweenness
+           for r in edge_betweenness_centrality(
+               g, sequential_threshold=0).collect()}
+    g.unpersist()
+    assert set(tail) == set(bsp)
+    for e in tail:
+        assert tail[e] == pytest.approx(bsp[e], abs=1e-6), e
+
+
+def test_bsp_path_still_matches_brandes(spark):
+    """The superstep path stays reference-exact now that small inputs
+    default to the tail."""
+    edges = random_graph(35, 0.12, seed=21, weighted=False)
+    got = _run(spark, edges, normalized=True, sequential_threshold=0)
+    want = brandes_betweenness_ref(edges, normalized=True)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
