@@ -81,18 +81,201 @@ def _select_sources(
     return sources, sources.count(), explicit
 
 
-def _brandes_tail_ready(
-    adj: DataFrame, n_src: int, threshold: int
-) -> bool:
+def _brandes_tail_ready(m: int, n_src: int, threshold: int) -> bool:
     """One-task dispatch gate for the Brandes family: the edge table
     must fit one Arrow batch (same 8M-row envelope as the leiden tail)
     AND the kernel work n_src * rows * diameter must stay interactive —
-    bounded here by n_src * rows <= 1.28e8 (~a few seconds of numpy
-    scans). Everything else runs the superstep path; 0 forces it."""
+    bounded here by n_src * rows <= 8e6 (≈ one source at the envelope
+    edge — a few seconds of numpy scans). Above that work bound but
+    still inside the edge envelope the SOURCE-PARALLEL rung takes over
+    (one kernel task per source slice — same kernel, no serial wall;
+    its fixed cost, one toPandas + broadcast of the edge arrays, is the
+    same data motion as the tail's one-group cogroup shuffle, so the
+    rung wins whenever more than ~one source's kernel work exists to
+    parallelize). Only graphs too wide for one Arrow batch pay the
+    O(k · diameter) superstep rounds. 0 forces the superstep path."""
     if not threshold:
         return False
-    m = adj.count()
-    return m <= threshold and n_src * m <= 128_000_000
+    return m <= threshold and n_src * m <= 8_000_000
+
+
+# source-parallel rung: sampled-source cap. Beyond ~4096 sources the
+# total kernel work n_src * E * diameter stops being "sampling-sized"
+# on any graph this rung admits, and the caller's intent is effectively
+# exact betweenness — O(V·E), superstep territory (or nothing).
+_SOURCE_PARALLEL_MAX_SOURCES = 4096
+
+
+def _source_parallel_brandes(
+    graph: Graph,
+    adj: DataFrame,
+    sources: DataFrame,
+    per_edge: bool,
+    factor: float,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Source-parallel Brandes — the middle rung of the dispatch ladder
+    (cugraph parallelizes Brandes the same way: one BFS tree per
+    parallel lane, cugraph/betweenness_centrality.cu). The simple
+    symmetric edge arrays ship to every task once via a Spark broadcast
+    (torrent protocol on a real cluster — E fits one Arrow batch by the
+    caller's gate, so this is a bounded, not data-sized, broadcast);
+    the sampled sources round-robin across ``n_parts`` tasks; each task
+    runs the SAME vectorized kernel as the one-task tail
+    (:func:`_brandes_numpy`) over its source slice, emitting raw
+    per-vertex (or per-edge) dependency partials; one map-side
+    combinable groupBy sums the ≤ n_parts partial vectors, and factor +
+    6-dp round apply after the sum — identical semantics to the tail
+    up to float association order.
+
+    Scale shape: zero shuffle proportional to E (the broadcast is
+    read-only and shared per worker), perfect source-count parallelism,
+    one tiny final agg. This is also the engine's CPU-bound scaling
+    probe: per-task work is pure numpy with no coordination until the
+    final partial sum."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    spark = graph.edges.sparkSession
+    id_type = graph.vertices().schema["id"].dataType.simpleString()
+    ids = np.sort(graph.vertices().select("id").toPandas()["id"].to_numpy())
+    epdf = adj.select("src", "dst").toPandas()
+    pos = pd.Series(np.arange(len(ids)), index=ids)
+    esrc = pos[epdf["src"].to_numpy()].to_numpy()
+    edst = pos[epdf["dst"].to_numpy()].to_numpy()
+    bcast = spark.sparkContext.broadcast((ids, esrc, edst))
+
+    if n_parts is None:
+        n_parts = max(1, spark.sparkContext.defaultParallelism)
+    # deterministic round-robin over the (tiny, <=4096-row) source set:
+    # balanced slices even when k is a small multiple of the core count
+    srcs = (
+        sources.withColumn(
+            "_p",
+            F.row_number().over(Window.orderBy("s")) % F.lit(n_parts),
+        )
+        .repartition(n_parts, "_p")
+        .select("s")
+    )
+
+    part_schema = (
+        f"u {id_type}, v {id_type}, b double"
+        if per_edge
+        else f"id {id_type}, b double"
+    )
+
+    def fn(batches):
+        ids_b, esrc_b, edst_b = bcast.value
+        nv = len(ids_b)
+        posn = pd.Series(np.arange(nv), index=ids_b)
+        chunks = [pdf["s"].to_numpy() for pdf in batches]
+        if not chunks:
+            return
+        wanted = np.concatenate(chunks)
+        # sources absent from the vertex set contribute nothing (the
+        # tail path drops them via its left join — same contract)
+        locs = (
+            posn.reindex(wanted).dropna().to_numpy().astype(np.int64)
+        )
+        if locs.size == 0:
+            return
+        bc_arr, eacc = _brandes_numpy(esrc_b, edst_b, nv, locs, per_edge)
+        if per_edge:
+            nz = np.nonzero(eacc)[0]
+            yield pd.DataFrame(
+                {
+                    "u": ids_b[np.minimum(esrc_b[nz], edst_b[nz])],
+                    "v": ids_b[np.maximum(esrc_b[nz], edst_b[nz])],
+                    "b": eacc[nz],
+                }
+            )
+        else:
+            nz = np.nonzero(bc_arr)[0]
+            yield pd.DataFrame({"id": ids_b[nz], "b": bc_arr[nz]})
+
+    partials = srcs.mapInPandas(fn, schema=part_schema)
+    if per_edge:
+        und = adj.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        out = (
+            und.join(
+                partials.groupBy("u", "v").agg(F.sum("b").alias("b")),
+                ["u", "v"],
+                "left",
+            )
+            .select(
+                "u",
+                "v",
+                F.round(
+                    F.coalesce("b", F.lit(0.0)) * F.lit(factor), 6
+                ).alias("betweenness"),
+            )
+        )
+    else:
+        out = (
+            graph.vertices()
+            .join(partials.groupBy("id").agg(F.sum("b").alias("b")),
+                  "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.coalesce("b", F.lit(0.0)) * F.lit(factor), 6
+                ).alias("betweenness"),
+            )
+        )
+    out = truncate(out)
+    bcast.unpersist()
+    return out
+
+
+def _brandes_numpy(esrc, edst, nv: int, src_positions, per_edge: bool):
+    """The vectorized Brandes kernel shared by the one-task tail and the
+    source-parallel path: per source position, a level-synchronous BFS
+    carrying sigma + the descending dependency sweep, accumulated over
+    the SYMMETRIC edge position arrays. Returns raw unscaled
+    ``(bc[nv], eacc[ne] | None)`` — callers apply factor + 6-dp round
+    AFTER all sources are summed, so both paths round identically."""
+    import numpy as np
+
+    ne = len(esrc)
+    bc = np.zeros(nv)
+    eacc = np.zeros(ne) if per_edge else None
+    for s in src_positions:
+        dist = np.full(nv, -1, dtype=np.int64)
+        sigma = np.zeros(nv)
+        dist[s] = 0
+        sigma[s] = 1.0
+        d = 0
+        while True:
+            at_d = np.where(dist[esrc] == d)[0]
+            if at_d.size == 0:
+                break
+            heads = edst[at_d]
+            unvis = dist[heads] == -1
+            dist[heads[unvis]] = d + 1
+            nxt = dist[heads] == d + 1
+            np.add.at(sigma, heads[nxt], sigma[esrc[at_d[nxt]]])
+            d += 1
+        # backward sweep, depths descending: delta at level L is
+        # complete before any (L-1 -> L) tree edge consumes it
+        delta = np.zeros(nv)
+        for dd in range(d, 0, -1):
+            m = np.where((dist[esrc] == dd - 1) & (dist[edst] == dd))[0]
+            if m.size == 0:
+                continue
+            contrib = (
+                sigma[esrc[m]] / sigma[edst[m]]
+                * (1.0 + delta[edst[m]])
+            )
+            if per_edge:
+                eacc[m] += contrib
+            np.add.at(delta, esrc[m], contrib)
+        if not per_edge:
+            delta[s] = 0.0  # Brandes discards the source's delta
+            bc += delta
+    return bc, eacc
 
 
 def _sequential_brandes(
@@ -144,42 +327,9 @@ def _sequential_brandes(
         pos = pd.Series(np.arange(nv), index=ids)
         esrc = pos[epdf["src"].to_numpy()].to_numpy()
         edst = pos[epdf["dst"].to_numpy()].to_numpy()
-        ne = len(esrc)
-        bc = np.zeros(nv)
-        eacc = np.zeros(ne) if per_edge else None
-        for s in np.where(is_src == 1)[0]:
-            dist = np.full(nv, -1, dtype=np.int64)
-            sigma = np.zeros(nv)
-            dist[s] = 0
-            sigma[s] = 1.0
-            d = 0
-            while True:
-                at_d = np.where(dist[esrc] == d)[0]
-                if at_d.size == 0:
-                    break
-                heads = edst[at_d]
-                unvis = dist[heads] == -1
-                dist[heads[unvis]] = d + 1
-                nxt = dist[heads] == d + 1
-                np.add.at(sigma, heads[nxt], sigma[esrc[at_d[nxt]]])
-                d += 1
-            # backward sweep, depths descending: delta at level L is
-            # complete before any (L-1 -> L) tree edge consumes it
-            delta = np.zeros(nv)
-            for dd in range(d, 0, -1):
-                m = np.where((dist[esrc] == dd - 1) & (dist[edst] == dd))[0]
-                if m.size == 0:
-                    continue
-                contrib = (
-                    sigma[esrc[m]] / sigma[edst[m]]
-                    * (1.0 + delta[edst[m]])
-                )
-                if per_edge:
-                    eacc[m] += contrib
-                np.add.at(delta, esrc[m], contrib)
-            if not per_edge:
-                delta[s] = 0.0  # Brandes discards the source's delta
-                bc += delta
+        bc, eacc = _brandes_numpy(
+            esrc, edst, nv, np.where(is_src == 1)[0], per_edge
+        )
         # HALF_UP at 6 dp like Spark's round (values are nonnegative)
         if per_edge:
             u = np.minimum(esrc, edst)
@@ -229,11 +379,14 @@ def betweenness_centrality(
     ``sources``: explicit one-column ``(id)`` source table (overrides
     ``k``; no rescaling — partial betweenness from those sources).
 
-    Graphs whose simple adjacency fits one Arrow batch
-    (≤ ``sequential_threshold`` rows) with a sampling-sized source set
-    (≤ 512) run as ONE executor task (_sequential_brandes; 0 forces
-    the superstep path) — below that size the O(k · diameter) job
-    rounds cost more than the whole remaining computation.
+    Three-rung dispatch. Graphs whose simple adjacency fits one Arrow
+    batch (≤ ``sequential_threshold`` rows) run the vectorized kernel:
+    as ONE executor task when total work ``n_src · E`` is interactive
+    (_sequential_brandes), else SOURCE-PARALLEL — edge arrays broadcast
+    once, one kernel task per source slice, partials summed in one tiny
+    agg (_source_parallel_brandes, the cugraph parallelization). Only
+    graphs too wide for one Arrow batch pay the O(k · diameter)
+    superstep rounds; ``sequential_threshold=0`` forces that path.
     """
     verts = graph.vertices_cached()
     n = graph.num_vertices()
@@ -256,9 +409,20 @@ def betweenness_centrality(
     if not explicit_sources and n_src < n:
         factor *= n / n_src
 
-    if _brandes_tail_ready(adj, n_src, sequential_threshold):
+    m = adj.count()
+    if _brandes_tail_ready(m, n_src, sequential_threshold):
         out = truncate(
             _sequential_brandes(graph, adj, sources, False, factor)
+        )
+        drop_spill(adj)
+        return out
+    if (
+        sequential_threshold
+        and m <= sequential_threshold
+        and n_src <= _SOURCE_PARALLEL_MAX_SOURCES
+    ):
+        out = _source_parallel_brandes(
+            graph, adj, sources, False, factor
         )
         drop_spill(adj)
         return out
@@ -270,7 +434,7 @@ def betweenness_centrality(
         spills.append(out)
         return out
 
-    with superstep_conf(spark, adj.count()):
+    with superstep_conf(spark, m):
         levels = _forward_levels(adj, sources, _t)
 
         # ---- backward: dependency accumulation, depths descending ----
@@ -394,9 +558,20 @@ def edge_betweenness_centrality(
     if not explicit_sources and n_src < n:
         factor *= n / n_src
 
-    if _brandes_tail_ready(adj, n_src, sequential_threshold):
+    m = adj.count()
+    if _brandes_tail_ready(m, n_src, sequential_threshold):
         out = truncate(
             _sequential_brandes(graph, adj, sources, True, factor)
+        )
+        drop_spill(adj)
+        return out
+    if (
+        sequential_threshold
+        and m <= sequential_threshold
+        and n_src <= _SOURCE_PARALLEL_MAX_SOURCES
+    ):
+        out = _source_parallel_brandes(
+            graph, adj, sources, True, factor
         )
         drop_spill(adj)
         return out
@@ -408,7 +583,7 @@ def edge_betweenness_centrality(
         spills.append(out)
         return out
 
-    with superstep_conf(spark, adj.count()):
+    with superstep_conf(spark, m):
         levels = _forward_levels(adj, sources, _t)
 
         acc: list[DataFrame] = []

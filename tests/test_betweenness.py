@@ -241,3 +241,63 @@ def test_bsp_path_still_matches_brandes(spark):
     want = brandes_betweenness_ref(edges, normalized=True)
     for v, b in want.items():
         assert got[v] == pytest.approx(b, abs=1e-6), v
+
+
+def test_source_parallel_matches_brandes_vertex(spark, monkeypatch):
+    """Force the middle dispatch rung (broadcast edge arrays + one
+    kernel task per source slice) and check it is reference-exact —
+    the same contract the tail and superstep paths already carry."""
+    import graft.algos.betweenness as btw
+
+    monkeypatch.setattr(btw, "_brandes_tail_ready", lambda *a: False)
+    edges = random_graph(35, 0.12, seed=21, weighted=False)
+    got = _run(spark, edges, normalized=True)
+    want = brandes_betweenness_ref(edges, normalized=True)
+    assert set(got) == set(want)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
+
+
+def test_source_parallel_matches_brandes_edge(spark, monkeypatch):
+    import graft.algos.betweenness as btw
+
+    monkeypatch.setattr(btw, "_brandes_tail_ready", lambda *a: False)
+    edges = random_graph(30, 0.15, seed=11, weighted=False)
+    got = _run_edges(spark, edges, normalized=True)
+    want = brandes_edge_betweenness_ref(edges, normalized=True)
+    assert set(got) == set(want)
+    for e, b in want.items():
+        assert got[e] == pytest.approx(b, abs=1e-6), e
+
+
+def test_source_parallel_sampled_matches_tail(spark, monkeypatch):
+    """Sampled estimator: the source-parallel rung picks the SAME
+    deterministic source set and lands the same 6-dp values as the
+    one-task tail (partials sum before factor+round on both paths)."""
+    import graft.algos.betweenness as btw
+
+    edges = fixtures.clique_ring_edges()
+    tail = _run(spark, edges, k=5, seed=3)
+    monkeypatch.setattr(btw, "_brandes_tail_ready", lambda *a: False)
+    par = _run(spark, edges, k=5, seed=3)
+    assert set(tail) == set(par)
+    for v in tail:
+        assert tail[v] == pytest.approx(par[v], abs=1e-6), v
+
+
+def test_source_parallel_drops_foreign_sources(spark, monkeypatch):
+    """Explicit sources absent from the vertex set contribute nothing
+    (same contract as the tail's left join)."""
+    import graft.algos.betweenness as btw
+
+    monkeypatch.setattr(btw, "_brandes_tail_ready", lambda *a: False)
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    srcs = spark.createDataFrame([(0,), (999,)], "id long")
+    got = {r.id: r.betweenness
+           for r in betweenness_centrality(
+               g, sources=srcs, normalized=False).collect()}
+    g.unpersist()
+    want = brandes_betweenness_ref(edges, normalized=False, sources=[0])
+    for v, b in want.items():
+        assert got[v] == pytest.approx(b, abs=1e-6), v
