@@ -827,24 +827,28 @@ def main() -> None:
     # DRAM- or shuffle-bound — the cell expected to track the host
     # ceiling) and the source-parallel Brandes job (pure numpy per
     # task, but streaming 32 MB edge arrays — real DRAM traffic)
+    # per-round regression monitors: half-size variants (~9 min total;
+    # the full-size loaded-host record lives in
+    # BENCH/SCALING_8_32_r4.json — minhash 0.797, brandes 0.783 vs
+    # same-window host ceiling 0.766)
+    def _eff_8_32(lo: dict, hi: dict, key: str) -> float | None:
+        # a shared-host load spike can push a differenced marginal to
+        # <= 0 (the lo wall lands above the hi wall); the ratio is then
+        # meaningless — report null and let the raw walls speak
+        if lo[key] <= 0 or hi[key] <= 0:
+            return None
+        return round(lo[key] / (4.0 * hi[key]), 3)
+
     time.sleep(5)
-    mh8 = minhash_scaling_run(8, reps=2)
+    mh8 = minhash_scaling_run(8, reps=2, expand=32)
     time.sleep(5)
-    mh32 = minhash_scaling_run(32, reps=2)
-    minhash_eff_8_32 = round(
-        mh8["marginal_sec_per_hash_fn"]
-        / (4.0 * mh32["marginal_sec_per_hash_fn"]),
-        3,
-    )
+    mh32 = minhash_scaling_run(32, reps=2, expand=32)
+    minhash_eff_8_32 = _eff_8_32(mh8, mh32, "marginal_sec_per_hash_fn")
     time.sleep(5)
     b8 = brandes_scaling_run(8, reps=2)
     time.sleep(5)
     b32 = brandes_scaling_run(32, reps=2)
-    brandes_eff_8_32 = round(
-        b8["marginal_sec_per_source"]
-        / (4.0 * b32["marginal_sec_per_source"]),
-        3,
-    )
+    brandes_eff_8_32 = _eff_8_32(b8, b32, "marginal_sec_per_source")
     refine_eff_8_32 = round(
         r32["edge_rows_per_sec"] / (4.0 * r8["edge_rows_per_sec"]), 3
     )
@@ -951,26 +955,49 @@ def main() -> None:
     print(json.dumps(_compact(result, detail_path)))
 
 
-_VERBOSE_KEYS = frozenset({
-    "sweep_durations_per_rep", "per_index_min_sec", "wall_sec",
-    "t1_sec", "tk_sec", "job", "note",
-})
-
-
 def _compact(result: dict, detail_path: str) -> dict:
-    """Strip per-rep arrays and protocol prose from the printed line
-    (kept verbatim in the detail file) so the line stays well under the
-    driver's capture buffer."""
+    """Flatten the printed line to headline + per-query walls + one
+    efficiency/throughput pair per named scaling cell. The r3 driver
+    run proved its capture buffer keeps only the LAST 2000 chars of
+    stdout (BENCH_r03 recorded a truncated line, parsed: null), so the
+    line must stay under ~1.9 KB end to end; every rep-level array and
+    protocol sentence lives verbatim in the detail file."""
+    sc = result.get("scaling", {})
 
-    def strip(obj):
-        if isinstance(obj, dict):
-            return {k: strip(v) for k, v in obj.items()
-                    if k not in _VERBOSE_KEYS}
-        return obj
+    def pair(block: dict, eff_key: str = "efficiency") -> dict:
+        row: dict = {"eff": block.get(eff_key)}
+        lo, hi = block.get("low", {}), block.get("high", {})
+        for tag, side in (("lo", lo), ("hi", hi)):
+            for k in ("edges_per_sec_per_superstep", "edge_rows_per_sec",
+                      "hash_fns_per_sec", "source_bfs_per_sec"):
+                if k in side:
+                    row[tag] = side[k]
+                    break
+        return row
 
-    out = strip(result)
-    out["detail"] = detail_path
-    return out
+    flat = {
+        "sweep_n_to_4n": pair(sc, "efficiency_n_to_4n"),
+        "sweep_8_to_32": pair(sc.get("sweep_8_to_32", {})),
+        "refine_8_to_32": pair(sc.get("refine_8_to_32", {})),
+        "minhash_8_to_32": pair(sc.get("minhash_8_to_32", {})),
+        "brandes_8_to_32": pair(sc.get("brandes_8_to_32", {})),
+        "host_cpu_ceiling_8_to_32": sc.get(
+            "host_cpu_ceiling_8_to_32", {}
+        ).get("ceiling_8_to_32"),
+        "pagerank_n_to_4n": pair(sc.get("pagerank_n_to_4n", {})),
+    }
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {
+            k: (round(v, 2) if isinstance(v, (int, float)) else v)
+            for k, v in result["queries"].items()
+        },
+        "sf": result["sf"],
+        "scaling": flat,
+        "detail": detail_path,
+    }
 
 
 if __name__ == "__main__":
