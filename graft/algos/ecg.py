@@ -138,6 +138,15 @@ def ecg(
 
     final_graph = Graph.from_undirected(reweighted).cache()
     out = louvain(final_graph, seed=seed)
+    # vertices present ONLY via self-loops exist in graph.vertices()
+    # (and get labels from plain louvain) but carry no co-clustering
+    # vote and no reweighted edge, so they are absent from final_graph:
+    # restore them as singletons labeled by their own id — collision-
+    # free, since every final_graph community label is the min MEMBER
+    # id of a community these vertices are not in
+    out = graph.vertices().join(out, "id", "left").select(
+        "id", F.coalesce("community", F.col("id")).alias("community")
+    )
     if return_quality:
         # quality reported on the ORIGINAL weights (the reweighting is
         # internal machinery, not the user's objective)

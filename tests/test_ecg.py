@@ -65,3 +65,22 @@ def test_ecg_validates_args(spark):
         ecg(g, ensemble_size=0)
     with pytest.raises(ValueError):
         ecg(g, min_weight=0.0)
+
+
+def test_ecg_keeps_self_loop_only_vertices(spark):
+    """A vertex present only via a self-loop is in graph.vertices() and
+    labeled by plain louvain; ECG must not drop it (it carries no vote
+    and no reweighted edge, so it returns as a singleton labeled by its
+    own id)."""
+    edges = fixtures.edges_df(
+        spark,
+        fixtures.clique_ring_edges() + [(99, 99, 1.0)],
+    )
+    g = Graph.from_undirected(edges).cache()
+    labels = ecg(g, ensemble_size=3, seed=5)
+    rows = {r.id: r.community for r in labels.collect()}
+    g.unpersist()
+    assert set(rows) == set(range(20)) | {99}
+    assert rows[99] == 99
+    # the planted structure is untouched by the singleton restore
+    assert len({rows[i] for i in range(4)}) == 1
