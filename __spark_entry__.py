@@ -207,6 +207,47 @@ _SQL_PPR_3ITER = (
     + "\nSELECT id, round(rank, 6) AS rank FROM p3"
 )
 
+
+def _sql_pic_iter(prev: str, cur: str) -> str:
+    """One unrolled PIC power superstep: v ← W·v with W = D⁻¹A
+    (neighbor averaging — gather FROM dst, fold onto src), then L1
+    renormalization."""
+    return f"""
+, {cur}_raw AS (
+  SELECT vv.id, coalesce(i.x, 0.0) AS x
+  FROM verts vv LEFT JOIN (
+    SELECT e2.src AS id, sum((e2.weight / ow.s) * r.v) AS x
+    FROM sym2 e2
+    JOIN {prev} r ON e2.dst = r.id
+    JOIN outw ow ON e2.src = ow.src
+    GROUP BY e2.src
+  ) i ON i.id = vv.id
+), {cur} AS (
+  SELECT id, x / (SELECT sum(abs(x)) FROM {cur}_raw) AS v FROM {cur}_raw
+)"""
+
+
+# v0 = md5-prefix uniform (graft.algos.priority.hash_priority, seed
+# 1234, bit-identical in DuckDB), L1-normalized — the PIC random init
+# made deterministic and oracle-replayable
+_SQL_PIC_3ITER = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, u0 AS (
+  SELECT id, ('0x' || substr(md5(id || ':1234'), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS u
+  FROM verts
+), v0 AS (
+  SELECT id, u / (SELECT sum(u) FROM u0) AS v FROM u0
+)"""
+    + _sql_pic_iter("v0", "v1")
+    + _sql_pic_iter("v1", "v2")
+    + _sql_pic_iter("v2", "v3")
+    + "\nSELECT id, round(v, 6) AS v FROM v3"
+)
+
+
 def _sql_bfs_round(prev: str, cur: str) -> str:
     """One unrolled BFS relaxation round (frontier ∪ relaxed → min)."""
     return f"""
@@ -1938,6 +1979,18 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pic_embedding_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration-clustering embedding after 3 fixed supersteps
+    (graft.algos.spectral — the spectral-family clusterer's observable
+    intermediate; fixed counts make the vector hash-certifiable, the
+    pagerank_3iter design)."""
+    from graft.algos.spectral import pic_embedding
+
+    g = _actor_graph(spark, sf_dir).cache()
+    emb = pic_embedding(g, iterations=3)
+    return emb.select("id", F.round("v", 6).alias("v"))
+
+
 def _q_bfs_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distance (3 rounds) from the lexicographically-first
     actor; NULL for vertices beyond 3 hops."""
@@ -3463,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": _q_pagerank_3iter,
         "pagerank_warm_3iter": _q_pagerank_warm_3iter,
         "ppr_3iter": _q_ppr_3iter,
+        "pic_embedding_3iter": _q_pic_embedding_3iter,
         "bfs_3hops": _q_bfs_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
         "connected_components": _q_components,
@@ -3587,6 +3641,7 @@ FROM e WHERE u = v""",
         "pagerank_3iter": _SQL_PAGERANK_3ITER,
         "pagerank_warm_3iter": _SQL_PAGERANK_WARM_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
+        "pic_embedding_3iter": _SQL_PIC_3ITER,
         "bfs_3hops": _SQL_BFS_3HOPS,
         "sssp_3rounds": _SQL_SSSP_3ROUNDS,
         "connected_components": _SQL_CC,

@@ -5,6 +5,10 @@ from graft.algos.triangles import triangle_count, triangles_per_vertex  # noqa: 
 from graft.algos.louvain import louvain  # noqa: F401
 from graft.algos.leiden import leiden  # noqa: F401
 from graft.algos.ecg import ecg  # noqa: F401
+from graft.algos.spectral import (  # noqa: F401
+    pic_embedding,
+    power_iteration_clustering,
+)
 from graft.algos.generators import rmat_edges  # noqa: F401
 from graft.algos.bfs import bfs_hops  # noqa: F401
 from graft.algos.jaccard import (  # noqa: F401

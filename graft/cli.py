@@ -51,7 +51,7 @@ from graft.io import (
 ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
-    "betweenness", "edge-betweenness", "ecg",
+    "betweenness", "edge-betweenness", "ecg", "spectral",
 }
 
 
@@ -84,6 +84,11 @@ def main(argv=None) -> None:
         "sources and rescale by n/k (the networkx/cugraph estimator — "
         "exact betweenness is O(V*E) on any engine, so at scale you "
         "sample; default: exact, all sources)",
+    )
+    p.add_argument(
+        "--n-clusters", type=int, default=8,
+        help="spectral: target cluster count k for power-iteration "
+        "clustering (cugraph spectral-clustering API shape)",
     )
     p.add_argument(
         "--half-life-s", type=float, default=None,
@@ -146,6 +151,12 @@ def main(argv=None) -> None:
         from graft.algos.ecg import ecg
 
         out = ecg(g, seed=args.seed)
+    elif args.algo == "spectral":
+        from graft.algos.spectral import power_iteration_clustering
+
+        out = power_iteration_clustering(
+            g, k=args.n_clusters, seed=args.seed
+        )
     elif args.algo == "edge-betweenness":
         from graft.algos.betweenness import edge_betweenness_centrality
 
