@@ -1979,6 +1979,19 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_msf_total_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-spanning-forest regression pin: (n_edges, total_weight)
+    of the unique (weight, u, v)-order MSF on the actor graph. MST has
+    no honest SQL twin (union-find / log-round contraction are not
+    expressible in DuckDB SQL), so this is a rows-only contract row;
+    tests/test_msf.py certifies the SAME sf-dir graphs edge-for-edge
+    against an independent in-test Kruskal instead."""
+    from graft.algos.msf import msf_total_weight
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return msf_total_weight(g)
+
+
 def _q_pic_embedding_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-iteration-clustering embedding after 3 fixed supersteps
     (graft.algos.spectral — the spectral-family clusterer's observable
@@ -3517,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_3iter": _q_pagerank_warm_3iter,
         "ppr_3iter": _q_ppr_3iter,
         "pic_embedding_3iter": _q_pic_embedding_3iter,
+        "msf_total_weight": _q_msf_total_weight,
         "bfs_3hops": _q_bfs_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
         "connected_components": _q_components,

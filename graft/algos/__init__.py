@@ -9,6 +9,10 @@ from graft.algos.spectral import (  # noqa: F401
     pic_embedding,
     power_iteration_clustering,
 )
+from graft.algos.msf import (  # noqa: F401
+    minimum_spanning_forest,
+    msf_total_weight,
+)
 from graft.algos.generators import rmat_edges  # noqa: F401
 from graft.algos.bfs import bfs_hops  # noqa: F401
 from graft.algos.jaccard import (  # noqa: F401

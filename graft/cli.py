@@ -51,7 +51,7 @@ from graft.io import (
 ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
-    "betweenness", "edge-betweenness", "ecg", "spectral",
+    "betweenness", "edge-betweenness", "ecg", "spectral", "msf",
 }
 
 
@@ -157,11 +157,18 @@ def main(argv=None) -> None:
         out = power_iteration_clustering(
             g, k=args.n_clusters, seed=args.seed
         )
-    elif args.algo == "edge-betweenness":
-        from graft.algos.betweenness import edge_betweenness_centrality
+    elif args.algo in ("edge-betweenness", "msf"):
+        if args.algo == "msf":
+            from graft.algos.msf import minimum_spanning_forest
 
-        eb = edge_betweenness_centrality(g, k=args.k_sources,
-                                         seed=args.seed)
+            eb = minimum_spanning_forest(g)
+        else:
+            from graft.algos.betweenness import (
+                edge_betweenness_centrality,
+            )
+
+            eb = edge_betweenness_centrality(g, k=args.k_sources,
+                                             seed=args.seed)
         # edge-keyed output: map BOTH endpoints back to actor strings
         out = (
             eb.join(mapping.withColumnRenamed("id", "u"), "u")
