@@ -279,6 +279,32 @@ _SQL_BFS_3HOPS = (
     + "\nSELECT id, hop FROM h3"
 )
 
+# pred = min-id in-neighbor on a shortest path: dist(src)+1 = dist(dst)
+# identifies every shortest-path edge after the distance rounds
+_SQL_BFS_PRED_3HOPS = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", srcv AS (SELECT min(id) AS sid FROM verts)"
+    + """
+, h0 AS (
+  SELECT id, CASE WHEN id = (SELECT sid FROM srcv) THEN 0 END AS hop
+  FROM verts
+)"""
+    + _sql_bfs_round("h0", "h1")
+    + _sql_bfs_round("h1", "h2")
+    + _sql_bfs_round("h2", "h3")
+    + """
+, pd AS (
+  SELECT e2.dst AS id, min(e2.src) AS pred
+  FROM sym2 e2
+  JOIN h3 a ON e2.src = a.id
+  JOIN h3 b ON e2.dst = b.id
+  WHERE a.hop IS NOT NULL AND b.hop IS NOT NULL AND a.hop + 1 = b.hop
+  GROUP BY e2.dst
+)
+SELECT h.id, h.hop, p.pred FROM h3 h LEFT JOIN pd p ON h.id = p.id"""
+)
+
 
 def _sql_sssp_round(prev: str, cur: str) -> str:
     """One unrolled min-plus SSSP relaxation round — the weighted twin
@@ -2014,6 +2040,17 @@ def _q_bfs_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(g, src, max_hops=3)
 
 
+def _q_bfs_pred_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS with the cugraph ``pred`` column (minimum-id shortest-path
+    in-neighbor; NULL for source/unreached) — certifies the
+    shortest-path-tree extraction, not just the distances."""
+    from graft.algos.bfs import bfs_hops
+
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    return bfs_hops(g, src, max_hops=3, return_predecessors=True)
+
+
 def _q_sssp_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SSSP (3 min-plus relaxation rounds) from the
     lexicographically-first actor; NULL for vertices not yet reached.
@@ -3532,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pic_embedding_3iter": _q_pic_embedding_3iter,
         "msf_total_weight": _q_msf_total_weight,
         "bfs_3hops": _q_bfs_3hops,
+        "bfs_pred_3hops": _q_bfs_pred_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
@@ -3657,6 +3695,7 @@ FROM e WHERE u = v""",
         "ppr_3iter": _SQL_PPR_3ITER,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
         "bfs_3hops": _SQL_BFS_3HOPS,
+        "bfs_pred_3hops": _SQL_BFS_PRED_3HOPS,
         "sssp_3rounds": _SQL_SSSP_3ROUNDS,
         "connected_components": _SQL_CC,
         "component_sizes": _SQL_COMPONENT_SIZES,

@@ -28,13 +28,24 @@ def bfs_hops(
     source,
     max_hops: int | None = None,
     weighted: bool = False,
+    return_predecessors: bool = False,
 ) -> DataFrame:
     """Returns ``(id, hop)`` — minimum hop count (or minimum path cost
     with ``weighted=True``, column ``cost double``) from ``source``;
     NULL for vertices not reached within ``max_hops`` rounds (or at
     all). ``max_hops=None`` runs to convergence (no frontier change),
     which on non-negative weights is exact SSSP (Bellman-Ford style:
-    at most V-1 rounds, diameter-many in practice)."""
+    at most V-1 rounds, diameter-many in practice).
+
+    ``return_predecessors=True`` appends the cugraph bfs/sssp ``pred``
+    column: the MINIMUM-id in-neighbor on a shortest path (the
+    deterministic tie-break a SQL oracle can replay; NULL for the
+    source and for unreached vertices — the relational face of
+    cugraph's -1). Computed ONCE after the distance fixpoint — one edge
+    join + groupBy-min, not a per-round cost — because dist(u) + w ==
+    dist(v) already identifies every shortest-path edge; the shortest
+    paths themselves can then be walked (or contracted into a BFS tree)
+    without rerunning the traversal."""
     verts = graph.vertices()
     col = "cost" if weighted else "hop"
     zero = F.lit(0.0) if weighted else F.lit(0)
@@ -83,4 +94,23 @@ def bfs_hops(
             else:
                 drop_spill(dist)
                 dist = new_dist
-    return dist
+    if not return_predecessors:
+        return dist
+    d_src = dist.select(
+        F.col("id").alias("src"), F.col(col).alias("_dsrc")
+    )
+    d_dst = dist.select(
+        F.col("id").alias("dst"), F.col(col).alias("_ddst")
+    )
+    pred = (
+        graph.edges.join(d_src, "src")
+        .join(d_dst, "dst")
+        .where(
+            F.col("_dsrc").isNotNull()
+            & F.col("_ddst").isNotNull()
+            & (F.col("_dsrc") + step == F.col("_ddst"))
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("pred"))
+    )
+    return dist.join(pred, "id", "left").select("id", col, "pred")

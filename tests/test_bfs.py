@@ -35,6 +35,36 @@ def test_bfs_converged_covers_all(spark, ring):
     assert got[12] == 4
 
 
+def test_bfs_predecessors(spark, ring):
+    got = {r.id: (r.hop, r.pred) for r in
+           bfs_hops(ring, 0, return_predecessors=True).collect()}
+    assert got[0] == (0, None)  # source: no predecessor
+    # every reached non-source vertex: pred is the min-id neighbor one
+    # hop closer
+    adj = {}
+    for r in ring.edges.collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    for v, (h, p) in got.items():
+        if v == 0:
+            continue
+        want = min(u for u in adj[v] if got[u][0] == h - 1)
+        assert p == want
+
+
+def test_sssp_predecessors_prefer_cheap_path(spark):
+    edges = [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: (r.cost, r.pred) for r in
+           bfs_hops(g, 0, weighted=True,
+                    return_predecessors=True).collect()}
+    g.unpersist()
+    # vertex 1's shortest path arrives via 2 (cost 2.0), not via the
+    # weight-10 direct edge from 0
+    assert got[1] == (2.0, 2)
+    assert got[2] == (1.0, 0)
+    assert got[0] == (0.0, None)
+
+
 def test_weighted_sssp(spark):
     """Weighted shortest path prefers the cheap 2-edge detour over the
     heavy direct edge."""
