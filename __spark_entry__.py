@@ -279,6 +279,29 @@ _SQL_BFS_3HOPS = (
     + "\nSELECT id, hop FROM h3"
 )
 
+_SQL_TWO_HOP = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+SELECT DISTINCT a.src AS first, b.dst AS second
+FROM sym2 a JOIN sym2 b ON a.dst = b.src
+WHERE a.src <> a.dst AND b.src <> b.dst AND a.src <> b.dst"""
+)
+
+_SQL_DEGREE_CENTRALITY = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+SELECT v.id,
+       round(coalesce(d.d, 0) / ((SELECT n FROM nv) - 1.0), 6)
+         AS degree_centrality
+FROM verts v LEFT JOIN (
+  SELECT src AS id, count(DISTINCT dst) AS d
+  FROM sym2 WHERE src <> dst GROUP BY src
+) d ON v.id = d.id"""
+)
+
+
 # pred = min-id in-neighbor on a shortest path: dist(src)+1 = dist(dst)
 # identifies every shortest-path edge after the distance rounds
 _SQL_BFS_PRED_3HOPS = (
@@ -2005,6 +2028,24 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cugraph get_two_hop_neighbors: distinct pairs joined by a
+    length-2 path (direct neighbors kept, self-pairs excluded)."""
+    from graft.algos.subgraph import two_hop_neighbors
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return two_hop_neighbors(g)
+
+
+def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cugraph/networkx degree_centrality: unweighted degree / (n-1),
+    self-loops excluded."""
+    from graft.algos.centrality import degree_centrality
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return degree_centrality(g)
+
+
 def _q_msf_total_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-spanning-forest regression pin: (n_edges, total_weight)
     of the unique (weight, u, v)-order MSF on the actor graph. MST has
@@ -3568,6 +3609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_3iter": _q_ppr_3iter,
         "pic_embedding_3iter": _q_pic_embedding_3iter,
         "msf_total_weight": _q_msf_total_weight,
+        "two_hop_neighbors": _q_two_hop_neighbors,
+        "degree_centrality": _q_degree_centrality,
         "bfs_3hops": _q_bfs_3hops,
         "bfs_pred_3hops": _q_bfs_pred_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
@@ -3694,6 +3737,8 @@ FROM e WHERE u = v""",
         "pagerank_warm_3iter": _SQL_PAGERANK_WARM_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
+        "two_hop_neighbors": _SQL_TWO_HOP,
+        "degree_centrality": _SQL_DEGREE_CENTRALITY,
         "bfs_3hops": _SQL_BFS_3HOPS,
         "bfs_pred_3hops": _SQL_BFS_PRED_3HOPS,
         "sssp_3rounds": _SQL_SSSP_3ROUNDS,

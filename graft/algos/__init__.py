@@ -38,6 +38,7 @@ from graft.algos.kcore import core_number, k_core  # noqa: F401
 from graft.algos.ktruss import k_truss  # noqa: F401
 from graft.algos.truss import truss_number  # noqa: F401
 from graft.algos.centrality import (  # noqa: F401
+    degree_centrality,
     eigenvector_centrality,
     hits,
     katz_centrality,
@@ -64,4 +65,5 @@ from graft.algos.subgraph import (  # noqa: F401
     ego_edges,
     quotient_edges,
     sparsify_top_k,
+    two_hop_neighbors,
 )

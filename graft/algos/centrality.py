@@ -217,3 +217,31 @@ def eigenvector_centrality(
             if probe and delta < tol:
                 break
     return x.select("id", F.col("x").alias("eigenvector"))
+
+
+def degree_centrality(graph: Graph) -> DataFrame:
+    """Returns ``(id, degree_centrality double)`` — unweighted degree
+    over (n-1), the cugraph/networkx ``degree_centrality`` convention
+    (self-loops excluded from the count; a single-vertex graph scores
+    0). One distinct + one keyed count over the symmetrized table —
+    the cheapest member of the centrality family, and the baseline the
+    others are compared against."""
+    n = graph.num_vertices()
+    denom = float(n - 1) if n > 1 else 1.0
+    deg = (
+        graph.without_self_loops()
+        .select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        graph.vertices()
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce("d", F.lit(0)) / F.lit(denom), 6
+            ).alias("degree_centrality"),
+        )
+    )

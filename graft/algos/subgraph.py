@@ -90,6 +90,32 @@ def sparsify_top_k(graph: Graph, k: int) -> DataFrame:
     )
 
 
+def two_hop_neighbors(graph: Graph, sources=None) -> DataFrame:
+    """Returns ``(first, second)`` — distinct vertex pairs joined by a
+    path of length exactly 2 (``first ≠ second``; pairs that are ALSO
+    direct neighbors are kept, the cugraph ``get_two_hop_neighbors``
+    convention). ``sources``: optional iterable restricting ``first``
+    (cugraph's ``start_vertices``) — the form to use at scale, since
+    the unrestricted pair count is Σ_v d(v)², hub-quadratic on a
+    powerlaw graph (same blow-up square_count documents; bound retained
+    degree first via :func:`sparsify_top_k` when you truly need the
+    corpus-wide answer). One self-join of the adjacency on the shared
+    midpoint — the engine's standard bounded wedge join."""
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    lhs = adj.select(F.col("src").alias("first"), F.col("dst").alias("w"))
+    if sources is not None:
+        lhs = lhs.where(F.col("first").isin(list(sources)))
+    return (
+        lhs.join(
+            adj.select(F.col("src").alias("w"), F.col("dst").alias("second")),
+            "w",
+        )
+        .where(F.col("first") != F.col("second"))
+        .select("first", "second")
+        .distinct()
+    )
+
+
 def quotient_edges(
     graph: Graph, labels: DataFrame, label_col: str = "label"
 ) -> DataFrame:

@@ -175,3 +175,16 @@ def test_hits_symmetric_equals_eigenvector(spark):
     for v, (h, a) in got.items():
         assert h == pytest.approx(a, abs=1e-6)
         assert h == pytest.approx(eig[v], abs=1e-5)
+
+
+def test_degree_centrality(spark):
+    from graft.algos.centrality import degree_centrality
+
+    # star 0-{1,2,3} plus self-loop on 1 (excluded from the count)
+    edges = [(0, 1, 5.0), (0, 2, 1.0), (0, 3, 1.0), (1, 1, 9.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r["id"]: r["degree_centrality"]
+           for r in degree_centrality(g).collect()}
+    g.unpersist()
+    assert got == {0: 1.0, 1: round(1 / 3, 6), 2: round(1 / 3, 6),
+                   3: round(1 / 3, 6)}

@@ -153,3 +153,30 @@ def test_sparsify_keeps_weight_and_drops_loops(spark):
     # vertex 0 keeps its two heaviest; 1/2/3 each keep their only edge,
     # which re-adds (0,3); the loop never appears
     assert rows == {(0, 1): 5.0, (0, 2): 3.0, (0, 3): 1.0}
+
+
+def test_two_hop_neighbors_path(spark):
+    from graft.algos.subgraph import two_hop_neighbors
+
+    # path 0-1-2-3 plus a self-loop on 1 (must not create pairs)
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (1, 1, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {(r["first"], r["second"])
+           for r in two_hop_neighbors(g).collect()}
+    g.unpersist()
+    assert got == {(0, 2), (2, 0), (1, 3), (3, 1)}
+
+
+def test_two_hop_neighbors_keeps_direct_and_restricts_sources(spark):
+    from graft.algos.subgraph import two_hop_neighbors
+
+    # triangle: every pair is ALSO two hops apart (cugraph keeps them)
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    full = {(r["first"], r["second"])
+            for r in two_hop_neighbors(g).collect()}
+    only0 = {(r["first"], r["second"])
+             for r in two_hop_neighbors(g, sources=[0]).collect()}
+    g.unpersist()
+    assert full == {(a, b) for a in range(3) for b in range(3) if a != b}
+    assert only0 == {(0, 1), (0, 2)}
