@@ -1268,6 +1268,38 @@ _SQL_SORENSEN = (
     + _SQL_PAIR_TAIL
 )
 
+# weighted pair-similarity (cugraph jaccard_w): neighbors weighted by
+# vertex STRENGTH (self-loops doubled — the engine default); union sum
+# = su + sv - cw
+_SQL_JACCARD_W = (
+    _SQL_PAIR_BASE
+    + """, vw AS (
+  SELECT id, sum(w) AS wt FROM (
+    SELECT u AS id,
+           CASE WHEN u = v THEN weight * 2 ELSE weight END AS w FROM e
+    UNION ALL
+    SELECT v AS id, weight AS w FROM e WHERE u <> v
+  ) GROUP BY id
+), wsn AS (
+  SELECT a.src AS id, sum(vw.wt) AS s
+  FROM adj a JOIN vw ON vw.id = a.dst GROUP BY a.src
+), cwt AS (
+  SELECT p.u, p.v, sum(vw.wt) AS cw
+  FROM und p
+  JOIN adj a1 ON a1.src = p.u
+  JOIN adj a2 ON a2.src = p.v AND a2.dst = a1.dst
+  JOIN vw ON vw.id = a1.dst
+  GROUP BY p.u, p.v
+)
+SELECT p.u, p.v,
+       round(coalesce(c.cw, 0) / (su.s + sv.s - coalesce(c.cw, 0)), 6)
+         AS jaccard_w
+FROM und p
+LEFT JOIN cwt c ON c.u = p.u AND c.v = p.v
+JOIN wsn su ON su.id = p.u
+JOIN wsn sv ON sv.id = p.v"""
+)
+
 _SQL_COMMON_NEIGHBORS = (
     _SQL_PAIR_BASE
     + """SELECT p.u, p.v, coalesce(c.nc, 0) AS n_common
@@ -2259,6 +2291,16 @@ def _q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _actor_graph(spark, sf_dir).cache()
     return vertex_jaccard(g)
+
+
+def _q_vertex_jaccard_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cugraph.jaccard_w: neighbors weighted by vertex strength (the
+    engine default weight vector) — certifies the whole weighted
+    pair-similarity machinery (overlap_w / sorensen_w share it)."""
+    from graft.algos.jaccard import vertex_jaccard_w
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return vertex_jaccard_w(g)
 
 
 def _q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3626,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
+        "vertex_jaccard_w": _q_vertex_jaccard_w,
         "overlap_coefficient": _q_overlap,
         "sorensen_coefficient": _q_sorensen,
         "adamic_adar": _q_adamic_adar,
@@ -3756,6 +3799,7 @@ FROM e WHERE u = v""",
         "triangle_count": _SQL_TRIANGLES,
         "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
         "vertex_jaccard": _SQL_JACCARD,
+        "vertex_jaccard_w": _SQL_JACCARD_W,
         "overlap_coefficient": _SQL_OVERLAP,
         "sorensen_coefficient": _SQL_SORENSEN,
         "adamic_adar": _SQL_ADAMIC_ADAR,

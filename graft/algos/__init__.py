@@ -19,10 +19,13 @@ from graft.algos.jaccard import (  # noqa: F401
     adamic_adar,
     common_neighbors,
     overlap_coefficient,
+    overlap_coefficient_w,
     preferential_attachment,
     resource_allocation,
     sorensen_coefficient,
+    sorensen_coefficient_w,
     vertex_jaccard,
+    vertex_jaccard_w,
 )
 from graft.algos.structure import (  # noqa: F401
     avg_neighbor_degree,

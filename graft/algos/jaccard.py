@@ -172,6 +172,120 @@ def resource_allocation(
     )
 
 
+def _pair_weighted_stats(
+    graph: Graph,
+    vertex_weights: DataFrame | None,
+    pairs: DataFrame | None,
+) -> DataFrame:
+    """Shared machinery for the cugraph *weighted* pair-similarity
+    family (jaccard_w / overlap_w / sorensen_w), which weights
+    NEIGHBORS by a per-vertex weight vector: for each candidate pair,
+    ``(u, v, cw, su, sv)`` — cw = Σ w(x) over common neighbors x,
+    su/sv = Σ w(x) over each full neighborhood. Same single bounded
+    wedge join as :func:`_pair_stats` plus one broadcast-able weight
+    join on the wedge midpoint; 0 for empty intersections/edge-less
+    endpoints, rows never dropped.
+
+    ``vertex_weights``: an ``(id, w)`` table (cugraph's ``weights``
+    vector). Default None = the vertex STRENGTH (weighted degree,
+    self-loops doubled) — the natural built-in choice on a weighted
+    link graph, and what the contract oracle replays."""
+    if vertex_weights is None:
+        vw = graph.strength().select("id", F.col("k").alias("w"))
+    else:
+        vw = vertex_weights.select("id", "w")
+    adj = graph.without_self_loops().select("src", "dst").distinct()
+    ws = (
+        adj.join(vw.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("w").alias("s"))
+    )
+    if pairs is None:
+        pairs = adj.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    cw = (
+        pairs.join(
+            adj.select(F.col("src").alias("u"), F.col("dst").alias("w_")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("src").alias("v"), F.col("dst").alias("w_")),
+            ["v", "w_"],
+        )
+        .join(vw.withColumnRenamed("id", "w_"), "w_")
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("cw"))
+    )
+    return (
+        pairs.join(cw, ["u", "v"], "left")
+        .join(ws.select(F.col("id").alias("u"), F.col("s").alias("su")),
+              "u", "left")
+        .join(ws.select(F.col("id").alias("v"), F.col("s").alias("sv")),
+              "v", "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("cw", F.lit(0.0)).alias("cw"),
+            F.coalesce("su", F.lit(0.0)).alias("su"),
+            F.coalesce("sv", F.lit(0.0)).alias("sv"),
+        )
+    )
+
+
+def vertex_jaccard_w(
+    graph: Graph,
+    vertex_weights: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Returns ``(u, v, jaccard_w double)`` — cugraph.jaccard_w:
+    Σ w(x) over N(u)∩N(v) divided by Σ w(x) over N(u)∪N(v) (the union
+    sum computed as su + sv − cw). Same candidate and 0-degree
+    conventions as :func:`vertex_jaccard`."""
+    denom = F.col("su") + F.col("sv") - F.col("cw")
+    return _pair_weighted_stats(graph, vertex_weights, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("cw") / denom, 6))
+        .alias("jaccard_w"),
+    )
+
+
+def overlap_coefficient_w(
+    graph: Graph,
+    vertex_weights: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Returns ``(u, v, overlap_w double)`` — cugraph.overlap_w:
+    weighted common-neighbor sum over min(su, sv)."""
+    denom = F.least("su", "sv")
+    return _pair_weighted_stats(graph, vertex_weights, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("cw") / denom, 6))
+        .alias("overlap_w"),
+    )
+
+
+def sorensen_coefficient_w(
+    graph: Graph,
+    vertex_weights: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Returns ``(u, v, sorensen_w double)`` — cugraph.sorensen_w:
+    2·cw / (su + sv)."""
+    denom = F.col("su") + F.col("sv")
+    return _pair_weighted_stats(graph, vertex_weights, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(2) * F.col("cw") / denom, 6))
+        .alias("sorensen_w"),
+    )
+
+
 def common_neighbors(
     graph: Graph, pairs: DataFrame | None = None
 ) -> DataFrame:

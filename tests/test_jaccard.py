@@ -126,3 +126,72 @@ def test_overlap_edge_less_endpoints_score_zero(spark):
     assert overlap_coefficient(g, pairs=pairs).collect()[0].overlap == 0.0
     assert sorensen_coefficient(g, pairs=pairs).collect()[0].sorensen == 0.0
     g.unpersist()
+
+
+def _weighted_ref(edges, weights=None):
+    """Pure-python weighted pair stats on the undirected edge set:
+    (cw, su, sv) per canonical edge, neighbor-weighted."""
+    adj: dict = {}
+    strength: dict = {}
+    for u, v, w in edges:
+        if u == v:
+            strength[u] = strength.get(u, 0.0) + 2 * w
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        strength[u] = strength.get(u, 0.0) + w
+        strength[v] = strength.get(v, 0.0) + w
+    wt = weights if weights is not None else strength
+    out = {}
+    for u in adj:
+        for v in adj[u]:
+            if u < v:
+                cw = sum(wt.get(x, 0.0) for x in adj[u] & adj[v])
+                su = sum(wt.get(x, 0.0) for x in adj[u])
+                sv = sum(wt.get(x, 0.0) for x in adj[v])
+                out[(u, v)] = (cw, su, sv)
+    return out
+
+
+def test_weighted_jaccard_family(spark):
+    from graft.algos.jaccard import (
+        overlap_coefficient_w,
+        sorensen_coefficient_w,
+        vertex_jaccard_w,
+    )
+
+    edges = [
+        (0, 1, 2.0), (0, 2, 1.0), (1, 2, 4.0), (2, 3, 0.5),
+        (1, 3, 1.0), (3, 3, 2.0),
+    ]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    ref = _weighted_ref(edges)
+    jw = {(r.u, r.v): r.jaccard_w for r in vertex_jaccard_w(g).collect()}
+    ow = {(r.u, r.v): r.overlap_w
+          for r in overlap_coefficient_w(g).collect()}
+    sw = {(r.u, r.v): r.sorensen_w
+          for r in sorensen_coefficient_w(g).collect()}
+    g.unpersist()
+    assert jw.keys() == ref.keys()
+    for p, (cw, su, sv) in ref.items():
+        assert jw[p] == round(cw / (su + sv - cw), 6), p
+        assert ow[p] == (round(cw / min(su, sv), 6) if min(su, sv) else 0.0)
+        assert sw[p] == round(2 * cw / (su + sv), 6)
+
+
+def test_weighted_jaccard_custom_weights_and_pairs(spark):
+    from graft.algos.jaccard import vertex_jaccard_w
+
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    wdf = spark.createDataFrame(
+        [(0, 10.0), (1, 1.0), (2, 1.0)], "id long, w double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (0, 7)], "u long, v long")
+    got = {(r.u, r.v): r.jaccard_w for r in
+           vertex_jaccard_w(g, vertex_weights=wdf, pairs=pairs).collect()}
+    g.unpersist()
+    # N(1)∩N(2) = {0} (w 10); N(1)∪N(2) = {0,1,2} (w 12)
+    assert got[(1, 2)] == round(10.0 / 12.0, 6)
+    # endpoint 7 has no edges: row kept, score 0
+    assert got[(0, 7)] == 0.0
