@@ -322,7 +322,8 @@ _SQL_BFS_PRED_3HOPS = (
   FROM sym2 e2
   JOIN h3 a ON e2.src = a.id
   JOIN h3 b ON e2.dst = b.id
-  WHERE a.hop IS NOT NULL AND b.hop IS NOT NULL AND a.hop + 1 = b.hop
+  WHERE e2.src <> e2.dst
+    AND a.hop IS NOT NULL AND b.hop IS NOT NULL AND a.hop + 1 = b.hop
   GROUP BY e2.dst
 )
 SELECT h.id, h.hop, p.pred FROM h3 h LEFT JOIN pd p ON h.id = p.id"""

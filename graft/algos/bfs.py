@@ -41,11 +41,17 @@ def bfs_hops(
     column: the MINIMUM-id in-neighbor on a shortest path (the
     deterministic tie-break a SQL oracle can replay; NULL for the
     source and for unreached vertices — the relational face of
-    cugraph's -1). Computed ONCE after the distance fixpoint — one edge
-    join + groupBy-min, not a per-round cost — because dist(u) + w ==
-    dist(v) already identifies every shortest-path edge; the shortest
-    paths themselves can then be walked (or contracted into a BFS tree)
-    without rerunning the traversal."""
+    cugraph's -1; self-loops are excluded, as they are from the
+    distances they can never improve). Computed ONCE after the distance
+    fixpoint — one edge join + groupBy-min, not a per-round cost —
+    because dist(u) + w == dist(v) already identifies every
+    shortest-path edge; the shortest paths themselves can then be
+    walked (or contracted into a BFS tree) without rerunning the
+    traversal. Caveat for WEIGHTED runs capped by ``max_hops`` before
+    the fixpoint: a vertex whose capped cost was derived from a
+    since-improved neighbor cost has no witnessing in-edge yet and
+    reports NULL pred — pred is a fixpoint concept (unweighted BFS is
+    immune: hop labels are final the round they appear)."""
     verts = graph.vertices()
     col = "cost" if weighted else "hop"
     zero = F.lit(0.0) if weighted else F.lit(0)
@@ -103,7 +109,8 @@ def bfs_hops(
         F.col("id").alias("dst"), F.col(col).alias("_ddst")
     )
     pred = (
-        graph.edges.join(d_src, "src")
+        graph.without_self_loops()
+        .join(d_src, "src")
         .join(d_dst, "dst")
         .where(
             F.col("_dsrc").isNotNull()

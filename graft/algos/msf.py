@@ -109,7 +109,8 @@ def minimum_spanning_forest(
         )
     )
 
-    if sequential_threshold and graph.edges.count() <= sequential_threshold:
+    n_rows = graph.edges.count()
+    if sequential_threshold and n_rows <= sequential_threshold:
         return _sequential_msf(cand)
 
     # working edge list: (a, b) = current component endpoints,
@@ -121,10 +122,10 @@ def minimum_spanning_forest(
         )
     )
     forest = empty
-    with superstep_conf(spark, graph.edges.count()):
+    if work.limit(1).count() == 0:
+        return forest
+    with superstep_conf(spark, n_rows):
         for _ in range(max_iter):
-            if work.limit(1).count() == 0:
-                break
             e_struct = F.struct("weight", "u", "v", "a", "b").alias("e")
             offers = work.select(F.col("a").alias("comp"), e_struct).unionAll(
                 work.select(F.col("b").alias("comp"), e_struct)
@@ -186,6 +187,10 @@ def minimum_spanning_forest(
             drop_spill(prev)
             drop_spill(prev_grab)
             drop_spill(prev_cc)
+            # emptiness checked AFTER contraction so a run that needs
+            # exactly max_iter rounds completes instead of raising
+            if work.limit(1).count() == 0:
+                break
         else:
             raise RuntimeError(
                 f"minimum_spanning_forest did not converge within "

@@ -122,10 +122,12 @@ def pic_embedding(
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     spark = graph.edges.sparkSession
     verts = graph.vertices_cached()
+    id_type = graph.edges.schema["src"].dataType.simpleString()
     if graph.num_vertices() == 0:
-        return spark.createDataFrame([], "id long, v double")
+        return spark.createDataFrame([], f"id {id_type}, v double")
 
     trans = graph.transition()
+    n_rows = graph.edges.count()
 
     # v0: md5-prefix uniform in [0, 1), L1-normalized — deterministic,
     # automorphism-breaking, and replayable in any engine with md5
@@ -137,11 +139,13 @@ def pic_embedding(
         "id", (F.col("u") / F.col("nrm")).alias("v")
     )
 
-    if sequential_threshold and graph.edges.count() <= sequential_threshold:
-        return _sequential_pic(v0, trans, iterations)
+    if sequential_threshold and n_rows <= sequential_threshold:
+        # truncated like the superstep path's return, so callers can
+        # uniformly drop_spill the embedding when they are done
+        return truncate(_sequential_pic(v0, trans, iterations))
 
     v = truncate(v0)
-    with superstep_conf(spark, graph.edges.count()):
+    with superstep_conf(spark, n_rows):
         for _ in range(iterations):
             # v ← W·v (neighbor averaging; see the kernel comment — the
             # PageRank mass-flow direction is a fixed point of v0 ∝ s):
@@ -230,14 +234,13 @@ def power_iteration_clustering(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if graph.num_vertices() == 0:
+        id_type = graph.edges.schema["src"].dataType.simpleString()
         return graph.edges.sparkSession.createDataFrame(
-            [], "id long, cluster long"
+            [], f"id {id_type}, cluster long"
         )
-    emb = truncate(
-        pic_embedding(
-            graph, iterations, seed=seed,
-            sequential_threshold=sequential_threshold,
-        )
+    emb = pic_embedding(
+        graph, iterations, seed=seed,
+        sequential_threshold=sequential_threshold,
     )
     assign, _ = _kmeans_1d(emb, k, n_iter=kmeans_iter)
     out = truncate(assign)

@@ -76,3 +76,16 @@ def test_weighted_sssp(spark):
     assert got[0] == 0.0
     assert got[2] == 1.0
     assert got[1] == 2.0  # 0→2→1 beats the weight-10 direct edge
+
+
+def test_predecessors_ignore_self_loops(spark):
+    # a zero-weight self-loop satisfies dist(u)+w == dist(v) on itself;
+    # it must not become anyone's pred (source stays NULL)
+    edges = [(0, 0, 0.0), (0, 1, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {r.id: (r.cost, r.pred) for r in
+           bfs_hops(g, 0, weighted=True,
+                    return_predecessors=True).collect()}
+    g.unpersist()
+    assert got[0] == (0.0, None)
+    assert got[1] == (1.0, 0)

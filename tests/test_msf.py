@@ -133,3 +133,16 @@ def test_self_loops_excluded(spark):
     ).cache()
     assert _got(minimum_spanning_forest(g)) == [(0, 1, 2.0)]
     g.unpersist()
+
+
+def test_exact_round_budget_completes(spark):
+    # a run whose work list empties exactly on round max_iter must
+    # complete, not raise (emptiness is checked after contraction)
+    g = Graph.from_undirected(
+        spark.createDataFrame([(0, 1, 1.0)],
+                              "src long, dst long, weight double")
+    ).cache()
+    got = _got(minimum_spanning_forest(g, max_iter=1,
+                                       sequential_threshold=0))
+    g.unpersist()
+    assert got == [(0, 1, 1.0)]

@@ -126,3 +126,14 @@ def test_k1_and_validation(two_cliques):
         power_iteration_clustering(two_cliques, k=0)
     with pytest.raises(ValueError):
         pic_embedding(two_cliques, iterations=-1)
+
+
+def test_empty_graph_keeps_key_type(spark):
+    g = Graph.from_undirected(
+        spark.createDataFrame([], "src string, dst string, weight double")
+    )
+    emb = pic_embedding(g, 3)
+    out = power_iteration_clustering(g, k=2)
+    assert emb.schema["id"].dataType.simpleString() == "string"
+    assert out.schema["id"].dataType.simpleString() == "string"
+    assert emb.count() == 0 and out.count() == 0
