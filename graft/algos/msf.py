@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from graft.algos.community import superstep_conf
 from graft.algos.components import connected_components
-from graft.checkpoint import drop_spill, truncate
+from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
 
@@ -82,6 +82,7 @@ def minimum_spanning_forest(
     graph: Graph,
     max_iter: int = 64,
     sequential_threshold: int = 1_000_000,
+    checkpointer: Checkpointer | None = None,
 ) -> DataFrame:
     """Returns ``(u, v, weight double)`` — the edges of the unique
     minimum spanning forest under the ``(weight, u, v)`` total order
@@ -93,7 +94,13 @@ def minimum_spanning_forest(
     ``max_iter`` is a safety cap far above any real round count (the
     component count at least halves per round, so 64 covers 2^64
     vertices); hitting it raises rather than returning a partial
-    forest."""
+    forest.
+
+    A ``checkpointer`` persists ONE combined frame per round — the
+    contracted work list (kind='w') plus the forest so far (kind='f'),
+    so the round state is a single atomic write — with per-round
+    work/forest counts in the metrics, and resumes from the latest
+    complete round (the checkpointed path always runs Borůvka rounds)."""
     spark = graph.edges.sparkSession
     schema_id = graph.edges.schema["src"].dataType.simpleString()
     empty = spark.createDataFrame(
@@ -110,22 +117,40 @@ def minimum_spanning_forest(
     )
 
     n_rows = graph.edges.count()
-    if sequential_threshold and n_rows <= sequential_threshold:
+    if (
+        checkpointer is None
+        and sequential_threshold
+        and n_rows <= sequential_threshold
+    ):
         return _sequential_msf(cand)
 
     # working edge list: (a, b) = current component endpoints,
     # (u, v, weight) = the original edge this contracted row stands for
-    work = truncate(
-        cand.select(
-            F.col("u").alias("a"), F.col("v").alias("b"),
-            "weight", "u", "v",
-        )
-    )
+    work = None
     forest = empty
+    start = 0
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            step, combined = resumed
+            start = step + 1
+            work = combined.where(F.col("kind") == "w").select(
+                "a", "b", "weight", "u", "v"
+            )
+            forest = combined.where(F.col("kind") == "f").select(
+                "u", "v", "weight"
+            )
+    if work is None:
+        work = truncate(
+            cand.select(
+                F.col("u").alias("a"), F.col("v").alias("b"),
+                "weight", "u", "v",
+            )
+        )
     if work.limit(1).count() == 0:
         return forest
     with superstep_conf(spark, n_rows):
-        for _ in range(max_iter):
+        for rnd in range(start, max_iter):
             e_struct = F.struct("weight", "u", "v", "a", "b").alias("e")
             offers = work.select(F.col("a").alias("comp"), e_struct).unionAll(
                 work.select(F.col("b").alias("comp"), e_struct)
@@ -187,6 +212,27 @@ def minimum_spanning_forest(
             drop_spill(prev)
             drop_spill(prev_grab)
             drop_spill(prev_cc)
+            if checkpointer is not None:
+                combined = work.select(
+                    F.lit("w").alias("kind"), "a", "b", "weight", "u", "v"
+                ).unionByName(
+                    forest.select(
+                        F.lit("f").alias("kind"),
+                        F.lit(None).cast(schema_id).alias("a"),
+                        F.lit(None).cast(schema_id).alias("b"),
+                        "weight", "u", "v",
+                    )
+                )
+                saved = checkpointer.save(
+                    rnd, combined, algo="msf",
+                    n_work=work.count(), n_forest=forest.count(),
+                )
+                work = saved.where(F.col("kind") == "w").select(
+                    "a", "b", "weight", "u", "v"
+                )
+                forest = saved.where(F.col("kind") == "f").select(
+                    "u", "v", "weight"
+                )
             # emptiness checked AFTER contraction so a run that needs
             # exactly max_iter rounds completes instead of raising
             if work.limit(1).count() == 0:

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from graft.algos.community import superstep_conf
 from graft.algos.priority import hash_priority
-from graft.checkpoint import drop_spill, truncate
+from graft.checkpoint import Checkpointer, drop_spill, truncate
 from graft.graph import Graph
 
 
@@ -108,6 +108,7 @@ def pic_embedding(
     iterations: int = 15,
     seed: int = 1234,
     sequential_threshold: int = 1_000_000,
+    checkpointer: Checkpointer | None = None,
 ) -> DataFrame:
     """Returns ``(id, v double)`` — the PIC pseudo-eigenvector after a
     FIXED number of power iterations of W = D⁻¹A from the md5-uniform
@@ -117,7 +118,10 @@ def pic_embedding(
 
     Graphs whose transition table fits one Arrow batch
     (≤ ``sequential_threshold`` rows) run as ONE executor task
-    (0 forces the superstep path)."""
+    (0 forces the superstep path). A ``checkpointer`` persists the
+    vector + metrics per superstep and resumes from the latest complete
+    one (the checkpointed path always runs supersteps — per-superstep
+    resume is the point)."""
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     spark = graph.edges.sparkSession
@@ -139,14 +143,26 @@ def pic_embedding(
         "id", (F.col("u") / F.col("nrm")).alias("v")
     )
 
-    if sequential_threshold and n_rows <= sequential_threshold:
+    if (
+        checkpointer is None
+        and sequential_threshold
+        and n_rows <= sequential_threshold
+    ):
         # truncated like the superstep path's return, so callers can
         # uniformly drop_spill the embedding when they are done
         return truncate(_sequential_pic(v0, trans, iterations))
 
-    v = truncate(v0)
+    start = 0
+    v = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            start, v = resumed
+            start += 1
+    if v is None:
+        v = truncate(v0)
     with superstep_conf(spark, n_rows):
-        for _ in range(iterations):
+        for it in range(start, iterations):
             # v ← W·v (neighbor averaging; see the kernel comment — the
             # PageRank mass-flow direction is a fixed point of v0 ∝ s):
             # join on DST, fold onto SRC
@@ -171,6 +187,8 @@ def pic_embedding(
             prev = v
             v = truncate(nxt)
             drop_spill(prev)
+            if checkpointer is not None:
+                v = checkpointer.save(it, v, algo="pic", seed=seed)
     return v
 
 
