@@ -201,7 +201,11 @@ def _kmeans_1d(
     round, early exit on exact centroid fixpoint. Returns the
     ``(id, cluster)`` assignment (clusters relabeled by ascending final
     centroid value) and the final centroid list. Driver state is k
-    doubles — parameter-bounded, never data-sized."""
+    doubles — parameter-bounded, never data-sized. The exact percentile
+    is one sort-based agg over a (long, double) table — fine into the
+    billions of rows; at true 10^12-vertex scale swap the init for
+    ``approx_percentile`` (also deterministic at a fixed accuracy), the
+    only change the scale-up needs."""
     qs = [(2 * j + 1) / (2.0 * k) for j in range(k)]
     cents = [
         float(c)
