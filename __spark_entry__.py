@@ -279,6 +279,32 @@ _SQL_BFS_3HOPS = (
     + "\nSELECT id, hop FROM h3"
 )
 
+_SQL_EDGE_CUT = (
+    _SQL_ACTORS
+    + """
+SELECT round(sum(weight), 6) AS edge_cut
+FROM e
+WHERE split_part(u, ':', 1) <> split_part(v, ':', 1)"""
+)
+
+_SQL_RATIO_CUT = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, cl AS (SELECT id, split_part(id, ':', 1) AS c FROM verts)
+, bc AS (
+  SELECT cu.c AS community, sum(e2.weight) AS cut
+  FROM sym2 e2
+  JOIN cl cu ON e2.src = cu.id
+  JOIN cl cv ON e2.dst = cv.id
+  WHERE cu.c <> cv.c
+  GROUP BY cu.c
+)
+, sz AS (SELECT c AS community, count(*) AS n FROM cl GROUP BY c)
+SELECT round(sum(coalesce(bc.cut, 0) / sz.n), 6) AS ratio_cut
+FROM sz LEFT JOIN bc ON bc.community = sz.community"""
+)
+
 _SQL_TWO_HOP = (
     _SQL_ACTORS
     + _SQL_SYM2
@@ -2079,6 +2105,37 @@ def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_centrality(g)
 
 
+def _actor_type_assign(g) -> DataFrame:
+    """Deterministic 3-way clustering by actor type prefix
+    (role:/tool:/conv:) — exists to certify the clustering-metric MATH
+    with a SQL-replayable labeling."""
+    return g.vertices().select(
+        "id", F.split(F.col("id"), ":").getItem(0).alias("community")
+    )
+
+
+def _q_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cugraph analyzeClustering_edge_cut on the actor-type clustering."""
+    from graft.quality import edge_cut
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return spark.createDataFrame(
+        [(round(edge_cut(g.edges, _actor_type_assign(g)), 6),)],
+        "edge_cut double",
+    )
+
+
+def _q_ratio_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cugraph analyzeClustering_ratio_cut on the actor-type clustering."""
+    from graft.quality import ratio_cut
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return spark.createDataFrame(
+        [(round(ratio_cut(g.edges, _actor_type_assign(g)), 6),)],
+        "ratio_cut double",
+    )
+
+
 def _q_msf_total_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-spanning-forest regression pin: (n_edges, total_weight)
     of the unique (weight, u, v)-order MSF on the actor graph. MST has
@@ -3654,6 +3711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_total_weight": _q_msf_total_weight,
         "two_hop_neighbors": _q_two_hop_neighbors,
         "degree_centrality": _q_degree_centrality,
+        "edge_cut": _q_edge_cut,
+        "ratio_cut": _q_ratio_cut,
         "bfs_3hops": _q_bfs_3hops,
         "bfs_pred_3hops": _q_bfs_pred_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
@@ -3783,6 +3842,8 @@ FROM e WHERE u = v""",
         "pic_embedding_3iter": _SQL_PIC_3ITER,
         "two_hop_neighbors": _SQL_TWO_HOP,
         "degree_centrality": _SQL_DEGREE_CENTRALITY,
+        "edge_cut": _SQL_EDGE_CUT,
+        "ratio_cut": _SQL_RATIO_CUT,
         "bfs_3hops": _SQL_BFS_3HOPS,
         "bfs_pred_3hops": _SQL_BFS_PRED_3HOPS,
         "sssp_3rounds": _SQL_SSSP_3ROUNDS,

@@ -128,6 +128,59 @@ def conductance(edges: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+def edge_cut(edges: DataFrame, assign: DataFrame) -> float:
+    """Total single-counted weight of edges whose endpoints lie in
+    different clusters — cugraph ``analyzeClustering_edge_cut``, the
+    quantity spectral balanced-cut clustering minimizes. One assignment
+    join per endpoint + one global sum over the symmetrized table
+    (each boundary edge appears once per direction, so the sum is
+    halved)."""
+    a_src = assign.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = assign.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    total = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .agg(F.sum("weight"))
+        .first()[0]
+    )
+    return float(total or 0.0) / 2.0
+
+
+def ratio_cut(edges: DataFrame, assign: DataFrame) -> float:
+    """Σ_C cut(C) / |C| — cugraph ``analyzeClustering_ratio_cut``
+    (cut(C) = single-counted boundary weight of cluster C, |C| = member
+    count). Clusters with no members in the edge table contribute 0.
+    Same two keyed aggregations as :func:`conductance`, plus one tiny
+    per-cluster join — no per-pair work at any scale."""
+    a_src = assign.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = assign.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    # per-cluster single-counted cut: grouping the symmetrized boundary
+    # rows by the src side counts each boundary edge once per cluster
+    cut = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.sum("weight").alias("cut"))
+    )
+    size = assign.groupBy("community").agg(F.count(F.lit(1)).alias("n"))
+    total = (
+        size.join(cut, "community", "left")
+        .agg(F.sum(F.coalesce("cut", F.lit(0.0)) / F.col("n")))
+        .first()[0]
+    )
+    return float(total or 0.0)
+
+
 def partition_agreement(
     labels_a: DataFrame,
     labels_b: DataFrame,

@@ -81,3 +81,29 @@ def test_louvain_modularity_matches_sequential_oracle(spark):
 
     assert ours_q >= 0.95 * ref_q, (ours_q, ref_q)
     g.unpersist()
+
+
+def test_edge_cut_and_ratio_cut(spark):
+    from graft.quality import edge_cut, ratio_cut
+
+    # two triangles {0,1,2} and {3,4,5} joined by one weight-2 bridge
+    edges = [
+        (0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+        (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0),
+        (2, 3, 2.0),
+    ]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assign = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, community long"
+    )
+    # only the bridge crosses: edge_cut = 2.0; each cluster has cut 2.0
+    # over 3 members: ratio_cut = 2/3 + 2/3
+    assert edge_cut(g.edges, assign) == 2.0
+    assert abs(ratio_cut(g.edges, assign) - 4.0 / 3.0) < 1e-12
+    # all-in-one clustering: no boundary
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "id long, community long"
+    )
+    assert edge_cut(g.edges, one) == 0.0
+    assert ratio_cut(g.edges, one) == 0.0
+    g.unpersist()
