@@ -10,6 +10,7 @@ from graft.algos.spectral import (  # noqa: F401
     power_iteration_clustering,
 )
 from graft.algos.msf import (  # noqa: F401
+    maximum_spanning_forest,
     minimum_spanning_forest,
     msf_total_weight,
 )

@@ -245,6 +245,27 @@ def minimum_spanning_forest(
     return forest
 
 
+def maximum_spanning_forest(
+    graph: Graph,
+    max_iter: int = 64,
+    sequential_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Returns ``(u, v, weight double)`` — the maximum spanning forest
+    (cugraph.maximum_spanning_tree API shape): exactly
+    :func:`minimum_spanning_forest` under the ``(-weight, u, v)`` total
+    order, run by negating weights on the way in and restoring them on
+    the way out (no separate machinery to keep correct)."""
+    neg = Graph(
+        graph.edges.select(
+            "src", "dst", (-F.col("weight")).alias("weight")
+        ),
+        symmetric=graph.symmetric,
+    )
+    return minimum_spanning_forest(
+        neg, max_iter=max_iter, sequential_threshold=sequential_threshold
+    ).select("u", "v", (-F.col("weight")).alias("weight"))
+
+
 def msf_total_weight(graph: Graph, **kwargs) -> DataFrame:
     """One-row ``(n_edges long, total_weight double)`` summary of the
     minimum spanning forest — the regression-pin shape for contract

@@ -146,3 +146,20 @@ def test_exact_round_budget_completes(spark):
                                        sequential_threshold=0))
     g.unpersist()
     assert got == [(0, 1, 1.0)]
+
+
+def test_maximum_spanning_forest(spark, weighted):
+    from graft.algos.msf import maximum_spanning_forest
+
+    g, rows = weighted
+    want = sorted(
+        (u, v, -w) for u, v, w in
+        _kruskal([(a, b, -w) for a, b, w in rows])
+    )
+    for thresh in (1_000_000, 0):
+        got = _got(maximum_spanning_forest(g, sequential_threshold=thresh))
+        assert got == want
+    # a maximum tree never weighs less than the minimum tree
+    assert sum(w for _, _, w in got) >= sum(
+        w for _, _, w in _kruskal(rows)
+    )
