@@ -279,6 +279,28 @@ _SQL_BFS_3HOPS = (
     + "\nSELECT id, hop FROM h3"
 )
 
+_SQL_GRAPH_SUMMARY = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, ne AS (SELECT count(*) AS n_edges,
+                count(*) FILTER (WHERE u = v) AS loops,
+                sum(weight) AS tw
+         FROM e)
+, md AS (SELECT max(d) AS max_degree FROM (
+    SELECT src, count(DISTINCT dst) AS d FROM sym2
+    WHERE src <> dst GROUP BY src))
+SELECT (SELECT n FROM nv) AS n_vertices,
+       ne.n_edges,
+       ne.loops AS n_self_loops,
+       round(ne.tw, 6) AS total_weight,
+       round((ne.n_edges - ne.loops)
+             / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1) / 2.0), 6)
+         AS density,
+       md.max_degree
+FROM ne, md"""
+)
+
 _SQL_EDGE_CUT = (
     _SQL_ACTORS
     + """
@@ -2114,6 +2136,12 @@ def _actor_type_assign(g) -> DataFrame:
     )
 
 
+def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph.summary(): the one-row corpus card (counts, total weight,
+    density, max degree)."""
+    return _actor_graph(spark, sf_dir).cache().summary()
+
+
 def _q_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cugraph analyzeClustering_edge_cut on the actor-type clustering."""
     from graft.quality import edge_cut
@@ -3713,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_centrality": _q_degree_centrality,
         "edge_cut": _q_edge_cut,
         "ratio_cut": _q_ratio_cut,
+        "graph_summary": _q_graph_summary,
         "bfs_3hops": _q_bfs_3hops,
         "bfs_pred_3hops": _q_bfs_pred_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
@@ -3844,6 +3873,7 @@ FROM e WHERE u = v""",
         "degree_centrality": _SQL_DEGREE_CENTRALITY,
         "edge_cut": _SQL_EDGE_CUT,
         "ratio_cut": _SQL_RATIO_CUT,
+        "graph_summary": _SQL_GRAPH_SUMMARY,
         "bfs_3hops": _SQL_BFS_3HOPS,
         "bfs_pred_3hops": _SQL_BFS_PRED_3HOPS,
         "sssp_3rounds": _SQL_SSSP_3ROUNDS,

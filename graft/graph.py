@@ -139,6 +139,56 @@ class Graph:
         loops = row["loops"] or 0.0
         return (s + loops) / 2.0
 
+    def summary(self) -> DataFrame:
+        """ONE-row corpus card: ``(n_vertices, n_edges, n_self_loops,
+        total_weight, density, max_degree)`` — the
+        cugraph.Graph.number_of_*/density API face as a single frame a
+        dashboard or sanity check reads in one action. n_edges is the
+        single-counted undirected edge count (self-loops included once);
+        density = single-counted non-loop edges over n·(n−1)/2;
+        max_degree is the unweighted degree (self-loops excluded). Cost:
+        one pass over the edge table + one keyed count for the degree
+        max — no per-pair work."""
+        spark = self.edges.sparkSession
+        n = self.num_vertices()
+        row = self.edges.agg(
+            F.sum(
+                F.when(F.col("src") == F.col("dst"), F.lit(2)).otherwise(
+                    F.lit(1)
+                )
+            ).alias("dbl_edges"),
+            F.sum(
+                F.when(F.col("src") == F.col("dst"), F.lit(1))
+            ).alias("loops"),
+        ).first()
+        dbl = int(row["dbl_edges"] or 0)
+        loops = int(row["loops"] or 0)
+        max_deg_row = (
+            self.without_self_loops()
+            .select("src", "dst")
+            .distinct()
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d"))
+            .first()
+        )
+        max_deg = int(max_deg_row[0] or 0)
+        n_edges = dbl // 2
+        n_nonloop = n_edges - loops
+        pairs = n * (n - 1) / 2.0
+        return spark.createDataFrame(
+            [(
+                n,
+                n_edges,
+                loops,
+                round(self.total_edge_weight(), 6),
+                round(n_nonloop / pairs, 6) if pairs else 0.0,
+                max_deg,
+            )],
+            "n_vertices long, n_edges long, n_self_loops long, "
+            "total_weight double, density double, max_degree long",
+        )
+
     def strength(self) -> DataFrame:
         """Per-vertex weighted degree k_i (R2, custom_leiden.py:103-111).
 

@@ -247,3 +247,21 @@ def test_transcripts_to_decayed_edges_infinite_halflife_is_counts(spark, transcr
     assert decayed.keys() == static.keys()
     for k, w in static.items():
         assert decayed[k] == pytest.approx(w, abs=1e-5)
+
+
+def test_graph_summary(spark):
+    from graft import fixtures
+    from graft.graph import Graph
+
+    # triangle + pendant + self-loop: 5 single-counted edges, 4 vertices
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 1.0), (2, 3, 1.0),
+             (3, 3, 4.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    row = g.summary().first()
+    g.unpersist()
+    assert row["n_vertices"] == 4
+    assert row["n_edges"] == 5
+    assert row["n_self_loops"] == 1
+    assert row["total_weight"] == 9.0  # loops counted once
+    assert row["density"] == round(4 / 6, 6)  # 4 non-loop edges / C(4,2)
+    assert row["max_degree"] == 3  # vertex 2: {0, 1, 3}
