@@ -3558,7 +3558,39 @@ def _q_windowed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_to_edges_windowed(t, "day")
 
 
-_SQL_WINDOWED_EDGES = r"""WITH t AS (
+def _q_edge_diff_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge diff between the first and last daily snapshot of the
+    windowed link graph — the what-changed-since view a live deployment
+    runs between consecutive graph builds. The two snapshot bounds ride
+    in as a broadcast one-row aggregate (no collect); the diff itself
+    is one full-outer join on the edge key."""
+    from graft.io import transcripts_to_edges_windowed
+    from graft.temporal import edge_diff
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    we = transcripts_to_edges_windowed(t, "day")
+    bounds = we.agg(F.min("win").alias("w0"), F.max("win").alias("w1"))
+    old = we.join(
+        F.broadcast(bounds), F.col("win") == F.col("w0")
+    ).select("u", "v", "weight")
+    new = we.join(
+        F.broadcast(bounds), F.col("win") == F.col("w1")
+    ).select("u", "v", "weight")
+    return edge_diff(old, new)
+
+
+def _q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-set drift between every pair of consecutive daily snapshots:
+    Jaccard similarity, added/removed counts, total |Δweight| — the
+    corpus-evolution dashboard row per day."""
+    from graft.io import transcripts_to_edges_windowed
+    from graft.temporal import snapshot_drift
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return snapshot_drift(transcripts_to_edges_windowed(t, "day"))
+
+
+_SQL_WINDOWED_BODY = r"""t AS (
   SELECT cast(user_id AS varchar) AS conv_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
            AS turn_idx,
@@ -3586,9 +3618,72 @@ _SQL_WINDOWED_EDGES = r"""WITH t AS (
   SELECT win, least('conv:' || conv_id, actor),
          greatest('conv:' || conv_id, actor)
   FROM a
+), we AS (
+  SELECT win, u, v, cast(count(*) AS double) AS weight
+  FROM pairs GROUP BY win, u, v
+)"""
+
+_SQL_WINDOWED_EDGES = (
+    "WITH " + _SQL_WINDOWED_BODY + "\nSELECT win, u, v, weight FROM we"
 )
-SELECT win, u, v, cast(count(*) AS double) AS weight
-FROM pairs GROUP BY win, u, v"""
+
+_SQL_EDGE_DIFF_DAYS = (
+    "WITH "
+    + _SQL_WINDOWED_BODY
+    + r"""
+, days AS (SELECT min(win) AS w0, max(win) AS w1 FROM we),
+o AS (SELECT u, v, weight FROM we, days WHERE win = w0),
+n AS (SELECT u, v, weight FROM we, days WHERE win = w1)
+SELECT coalesce(o.u, n.u) AS u,
+       coalesce(o.v, n.v) AS v,
+       o.weight AS w_old,
+       n.weight AS w_new,
+       coalesce(n.weight, 0) - coalesce(o.weight, 0) AS delta,
+       CASE WHEN o.weight IS NULL THEN 'added'
+            WHEN n.weight IS NULL THEN 'removed'
+            WHEN o.weight <> n.weight THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.u = n.u AND o.v = n.v"""
+)
+
+_SQL_SNAPSHOT_DRIFT = (
+    "WITH "
+    + _SQL_WINDOWED_BODY
+    + r"""
+, wins AS (
+  SELECT win, lead(win) OVER (ORDER BY win) AS next_win
+  FROM (SELECT DISTINCT win FROM we)
+  QUALIFY next_win IS NOT NULL
+), pv AS (
+  SELECT wins.win, wins.next_win, we.u, we.v, we.weight AS w_prev
+  FROM we JOIN wins ON we.win = wins.win
+), cu AS (
+  SELECT wins.win, wins.next_win, we.u, we.v, we.weight AS w_cur
+  FROM we JOIN wins ON we.win = wins.next_win
+), j AS (
+  SELECT coalesce(pv.win, cu.win) AS win,
+         coalesce(pv.next_win, cu.next_win) AS next_win,
+         pv.w_prev, cu.w_cur
+  FROM pv FULL OUTER JOIN cu
+    ON pv.win = cu.win AND pv.next_win = cu.next_win
+   AND pv.u = cu.u AND pv.v = cu.v
+)
+SELECT win, next_win,
+       count(w_prev) AS n_prev,
+       count(w_cur) AS n_cur,
+       count(CASE WHEN w_prev IS NOT NULL AND w_cur IS NOT NULL THEN 1 END)
+         AS n_common,
+       count(CASE WHEN w_prev IS NULL THEN 1 END) AS n_added,
+       count(CASE WHEN w_cur IS NULL THEN 1 END) AS n_removed,
+       round(count(CASE WHEN w_prev IS NOT NULL AND w_cur IS NOT NULL
+                        THEN 1 END)
+             / (count(w_prev) + count(w_cur)
+                - count(CASE WHEN w_prev IS NOT NULL AND w_cur IS NOT NULL
+                             THEN 1 END)), 6) AS jaccard,
+       round(sum(abs(coalesce(w_cur, 0) - coalesce(w_prev, 0))), 6)
+         AS weight_delta
+FROM j GROUP BY win, next_win"""
+)
 
 
 _SQL_ANF_ROUND = """
@@ -3754,6 +3849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_3hops": _q_anf_3hops,
         "streaming_edge_ingest": _q_streaming_edges,
         "windowed_edges": _q_windowed_edges,
+        "edge_diff_days": _q_edge_diff_days,
+        "snapshot_drift": _q_snapshot_drift,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
@@ -3888,6 +3985,8 @@ FROM e WHERE u = v""",
         # so it shares the batch oracle
         "streaming_edge_ingest": _SQL_ACTORS + "SELECT u, v, weight FROM e",
         "windowed_edges": _SQL_WINDOWED_EDGES,
+        "edge_diff_days": _SQL_EDGE_DIFF_DAYS,
+        "snapshot_drift": _SQL_SNAPSHOT_DRIFT,
         "triangle_count": _SQL_TRIANGLES,
         "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
         "vertex_jaccard": _SQL_JACCARD,
