@@ -52,6 +52,7 @@ ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
     "betweenness", "edge-betweenness", "ecg", "spectral", "msf",
+    "snapshot-drift",
 }
 
 
@@ -91,6 +92,11 @@ def main(argv=None) -> None:
         "clustering (cugraph spectral-clustering API shape)",
     )
     p.add_argument(
+        "--granularity", default="day",
+        help="snapshot-drift: date_trunc grain for the per-window link "
+        "graphs (hour/day/week/...)",
+    )
+    p.add_argument(
         "--half-life-s", type=float, default=None,
         help="recency-decay half-life in seconds: edge weights become "
         "sum of 0.5**(age/half_life) anchored at the corpus max ts "
@@ -100,10 +106,13 @@ def main(argv=None) -> None:
 
     spark = SparkSession.builder.appName(f"graft-{args.algo}").getOrCreate()
     if args.algo in (
-        "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi"
+        "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
+        "snapshot-drift",
     ):
         # transcript-table algos: no graph build, output keyed by conv
         from graft.algos.wl import conversation_wl_fingerprints
+        from graft.io import transcripts_to_edges_windowed
+        from graft.temporal import snapshot_drift
         from graft.transcripts import actor_pmi, sessionize, turn_gap_stats
 
         df = read_transcript_source(spark, args.input)
@@ -115,6 +124,9 @@ def main(argv=None) -> None:
             "sessionize": sessionize,
             "turn-gaps": turn_gap_stats,
             "actor-pmi": actor_pmi,
+            "snapshot-drift": lambda d: snapshot_drift(
+                transcripts_to_edges_windowed(d, args.granularity)
+            ),
         }[args.algo](df)
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({

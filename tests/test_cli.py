@@ -52,3 +52,16 @@ def test_cli_half_life_changes_weights_not_vertices(spark, tmp_path, capsys):
     ra = {r.actor: r.rank for r in a.collect()}
     rb = {r.actor: r.rank for r in b.collect()}
     assert any(abs(ra[k] - rb[k]) > 1e-9 for k in ra)
+
+
+def test_cli_snapshot_drift(spark, tmp_path, capsys):
+    src = _write_transcripts(spark, tmp_path)
+    out = str(tmp_path / "drift")
+    main(["--algo", "snapshot-drift", "--input", src, "--output", out,
+          "--granularity", "hour"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["algo"] == "snapshot-drift"
+    got = spark.read.parquet(out)
+    assert {"win", "next_win", "jaccard", "weight_delta"} <= set(got.columns)
+    # every pair is consecutive-hour: jaccard in [0, 1]
+    assert got.where("jaccard < 0 OR jaccard > 1").count() == 0
