@@ -3092,6 +3092,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-budget chunks (RAG/long-doc splitting):
+    pure split+explode, no shuffle. Hash-certified against a DuckDB
+    list-slicing oracle."""
+    from graft.pipeline.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing (GPT-style training sequences):
+    deterministic (bucket, doc_id) order, hierarchical prefix sum — the
+    one shuffle is the bucket exchange, never a single-partition global
+    window. Hash-certified against a flat-window DuckDB oracle."""
+    from graft.pipeline.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
+def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row packing audit: sequence count, mean docs/sequence, full
+    sequences, boundary-straddling docs."""
+    from graft.pipeline.packing import pack_sequences, packed_sequence_stats
+
+    return packed_sequence_stats(
+        pack_sequences(_docs(spark, sf_dir), seq_len=512), seq_len=512
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graft.pipeline.textstats import token_counts
 
@@ -3916,6 +3945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecg_communities": _q_ecg_communities,
         "ecg_quality": _q_ecg_quality,
         "rmat_edges": _q_rmat_edges,
+        "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
+        "packing_stats": _q_packing_stats,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -4051,6 +4083,9 @@ FROM e WHERE u = v""",
         # no SQL oracle (driver rows-only check); exact-label correctness
         # is covered by pytest golden + differential + parity tests, and
         # the *_quality rows pin (n_communities, quality) run-over-run.
+        "doc_chunks": _po.SQL_DOC_CHUNKS,
+        "packed_sequences": _po.SQL_PACKED_SEQUENCES,
+        "packing_stats": _po.SQL_PACKING_STATS,
         "doc_token_counts": _po.SQL_TOKEN_COUNTS,
         "doc_fingerprints": _po.SQL_FINGERPRINTS,
         "exact_dedup": _po.SQL_EXACT_DEDUP,

@@ -844,3 +844,96 @@ LEFT JOIN agg USING (doc_id)
 
 
 SQL_DECONTAMINATION = _decontaminate_sql()
+
+
+# --- chunking / sequence packing (graft.pipeline.packing) ---
+# raw-text whitespace tokens: no lowering, no punctuation stripping
+_RAW_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def _chunk_sql(chunk: int = 64, overlap: int = 8) -> str:
+    stride = chunk - overlap
+    return f"""
+WITH sized AS (
+  SELECT doc_id, {_RAW_TOKS} AS l, len({_RAW_TOKS}) AS n FROM documents
+), nz AS (
+  SELECT * FROM sized WHERE n > 0
+), idx AS (
+  SELECT doc_id, l, n,
+         unnest(generate_series(
+           0,
+           greatest(1, cast(ceil((n - {overlap}) / {stride}.0) AS BIGINT)) - 1
+         )) AS chunk_idx
+  FROM nz
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(
+         l[chunk_idx*{stride}+1 : chunk_idx*{stride}+{chunk}], ' '
+       ) AS chunk_text,
+       least({chunk}, n - chunk_idx*{stride}) AS n_tokens
+FROM idx
+"""
+
+
+def _pack_sql(seq_len: int = 512, n_buckets: int = 16) -> str:
+    # same portable bucket hash as pack_sequences: first 8 md5 hex chars
+    # of cast(doc_id as varchar), mod n_buckets; packing order
+    # (bucket, doc_id); oracle computes the prefix sum with one flat
+    # window (it doesn't need to scale)
+    return f"""
+WITH sized AS (
+  SELECT doc_id, len({_RAW_TOKS}) AS n,
+         cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {n_buckets} AS bucket
+  FROM documents
+), nz AS (
+  SELECT * FROM sized WHERE n > 0
+), offs AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (
+           ORDER BY bucket, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM nz
+), spans AS (
+  SELECT doc_id, n, off,
+         unnest(generate_series(
+           cast(floor(off / {seq_len}.0) AS BIGINT),
+           cast(floor((off + n - 1) / {seq_len}.0) AS BIGINT)
+         )) AS seq_id
+  FROM offs
+)
+SELECT seq_id, doc_id,
+       cast(greatest(seq_id*{seq_len} - off, 0) AS BIGINT) AS begin_tok,
+       cast(least((seq_id+1)*{seq_len} - off, n) AS BIGINT) AS end_tok,
+       cast(off + greatest(seq_id*{seq_len} - off, 0) - seq_id*{seq_len}
+            AS BIGINT) AS seq_off
+FROM spans
+"""
+
+
+def _pack_stats_sql(seq_len: int = 512, n_buckets: int = 16) -> str:
+    return f"""
+WITH packed AS ({_pack_sql(seq_len, n_buckets)}),
+per_seq AS (
+  SELECT seq_id, count(*) AS n_docs,
+         sum(end_tok - begin_tok) AS fill
+  FROM packed GROUP BY seq_id
+),
+straddle AS (
+  SELECT count(*) AS straddling_docs FROM (
+    SELECT doc_id FROM packed GROUP BY doc_id HAVING count(*) > 1
+  )
+)
+SELECT count(*) AS n_seqs,
+       round(avg(n_docs), 6) AS avg_docs_per_seq,
+       cast(sum(CASE WHEN fill = {seq_len} THEN 1 ELSE 0 END) AS BIGINT)
+         AS full_seqs,
+       (SELECT straddling_docs FROM straddle) AS straddling_docs
+FROM per_seq
+"""
+
+
+SQL_DOC_CHUNKS = _chunk_sql()
+SQL_PACKED_SEQUENCES = _pack_sql()
+SQL_PACKING_STATS = _pack_stats_sql()
