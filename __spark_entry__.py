@@ -3121,6 +3121,32 @@ def _q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing acceptance plan: bottleneck-source feasibility over a
+    3:1 weighted subset of sources (src16-19 unweighted -> dropped)."""
+    from graft.pipeline.oracles import _MIX_WEIGHTS
+    from graft.pipeline.splits import source_mix_plan
+
+    return source_mix_plan(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed corpus under the md5 hash-threshold selection rule —
+    deterministic across engines/partitionings/reruns."""
+    from graft.pipeline.oracles import _MIX_WEIGHTS
+    from graft.pipeline.splits import mix_sources
+
+    return mix_sources(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
+def _q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram cross-entropy (mean token surprisal, bits) vs the
+    corpus's own unigram distribution — the cheap LM-quality filter."""
+    from graft.pipeline.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graft.pipeline.textstats import token_counts
 
@@ -3948,6 +3974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
         "packing_stats": _q_packing_stats,
+        "source_mix_plan": _q_source_mix_plan,
+        "source_mix": _q_source_mix,
+        "unigram_xent": _q_unigram_xent,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -4086,6 +4115,9 @@ FROM e WHERE u = v""",
         "doc_chunks": _po.SQL_DOC_CHUNKS,
         "packed_sequences": _po.SQL_PACKED_SEQUENCES,
         "packing_stats": _po.SQL_PACKING_STATS,
+        "source_mix_plan": _po.SQL_SOURCE_MIX_PLAN,
+        "source_mix": _po.SQL_SOURCE_MIX,
+        "unigram_xent": _po.SQL_UNIGRAM_XENT,
         "doc_token_counts": _po.SQL_TOKEN_COUNTS,
         "doc_fingerprints": _po.SQL_FINGERPRINTS,
         "exact_dedup": _po.SQL_EXACT_DEDUP,

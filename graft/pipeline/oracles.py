@@ -937,3 +937,59 @@ FROM per_seq
 SQL_DOC_CHUNKS = _chunk_sql()
 SQL_PACKED_SEQUENCES = _pack_sql()
 SQL_PACKING_STATS = _pack_stats_sql()
+
+
+# --- source mixing (graft.pipeline.splits.mix_sources) ---
+def _mix_sql(weights: dict, key_col: str = "doc_id",
+             salt: str = "mix") -> tuple[str, str]:
+    """(plan_sql, mix_sql) oracle pair for source_mix_plan/mix_sources:
+    same bottleneck-source feasibility math, same md5 60-bit threshold."""
+    total = sum(weights.values())
+    wrows = ", ".join(
+        f"('{s}', {w / total!r})" for s, w in sorted(weights.items())
+    )
+    plan = f"""
+WITH w AS (
+  SELECT source, cast(weight AS DOUBLE) AS weight
+  FROM (VALUES {wrows}) raw(source, weight)
+),
+counts AS (
+  SELECT source, count(*) AS n_avail FROM documents GROUP BY source
+), per AS (
+  SELECT counts.source, n_avail, weight
+  FROM counts JOIN w USING (source)
+), t AS (SELECT min(n_avail / weight) AS _t FROM per)
+SELECT per.source, per.n_avail, round(per.weight, 6) AS weight,
+       round(least(1.0, per.weight * t._t / per.n_avail), 6) AS accept_rate
+FROM per, t
+"""
+    mix = f"""
+WITH plan AS ({plan})
+SELECT d.*, p.accept_rate
+FROM documents d JOIN plan p USING (source)
+WHERE cast(('0x' || substr(
+        md5(cast(d.{key_col} AS VARCHAR) || '#{salt}'), 1, 15)) AS BIGINT)
+      < cast(p.accept_rate * {2**60}.0 AS BIGINT)
+"""
+    return plan, mix
+
+
+_MIX_WEIGHTS = {f"src{i}": (3.0 if i < 4 else 1.0) for i in range(16)}
+SQL_SOURCE_MIX_PLAN, SQL_SOURCE_MIX = _mix_sql(_MIX_WEIGHTS)
+
+
+# --- unigram cross-entropy (graft.pipeline.textstats.unigram_logprob) ---
+SQL_UNIGRAM_XENT = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS tf FROM toks GROUP BY term
+), tot AS (SELECT sum(tf) AS corpus_n FROM tf)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-avg(log2(tf / corpus_n)), 6) AS xent_bits
+FROM toks JOIN tf USING (term), tot
+GROUP BY doc_id
+"""

@@ -74,3 +74,82 @@ def assign_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def source_mix_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source acceptance plan realizing a target corpus mixture
+    (the pretraining "data mixing" step: e.g. 40% web / 30% code /
+    30% papers from unbalanced raw pools).
+
+    Solves for the largest feasible corpus: the bottleneck source is
+    the one with the smallest ``n_s / w_s`` ratio; the feasible total
+    is ``T = min_s(n_s / w_s)`` and each source contributes
+    ``k_s = w_s * T`` docs, i.e. acceptance rate ``p_s = k_s / n_s``
+    (the bottleneck source is taken whole, over-represented pools are
+    down-sampled). Sources absent from ``weights`` are dropped.
+
+    Returns ``(source, n_avail, weight, accept_rate)`` — one row per
+    weighted source, rates rounded to 6 dp. Everything is one tiny
+    groupBy; nothing is collected to the driver.
+    """
+    total = sum(weights.values())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, w / total) for s, w in sorted(weights.items())],
+        f"{source_col} string, weight double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    per = counts.join(wdf, source_col)  # inner: unweighted sources drop
+    # feasible total T = min(n_s / w_s); computed in-plan (scalar agg
+    # cross-joined back — source-count-sized, never data-sized)
+    t = per.agg(
+        F.min(F.col("n_avail") / F.col("weight")).alias("_t")
+    )
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            "n_avail",
+            F.round("weight", 6).alias("weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("weight") * F.col("_t") / F.col("n_avail"),
+                ),
+                6,
+            ).alias("accept_rate"),
+        )
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """The mixed corpus: rows selected by the :func:`source_mix_plan`
+    acceptance rates via the same deterministic md5 hash-threshold rule
+    as :func:`deterministic_sample` — a pure function of (key, salt),
+    so the selection is identical across engines, partitionings, and
+    reruns, and appending new docs never flips existing decisions.
+
+    Realized per-source counts are hash-binomial around ``p_s * n_s``
+    (exact-k selection would need a per-source global sort; the
+    threshold rule is one scan, no shuffle of the corpus side — the
+    plan table is broadcast). Returns the input rows + ``accept_rate``.
+    """
+    plan = source_mix_plan(df, weights, source_col)
+    return (
+        df.join(F.broadcast(plan.select(source_col, "accept_rate")),
+                source_col)
+        .where(
+            _u60(F.col(key_col), salt)
+            < (F.col("accept_rate") * F.lit(float(_MOD))).cast("long")
+        )
+    )

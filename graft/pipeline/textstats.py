@@ -285,3 +285,38 @@ def tfidf_top_terms(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's OWN
+    unigram distribution — the cheap LM-quality signal (mean token
+    surprisal in bits): boilerplate/repetitive docs score low,
+    gibberish and rare-token soup score high, both tails are the usual
+    filter candidates.
+
+    Returns ``(doc_id, n_tokens, xent_bits)`` with
+    ``xent_bits = -mean_t log2(tf(t) / N)`` over the doc's (normalized)
+    tokens; zero-token docs yield no row.
+
+    Plan shape at 100 TB: explode is narrow; the term-frequency table
+    is VOCABULARY-sized (one map-side-combinable hash agg of the token
+    stream) and joins back against the stream as a build-side-small
+    hash join — stopword skew sits on the probe side only, which hash
+    joins tolerate (and AQE splits). No driver collect, no window.
+    """
+    toks = df.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("corpus_n"))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(F.log2(F.col("tf") / F.col("corpus_n"))), 6
+            ).alias("xent_bits"),
+        )
+    )
