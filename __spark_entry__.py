@@ -2329,6 +2329,17 @@ def _q_lpa_2rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(g, max_iter=2)
 
 
+def _q_node_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guimera-Amaral node roles (participation coefficient +
+    within-module z) over the certified 2-round LPA labeling — the
+    connector-hub vs provincial-hub classifier the skew levers key on."""
+    from graft.algos.lpa import label_propagation
+    from graft.algos.roles import participation_roles
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return participation_roles(g, label_propagation(g, max_iter=2))
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _actor_graph(spark, sf_dir).cache()
     n = triangle_count(g)
@@ -3825,6 +3836,40 @@ FROM vol v LEFT JOIN win w ON v.community = w.community"""
 )
 
 
+# Guimera-Amaral node roles over the certified 2-round LPA labeling:
+# participation coefficient + within-module z-score, loops excluded
+_SQL_NODE_ROLES = (
+    _SQL_LPA_2ROUNDS.replace("\nSELECT id, label FROM l2", "")
+    + """
+, nl AS (SELECT id, label AS community FROM l2)
+, ew AS (SELECT src, dst, weight FROM sym2 WHERE src <> dst)
+, kic AS (
+  SELECT e.src AS id, nl.community AS c, sum(e.weight) AS kc
+  FROM ew e JOIN nl ON e.dst = nl.id GROUP BY e.src, nl.community
+)
+, ks AS (SELECT id, sum(kc) AS k, sum(kc*kc) AS sumsq FROM kic GROUP BY id)
+, kin AS (
+  SELECT kic.id, kic.kc AS kin
+  FROM kic JOIN nl ON kic.id = nl.id AND kic.c = nl.community
+)
+, rb AS (
+  SELECT nl.id, nl.community,
+         coalesce(ks.k, 0) AS k, coalesce(ks.sumsq, 0) AS sumsq,
+         coalesce(kin.kin, 0) AS kin
+  FROM nl LEFT JOIN ks USING (id) LEFT JOIN kin USING (id)
+)
+, rs AS (
+  SELECT community, avg(kin) AS mu, stddev_pop(kin) AS sd
+  FROM rb GROUP BY community
+)
+SELECT rb.id, rb.community, round(rb.k, 6) AS k,
+       round(CASE WHEN rb.k > 0 THEN 1 - rb.sumsq/(rb.k*rb.k)
+                  ELSE 0.0 END, 6) AS p_coef,
+       round(CASE WHEN rs.sd > 0 THEN (rb.kin - rs.mu)/rs.sd
+                  ELSE 0.0 END, 6) AS z_in
+FROM rb JOIN rs USING (community)"""
+)
+
 # partition agreement (NMI + ARI) between the 2-round LPA labeling and
 # the connected-components labeling: both labelings re-derived in SQL
 # (LPA unroll + recursive reachability), then the contingency table,
@@ -3898,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
+        "node_roles": _q_node_roles,
         "lpa_conductance": _q_lpa_conductance,
         "partition_agreement": _q_partition_agreement,
         "lpa_modularity": _q_lpa_modularity,
@@ -4038,6 +4084,7 @@ FROM e WHERE u = v""",
         "connected_components": _SQL_CC,
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
+        "node_roles": _SQL_NODE_ROLES,
         "lpa_conductance": _SQL_LPA_CONDUCTANCE,
         "partition_agreement": _SQL_PARTITION_AGREEMENT,
         "lpa_modularity": _SQL_LPA_MODULARITY,
