@@ -2340,6 +2340,14 @@ def _q_node_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return participation_roles(g, label_propagation(g, max_iter=2))
 
 
+def _q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-clique census (K4 graphlet) of the actor graph."""
+    from graft.algos.structure import four_clique_count
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return spark.createDataFrame([(four_clique_count(g),)], "k4 long")
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _actor_graph(spark, sf_dir).cache()
     n = triangle_count(g)
@@ -3870,6 +3878,25 @@ SELECT rb.id, rb.community, round(rb.k, 6) AS k,
 FROM rb JOIN rs USING (community)"""
 )
 
+# K4 census over the actor graph: lexicographic-triangle extension on
+# the single-counted simple edge list (exactly once per clique)
+_SQL_FOUR_CLIQUES = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, se AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM sym2 WHERE src <> dst
+)
+SELECT count(*) AS k4 FROM se e1
+JOIN se e2 ON e2.u = e1.u AND e1.v < e2.v
+JOIN se e3 ON e3.u = e1.v AND e3.v = e2.v
+JOIN se e4 ON e4.u = e2.v
+JOIN se e5 ON e5.u = e1.u AND e5.v = e4.v
+JOIN se e6 ON e6.u = e1.v AND e6.v = e4.v"""
+)
+
+
 # partition agreement (NMI + ARI) between the 2-round LPA labeling and
 # the connected-components labeling: both labelings re-derived in SQL
 # (LPA unroll + recursive reachability), then the contingency table,
@@ -3944,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
         "node_roles": _q_node_roles,
+        "four_cliques": _q_four_cliques,
         "lpa_conductance": _q_lpa_conductance,
         "partition_agreement": _q_partition_agreement,
         "lpa_modularity": _q_lpa_modularity,
@@ -4085,6 +4113,7 @@ FROM e WHERE u = v""",
         "component_sizes": _SQL_COMPONENT_SIZES,
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
         "node_roles": _SQL_NODE_ROLES,
+        "four_cliques": _SQL_FOUR_CLIQUES,
         "lpa_conductance": _SQL_LPA_CONDUCTANCE,
         "partition_agreement": _SQL_PARTITION_AGREEMENT,
         "lpa_modularity": _SQL_LPA_MODULARITY,

@@ -377,3 +377,54 @@ def attribute_assortativity(graph: Graph, attrs: DataFrame) -> DataFrame:
             .alias("assortativity")
         )
     )
+
+
+def four_clique_count(graph: Graph) -> int:
+    """Global K4 (4-clique) census of the simple graph — the next
+    graphlet up from triangles (networkx would spell it
+    ``sum(1 for _ in enumerate_all_cliques if len == 4)``); with
+    triangles and squares it completes the 3-4-vertex motif profile
+    used for graph fingerprinting.
+
+    Enumeration: ascending-id orientation — each K4 {a<b<c<d} is
+    produced exactly once by extending its lexicographic triangle
+    (a,b,c) with the (c,d) edge and closing (a,d),(b,d): four hash
+    joins over the single-counted edge list, no correction factor.
+    Same shuffle class as triangle counting (wedge joins); on
+    hub-heavy graphs cap adjacency upstream (top-k sparsifier /
+    sampling hub caps) exactly as for squares — the K4 count of the
+    capped graph is then a documented lower bound.
+    """
+    se = (
+        _simple_adj(graph)
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    tri = (
+        se.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(
+            se.select(F.col("u").alias("a"), F.col("v").alias("c")), "a"
+        )
+        .where(F.col("b") < F.col("c"))
+        .join(
+            se.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            ["b", "c"],
+            "leftsemi",
+        )
+    )
+    k4 = (
+        tri.join(
+            se.select(F.col("u").alias("c"), F.col("v").alias("d")), "c"
+        )
+        .join(
+            se.select(F.col("u").alias("a"), F.col("v").alias("d")),
+            ["a", "d"],
+            "leftsemi",
+        )
+        .join(
+            se.select(F.col("u").alias("b"), F.col("v").alias("d")),
+            ["b", "d"],
+            "leftsemi",
+        )
+    )
+    return k4.count()

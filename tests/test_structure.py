@@ -411,3 +411,42 @@ def test_attribute_assortativity_extremes(spark):
     g2 = Graph.from_undirected(fixtures.edges_df(spark, cross)).cache()
     got = attribute_assortativity(g2, _cats_df(spark, cats)).first()[0]
     assert got == pytest.approx(-1.0, abs=1e-12)
+
+
+def _brute_k4(edges):
+    import itertools
+
+    adj = {}
+    for u, v, *_ in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    n = 0
+    for quad in itertools.combinations(sorted(adj), 4):
+        if all(b in adj[a] for a, b in itertools.combinations(quad, 2)):
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("edges", [
+    [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)],   # one K4
+    [(a, b, 1.0) for a in range(6) for b in range(a + 1, 6)],   # K6: C(6,4)
+    fixtures.clique_ring_edges(),                               # five K4s
+    random_graph(30, 0.3, seed=7, weighted=False),
+])
+def test_four_clique_count_matches_brute_force(spark, edges):
+    from graft.algos.structure import four_clique_count
+
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = four_clique_count(g)
+    g.unpersist()
+    assert got == _brute_k4(edges)
+
+
+def test_four_clique_count_ignores_loops_and_weights(spark):
+    from graft.algos.structure import four_clique_count
+
+    edges = [(a, b, 2.5) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(0, 0, 1.0), (4, 5, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assert four_clique_count(g) == 1
