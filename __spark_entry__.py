@@ -1070,6 +1070,37 @@ SELECT prev_role, role, n,
 FROM pairs"""
 )
 
+# per-conversation transition entropy (degenerate-loop detector)
+_SQL_CONVERSATION_ENTROPY = (
+    "WITH "
+    + _SQL_TT
+    + """
+, pr AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role
+  FROM tt
+), pairs AS (
+  SELECT conv_id, prev_role, role, count(*) AS n
+  FROM pr WHERE prev_role IS NOT NULL
+  GROUP BY conv_id, prev_role, role
+), tot AS (
+  SELECT conv_id, sum(n) AS t, count(*) AS k FROM pairs GROUP BY conv_id
+), h AS (
+  SELECT p.conv_id, t.t, t.k,
+         -sum((p.n * 1.0 / t.t) * log2(p.n * 1.0 / t.t)) AS h
+  FROM pairs p JOIN tot t USING (conv_id)
+  GROUP BY p.conv_id, t.t, t.k
+)
+SELECT c.conv_id,
+       coalesce(h.t, 0)::BIGINT AS n_transitions,
+       coalesce(h.k, 0)::BIGINT AS k_pairs,
+       round(coalesce(h.h, 0.0), 6) AS h_bits,
+       round(CASE WHEN h.k > 1 THEN h.h / log2(h.k)
+                  ELSE 0.0 END, 6) AS h_norm
+FROM (SELECT DISTINCT conv_id FROM tt) c LEFT JOIN h USING (conv_id)"""
+)
+
 # per-conversation inter-turn gap profile + Goh–Barabási burstiness
 _SQL_TURN_GAP_STATS = (
     "WITH "
@@ -2685,6 +2716,15 @@ def _q_sessionized_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation transition entropy (graft.transcripts
+    .conversation_entropy) — the degenerate-loop triage signal."""
+    from graft.transcripts import conversation_entropy
+
+    t = events_to_transcripts(read_table(spark, sf_dir, "events"))
+    return conversation_entropy(t)
+
+
 def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation triage stats (graft.transcripts
     .conversation_stats): depth, actor diversity, tool rate, text
@@ -3972,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_2rounds": _q_lpa_2rounds,
         "node_roles": _q_node_roles,
         "four_cliques": _q_four_cliques,
+        "conversation_entropy": _q_conversation_entropy,
         "lpa_conductance": _q_lpa_conductance,
         "partition_agreement": _q_partition_agreement,
         "lpa_modularity": _q_lpa_modularity,
@@ -4114,6 +4155,7 @@ FROM e WHERE u = v""",
         "lpa_2rounds": _SQL_LPA_2ROUNDS,
         "node_roles": _SQL_NODE_ROLES,
         "four_cliques": _SQL_FOUR_CLIQUES,
+        "conversation_entropy": _SQL_CONVERSATION_ENTROPY,
         "lpa_conductance": _SQL_LPA_CONDUCTANCE,
         "partition_agreement": _SQL_PARTITION_AGREEMENT,
         "lpa_modularity": _SQL_LPA_MODULARITY,

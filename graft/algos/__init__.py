@@ -33,6 +33,7 @@ from graft.algos.structure import (  # noqa: F401
     clustering_coefficient,
     degree_assortativity,
     reciprocity,
+    four_clique_count,
     rich_club,
     square_count,
     transitivity,

@@ -52,7 +52,7 @@ ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
     "betweenness", "edge-betweenness", "ecg", "spectral", "msf",
-    "snapshot-drift",
+    "snapshot-drift", "conv-entropy", "node-roles",
 }
 
 
@@ -107,13 +107,18 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName(f"graft-{args.algo}").getOrCreate()
     if args.algo in (
         "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
-        "snapshot-drift",
+        "snapshot-drift", "conv-entropy",
     ):
         # transcript-table algos: no graph build, output keyed by conv
         from graft.algos.wl import conversation_wl_fingerprints
         from graft.io import transcripts_to_edges_windowed
         from graft.temporal import snapshot_drift
-        from graft.transcripts import actor_pmi, sessionize, turn_gap_stats
+        from graft.transcripts import (
+            actor_pmi,
+            conversation_entropy,
+            sessionize,
+            turn_gap_stats,
+        )
 
         df = read_transcript_source(spark, args.input)
         if args.input_kind == "events":
@@ -124,6 +129,7 @@ def main(argv=None) -> None:
             "sessionize": sessionize,
             "turn-gaps": turn_gap_stats,
             "actor-pmi": actor_pmi,
+            "conv-entropy": conversation_entropy,
             "snapshot-drift": lambda d: snapshot_drift(
                 transcripts_to_edges_windowed(d, args.granularity)
             ),
@@ -151,6 +157,13 @@ def main(argv=None) -> None:
         out = triangles_per_vertex(g)
     elif args.algo == "louvain":
         out = louvain(g, seed=args.seed, checkpointer=ckpt)
+    elif args.algo == "node-roles":
+        from graft.algos.lpa import label_propagation
+        from graft.algos.roles import participation_roles
+
+        out = participation_roles(
+            g, label_propagation(g, max_iter=args.max_iter)
+        )
     elif args.algo == "wl":
         from graft.algos.wl import wl_colors
 

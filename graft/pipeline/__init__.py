@@ -35,3 +35,14 @@ from graft.pipeline.embeddings import (  # noqa: F401
     project_embeddings,
     whiten_embeddings,
 )
+from graft.pipeline.packing import (  # noqa: F401
+    chunk_documents,
+    pack_sequences,
+    packed_sequence_stats,
+)
+from graft.pipeline.splits import (  # noqa: F401
+    assign_splits,
+    deterministic_sample,
+    mix_sources,
+    source_mix_plan,
+)

@@ -216,3 +216,61 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tot"), 6).alias("p"),
     )
+
+
+def conversation_entropy(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation first-order transition entropy — the
+    degenerate-loop detector for transcript curation: a conversation
+    stuck in an A→B→A→B ping-pong (runaway agent retries, scripted
+    protocols) carries ~1 bit per transition, while organic multi-actor
+    traffic runs close to ``log2(k)`` of its observed pair set.
+
+    Returns ``(conv_id, n_transitions, k_pairs, h_bits, h_norm)``:
+    transition count, distinct (prev_role → role) pairs, Shannon
+    entropy of the transition distribution in bits, and the
+    ``h / log2(k)`` normalization in [0, 1] (0 when k ≤ 1).
+    Single-turn conversations keep a zero row.
+
+    Plan: the same conv_id window shuffle the edge derivation pays +
+    two conv-keyed hash aggs; nothing corpus-sized leaves the executors.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            "role",
+            F.lag("role").over(w).alias("prev_role"),
+        )
+        .where(F.col("prev_role").isNotNull())
+        .groupBy("conv_id", "prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("conv_id").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    h = (
+        pairs.join(tot, "conv_id")
+        .groupBy("conv_id", "t", "k")
+        .agg(
+            (-F.sum(
+                (F.col("n") / F.col("t"))
+                * F.log2(F.col("n") / F.col("t"))
+            )).alias("h")
+        )
+    )
+    convs = transcripts.select("conv_id").distinct()
+    return (
+        convs.join(h, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_transitions"),
+            F.coalesce("k", F.lit(0)).cast("long").alias("k_pairs"),
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("h_bits"),
+            F.round(
+                F.when(
+                    F.col("k") > 1, F.col("h") / F.log2(F.col("k"))
+                ).otherwise(0.0),
+                6,
+            ).alias("h_norm"),
+        )
+    )

@@ -3,6 +3,8 @@ transitions."""
 
 import datetime as dt
 
+import pytest
+
 from graft import fixtures
 from graft.transcripts import (
     conversation_stats,
@@ -179,3 +181,31 @@ def test_actor_pmi_repeated_turns_count_conversations_once(spark):
     ])
     got = {(r.a, r.b): r.n_ab for r in actor_pmi(t).collect()}
     assert got == {("role:assistant", "role:user"): 1}
+
+
+def test_conversation_entropy_hand_values(spark):
+    import math
+
+    from graft.transcripts import conversation_entropy
+
+    rows = [
+        # ping-pong: a->b, b->a, a->b -> pairs {(a,b):2,(b,a):1}, t=3
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "a"), ("c1", 3, "b"),
+        # single turn: zero row
+        ("c2", 0, "a"),
+        # uniform over 2 distinct pairs -> h = 1, h_norm = 1
+        ("c3", 0, "a"), ("c3", 1, "b"), ("c3", 2, "c"),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r, None, None) for c, i, r in rows],
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r for r in conversation_entropy(t).collect()}
+    assert got["c2"]["n_transitions"] == 0
+    assert got["c2"]["h_bits"] == 0.0 and got["c2"]["h_norm"] == 0.0
+    h1 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert got["c1"]["n_transitions"] == 3 and got["c1"]["k_pairs"] == 2
+    assert got["c1"]["h_bits"] == pytest.approx(h1, abs=1e-6)
+    assert got["c1"]["h_norm"] == pytest.approx(h1, abs=1e-6)  # /log2(2)
+    assert got["c3"]["h_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert got["c3"]["h_norm"] == pytest.approx(1.0, abs=1e-6)
