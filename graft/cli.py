@@ -158,7 +158,6 @@ def main(argv=None) -> None:
     elif args.algo == "louvain":
         out = louvain(g, seed=args.seed, checkpointer=ckpt)
     elif args.algo == "node-roles":
-        from graft.algos.lpa import label_propagation
         from graft.algos.roles import participation_roles
 
         out = participation_roles(

@@ -956,11 +956,13 @@ WITH w AS (
 counts AS (
   SELECT source, count(*) AS n_avail FROM documents GROUP BY source
 ), per AS (
-  SELECT counts.source, n_avail, weight
-  FROM counts JOIN w USING (source)
+  SELECT w.source, coalesce(counts.n_avail, 0) AS n_avail, w.weight
+  FROM w LEFT JOIN counts USING (source)
 ), t AS (SELECT min(n_avail / weight) AS _t FROM per)
 SELECT per.source, per.n_avail, round(per.weight, 6) AS weight,
-       round(least(1.0, per.weight * t._t / per.n_avail), 6) AS accept_rate
+       round(CASE WHEN per.n_avail > 0
+                  THEN least(1.0, per.weight * t._t / per.n_avail)
+                  ELSE 0.0 END, 6) AS accept_rate
 FROM per, t
 """
     mix = f"""

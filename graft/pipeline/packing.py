@@ -59,8 +59,8 @@ def chunk_documents(
 
     Plan shape: narrow projection + explode — no shuffle, no Python.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     sized = (
         df.select("doc_id", _raw_tokens(text_col).alias("toks"))
@@ -133,7 +133,16 @@ def pack_sequences(
         )
         .where(F.col("n") > 0)
     )
-    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    # ROWS frame, not the orderBy default RANGE: with a duplicated
+    # doc_id, RANGE gives every tied row the full tied sum — identical
+    # offsets, colliding token spans, and sequence slots never filled.
+    # ROWS keeps spans disjoint (duplicate keys are malformed input,
+    # but they must corrupt only their own docs, not the whole stream).
+    in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = sized.withColumn(
         "local_off", F.sum("n").over(in_bucket) - F.col("n")
     )
@@ -183,8 +192,9 @@ def pack_sequences(
 
 def packed_sequence_stats(packed: DataFrame, seq_len: int = 512) -> DataFrame:
     """One-row packing audit over :func:`pack_sequences` output:
-    sequence count, docs-per-sequence mean, boundary-straddling doc
-    count, and fill ratio of the final (only partial) sequence."""
+    sequence count, docs-per-sequence mean, count of exactly-full
+    sequences (all but the last, when packing is healthy), and
+    boundary-straddling doc count."""
     per_seq = packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("end_tok") - F.col("begin_tok")).alias("fill"),

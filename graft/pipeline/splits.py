@@ -103,7 +103,16 @@ def source_mix_plan(
         f"{source_col} string, weight double",
     )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_avail"))
-    per = counts.join(wdf, source_col)  # inner: unweighted sources drop
+    # LEFT join from the weight table: a weighted source with ZERO
+    # available docs must drive T to 0 (the mixture is infeasible and
+    # the plan says so with all-zero rates), not silently vanish and
+    # let the remaining sources fill 100% of a mixture the caller
+    # never asked for. Unweighted sources still drop (weights side).
+    per = wdf.join(counts, source_col, "left").select(
+        source_col,
+        F.coalesce("n_avail", F.lit(0)).alias("n_avail"),
+        "weight",
+    )
     # feasible total T = min(n_s / w_s); computed in-plan (scalar agg
     # cross-joined back — source-count-sized, never data-sized)
     t = per.agg(
@@ -116,10 +125,13 @@ def source_mix_plan(
             "n_avail",
             F.round("weight", 6).alias("weight"),
             F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("weight") * F.col("_t") / F.col("n_avail"),
-                ),
+                F.when(
+                    F.col("n_avail") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.col("weight") * F.col("_t") / F.col("n_avail"),
+                    ),
+                ).otherwise(0.0),
                 6,
             ).alias("accept_rate"),
         )

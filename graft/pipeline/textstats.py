@@ -304,10 +304,16 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     hash join — stopword skew sits on the probe side only, which hash
     joins tolerate (and AQE splits). No driver collect, no window.
     """
+    from graft.checkpoint import truncate
+
     toks = df.select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the vocabulary-sized tf table once: unmaterialized,
+    # its lineage (a full corpus tokenization) re-runs for the
+    # corpus_n scalar AND the probe join — three passes instead of two
+    # (the probe-side re-tokenization is the one irreducible repeat)
+    tf = truncate(toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf")))
     total = tf.agg(F.sum("tf").alias("corpus_n"))
     return (
         toks.join(tf, "term")

@@ -62,3 +62,15 @@ def test_unigram_xent_hand_values(spark):
     assert out[1]["xent_bits"] == pytest.approx(2.0, abs=1e-6)
     # rare-token doc is more surprising than the common-token doc
     assert out[1]["xent_bits"] > out[0]["xent_bits"]
+
+
+def test_plan_zero_availability_source_zeroes_the_mix(spark, corpus):
+    # a weighted source with no docs makes the mixture infeasible: the
+    # plan must say so (all-zero rates), not let the others fill 100%
+    plan = {r["source"]: r for r in
+            source_mix_plan(corpus, {"web": 1.0, "absent": 1.0}).collect()}
+    assert set(plan) == {"web", "absent"}
+    assert plan["absent"]["n_avail"] == 0
+    assert plan["absent"]["accept_rate"] == 0.0
+    assert plan["web"]["accept_rate"] == 0.0
+    assert mix_sources(corpus, {"web": 1.0, "absent": 1.0}).count() == 0

@@ -58,6 +58,31 @@ def test_chunk_no_redundant_tail(spark, docs):
 def test_chunk_rejects_bad_overlap(docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=-2)  # would skip tokens
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0, overlap=0)
+
+
+def test_pack_duplicate_doc_id_spans_stay_disjoint(spark):
+    # duplicate keys are malformed input, but the ROWS-frame prefix sum
+    # must still hand out disjoint offsets (RANGE would give both rows
+    # the same offset and leave sequence slots unfilled)
+    docs = spark.createDataFrame(
+        [(7, "a b c d e"), (7, "a b c d e"), (8, "x y z")],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, seq_len=8)
+    fills = (
+        packed.groupBy("seq_id")
+        .agg(F.sum(F.col("end_tok") - F.col("begin_tok")).alias("fill"))
+        .collect()
+    )
+    assert sum(r["fill"] for r in fills) == 13  # every token exactly once
+    offs = sorted(
+        (r["seq_id"] * 8 + r["seq_off"]) for r in packed.collect()
+    )
+    assert len(offs) == len(set(offs))  # no colliding span starts
 
 
 def test_pack_covers_every_token_exactly_once(spark, docs):
