@@ -3206,6 +3206,14 @@ def _q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf term-frequency tail exponent (textstats.zipf_alpha) — the
+    vocabulary heavy-tail summary, text twin of powerlaw_alpha."""
+    from graft.pipeline.textstats import zipf_alpha
+
+    return zipf_alpha(_docs(spark, sf_dir))
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graft.pipeline.textstats import token_counts
 
@@ -4092,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_plan": _q_source_mix_plan,
         "source_mix": _q_source_mix,
         "unigram_xent": _q_unigram_xent,
+        "zipf_alpha": _q_zipf_alpha,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -4236,6 +4245,7 @@ FROM e WHERE u = v""",
         "source_mix_plan": _po.SQL_SOURCE_MIX_PLAN,
         "source_mix": _po.SQL_SOURCE_MIX,
         "unigram_xent": _po.SQL_UNIGRAM_XENT,
+        "zipf_alpha": _po.SQL_ZIPF_ALPHA,
         "doc_token_counts": _po.SQL_TOKEN_COUNTS,
         "doc_fingerprints": _po.SQL_FINGERPRINTS,
         "exact_dedup": _po.SQL_EXACT_DEDUP,

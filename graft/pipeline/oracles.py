@@ -995,3 +995,24 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM toks JOIN tf USING (term), tot
 GROUP BY doc_id
 """
+
+
+# --- Zipf term-frequency tail exponent (textstats.zipf_alpha) ---
+def _zipf_sql(f_min: int = 2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (SELECT term, count(*) AS f FROM toks GROUP BY term)
+SELECT round(1.0 + count(CASE WHEN f >= {f_min} THEN 1 END)
+             / sum(CASE WHEN f >= {f_min}
+                        THEN ln(f / ({f_min} - 0.5)) END), 6) AS alpha,
+       count(CASE WHEN f >= {f_min} THEN 1 END) AS n_tail_terms,
+       count(*) AS vocab_size,
+       cast({f_min} AS BIGINT) AS f_min
+FROM tf
+"""
+
+
+SQL_ZIPF_ALPHA = _zipf_sql()

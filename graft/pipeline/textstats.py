@@ -326,3 +326,36 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("xent_bits"),
         )
     )
+
+
+def zipf_alpha(df: DataFrame, f_min: int = 2, text_col: str = "text") -> DataFrame:
+    """One-row ``(alpha, n_tail_terms, vocab_size, f_min)`` — the
+    continuous MLE (Hill) estimate of the term-frequency tail exponent
+    over terms with frequency ≥ ``f_min``, with the same Clauset–
+    Shalizi–Newman −0.5 discreteness correction the degree-tail
+    estimator uses (graft.algos.structure.powerlaw_alpha — this is its
+    text twin): how Zipfian the corpus vocabulary is, the number that
+    sizes hash-vocab tables and decides stopword pruning before the
+    token-level operators run at scale.
+
+    Cost: one explode + one vocabulary-sized hash agg + one scalar
+    agg. alpha is NULL on an empty tail; floats rounded to 6 dp.
+    """
+    tf = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return tf.agg(
+        F.round(
+            1.0
+            + F.count(F.when(F.col("f") >= f_min, 1))
+            / F.sum(
+                F.when(F.col("f") >= f_min, F.log(F.col("f") / (f_min - 0.5)))
+            ),
+            6,
+        ).alias("alpha"),
+        F.count(F.when(F.col("f") >= f_min, 1)).alias("n_tail_terms"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.lit(f_min).cast("long").alias("f_min"),
+    )

@@ -74,3 +74,23 @@ def test_plan_zero_availability_source_zeroes_the_mix(spark, corpus):
     assert plan["absent"]["accept_rate"] == 0.0
     assert plan["web"]["accept_rate"] == 0.0
     assert mix_sources(corpus, {"web": 1.0, "absent": 1.0}).count() == 0
+
+
+def test_zipf_alpha_hand_values(spark):
+    import math
+
+    from graft.pipeline.textstats import zipf_alpha
+
+    # tf: the=4, cat=2, dog=1 -> tail (f>=2) = {4, 2}
+    docs = spark.createDataFrame(
+        [(0, "the cat the"), (1, "the dog the cat")],
+        "doc_id long, text string",
+    )
+    row = zipf_alpha(docs, f_min=2).first()
+    want = 1.0 + 2 / (math.log(4 / 1.5) + math.log(2 / 1.5))
+    assert row["vocab_size"] == 3 and row["n_tail_terms"] == 2
+    assert row["alpha"] == pytest.approx(want, abs=1e-6)
+    # empty tail -> NULL alpha, not a crash
+    tiny = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    r2 = zipf_alpha(tiny, f_min=2).first()
+    assert r2["alpha"] is None and r2["n_tail_terms"] == 0
