@@ -178,3 +178,55 @@ def test_pipeline_text_ops_plan_pins(spark):
         if "BroadcastHashJoin" in ln and "shingle" in ln
     ]
     assert probe, f"eval-shingle probe not broadcast:\n{p}"
+
+
+def test_packing_mixing_roles_plans(spark):
+    """The chunking/packing/mixing/scoring family stays JVM-side:
+    chunking is shuffle-FREE (pure projection + explode); sequence
+    packing never runs a single-partition global window (every Window
+    node carries a partition spec); the mix plan broadcasts back onto
+    the corpus scan."""
+    from graft.pipeline.packing import chunk_documents, pack_sequences
+    from graft.pipeline.splits import mix_sources
+    from graft.pipeline.textstats import unigram_logprob, zipf_alpha
+    from graft.transcripts import conversation_entropy
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d", "web" if i % 2 else "code")
+         for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    # chunking: zero exchanges beyond the input's own plan
+    base_ex = _plan(docs).count("Exchange")
+    ch = chunk_documents(docs, chunk_tokens=3, overlap=1)
+    p = _assert_jvm_only(ch, "chunk_documents")
+    assert p.count("Exchange") - base_ex == 0
+
+    pk = pack_sequences(docs, seq_len=8)
+    p = _assert_jvm_only(pk, "pack_sequences")
+    # no global-sort window: every Window node names partition columns
+    # (Spark prints 'Window [funcs], [part cols], [order]' — a global
+    # window would leave the partition list out entirely and WARN)
+    for line in p.splitlines():
+        ls = line.strip().lstrip("+-*: ")
+        if ls.startswith("Window "):
+            assert "[bucket" in ls, f"unpartitioned window: {ls}"
+
+    mx = mix_sources(docs, {"web": 1.0, "code": 1.0})
+    mx.collect()  # finalize AQE so join strategies are visible
+    p = _assert_jvm_only(mx, "mix_sources")
+    assert "BroadcastHashJoin" in p  # plan rides broadcast onto the scan
+
+    _assert_jvm_only(unigram_logprob(docs), "unigram_logprob")
+    _assert_jvm_only(zipf_alpha(docs), "zipf_alpha")
+    _assert_jvm_only(conversation_entropy(_tx(spark)), "conversation_entropy")
+
+    from graft.algos.roles import participation_roles
+    from graft.algos.structure import four_clique_count  # noqa: F401
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    labels = g.vertices().select("id", F.col("id").alias("community"))
+    _assert_jvm_only(participation_roles(g, labels), "participation_roles")
+    g.unpersist()
