@@ -26,15 +26,36 @@ def label_propagation(
     graph: Graph,
     max_iter: int = 20,
     checkpointer: Checkpointer | None = None,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, label long)``.
 
     Synchronous LPA oscillates on bipartite-ish structures; the fixed
     iteration cap is the standard remedy (and what makes the fixed-round
     SQL oracle exact).
+
+    ``initial_labels`` (``(id, label)``) warm-starts the propagation —
+    the streaming-refresh hook: seeding with the previous snapshot's
+    labels keeps community ids CONTINUOUS across refreshes and
+    converges in O(rounds to absorb the new edges) instead of from
+    singletons. Like every LPA, the fixpoint is init-dependent, so a
+    warm run is a different (seed-continuous) labeling, not
+    bit-identity with a cold one; vertices absent from the seed (new
+    actors) start as their own label.
     """
     edges = graph.without_self_loops().persist()
     labels = graph.vertices().select("id", F.col("id").alias("label"))
+    if initial_labels is not None:
+        labels = (
+            labels.join(
+                initial_labels.select(
+                    "id", F.col("label").alias("_seed")
+                ),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("_seed", F.col("label")).alias("label"))
+        )
     labels = truncate(labels)
     with superstep_conf(edges.sparkSession, edges.count()):
         for it in range(max_iter):

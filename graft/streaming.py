@@ -316,3 +316,30 @@ def stream_degrees(deltas: DataFrame) -> DataFrame:
         ).alias("e")
     ).select("e.actor", "e.w")
     return ends.groupBy("actor").agg(F.sum("w").alias("degree"))
+
+
+def incremental_lpa(
+    spark: SparkSession,
+    delta_path: str,
+    prev_labels: DataFrame | None = None,
+    **lpa_kw,
+) -> DataFrame:
+    """Recompute label-propagation communities over the current
+    compaction of the delta log, seeded from the previous refresh.
+
+    Completes the warm-refresh family (PageRank / components /
+    Louvain): seeding keeps label ids continuous across snapshots —
+    downstream joins on community id stay valid — and the propagation
+    only pays rounds proportional to how far the NEW edges perturb the
+    old labeling. Like Louvain (and unlike the PageRank/CC fixpoints)
+    LPA is init-dependent, so this is the seed-continuity contract,
+    not bit-identity with a cold run.
+    """
+    from graft.algos.lpa import label_propagation
+    from graft.graph import Graph
+
+    e = compact_edge_deltas(spark, delta_path).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "weight"
+    )
+    g = Graph.from_undirected(e)
+    return label_propagation(g, initial_labels=prev_labels, **lpa_kw)

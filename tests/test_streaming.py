@@ -233,3 +233,37 @@ def test_stream_degrees_matches_graph_strength(spark, tmp_path):
         .collect()
     }
     assert got == pytest.approx(want)
+
+
+def test_incremental_lpa_seed_continuity(spark, tmp_path):
+    """Warm-started LPA over the compacted delta log: a converged seed
+    on an unchanged graph is a fixpoint (returned unchanged — label ids
+    stay continuous across refreshes), and vertices missing from the
+    seed fall back to singleton init."""
+    from pyspark.sql import functions as SF
+
+    from graft.algos.lpa import label_propagation
+    from graft.streaming import incremental_lpa
+
+    rows = _synth_turns(seed=41, n_conv=10)
+    src = os.path.join(str(tmp_path), "turns")
+    full = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    full.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    deltas_path = _drain(spark, src, str(tmp_path))
+
+    e = transcripts_to_edges(full).select(
+        SF.col("u").alias("src"), SF.col("v").alias("dst"), "weight"
+    )
+    cold = label_propagation(Graph.from_undirected(e), max_iter=20)
+    cold = cold.localCheckpoint(eager=True)
+    warm = {r["id"]: r["label"]
+            for r in incremental_lpa(
+                spark, deltas_path, prev_labels=cold, max_iter=20
+            ).collect()}
+    assert warm == {r["id"]: r["label"] for r in cold.collect()}
+
+    # partial seed: unseeded vertices singleton-init and still converge
+    part = cold.limit(3).localCheckpoint(eager=True)
+    got = incremental_lpa(spark, deltas_path, prev_labels=part, max_iter=20)
+    assert got.count() == cold.count()
+    assert got.where(SF.col("label").isNull()).count() == 0
