@@ -1348,6 +1348,13 @@ _SQL_SORENSEN = (
     + _SQL_PAIR_TAIL
 )
 
+_SQL_SALTON = (
+    _SQL_PAIR_BASE
+    + """SELECT p.u, p.v,
+       round(coalesce(c.nc, 0) / sqrt(du.d * dv.d), 6) AS salton"""
+    + _SQL_PAIR_TAIL
+)
+
 # weighted pair-similarity (cugraph jaccard_w): neighbors weighted by
 # vertex STRENGTH (self-loops doubled — the engine default); union sum
 # = su + sv - cw
@@ -2981,6 +2988,15 @@ def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorensen_coefficient(g)
 
 
+def _q_salton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge Salton (cosine) index |∩|/√(du·dv) — the fourth member
+    of the unweighted pair-similarity quartet (networkx parity)."""
+    from graft.algos.jaccard import salton_index
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return salton_index(g)
+
+
 def _q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge raw common-neighbor counts (networkx
     common_neighbors) — the denominator-free link-prediction score."""
@@ -4035,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_jaccard_w": _q_vertex_jaccard_w,
         "overlap_coefficient": _q_overlap,
         "sorensen_coefficient": _q_sorensen,
+        "salton_index": _q_salton,
         "adamic_adar": _q_adamic_adar,
         "resource_allocation": _q_resource_allocation,
         "common_neighbors": _q_common_neighbors,
@@ -4181,6 +4198,7 @@ FROM e WHERE u = v""",
         "vertex_jaccard_w": _SQL_JACCARD_W,
         "overlap_coefficient": _SQL_OVERLAP,
         "sorensen_coefficient": _SQL_SORENSEN,
+        "salton_index": _SQL_SALTON,
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "resource_allocation": _SQL_RESOURCE_ALLOCATION,
         "common_neighbors": _SQL_COMMON_NEIGHBORS,

@@ -23,6 +23,7 @@ from graft.algos.jaccard import (  # noqa: F401
     overlap_coefficient_w,
     preferential_attachment,
     resource_allocation,
+    salton_index,
     sorensen_coefficient,
     sorensen_coefficient_w,
     vertex_jaccard,

@@ -367,3 +367,23 @@ def sorensen_coefficient(
         .otherwise(F.round(F.lit(2) * F.col("n_common") / denom, 6))
         .alias("sorensen"),
     )
+
+
+def salton_index(
+    graph: Graph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Returns ``(u, v, salton double)`` — |N(u)∩N(v)| / √(|N(u)|·|N(v)|),
+    the Salton (cosine) similarity index: the cosine of the two binary
+    neighborhood indicator vectors. Completes the unweighted
+    pair-similarity family next to jaccard/overlap/sorensen (networkx
+    exposes the same quartet). Same candidate semantics and 0-degree
+    handling as :func:`vertex_jaccard`.
+    """
+    denom = F.sqrt(F.col("du").cast("double") * F.col("dv"))
+    return _pair_stats(graph, pairs).select(
+        "u",
+        "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_common") / denom, 6))
+        .alias("salton"),
+    )

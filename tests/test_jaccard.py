@@ -5,6 +5,7 @@ from graft.algos.jaccard import (
     common_neighbors,
     overlap_coefficient,
     preferential_attachment,
+    salton_index,
     sorensen_coefficient,
     vertex_jaccard,
 )
@@ -195,3 +196,26 @@ def test_weighted_jaccard_custom_weights_and_pairs(spark):
     assert got[(1, 2)] == round(10.0 / 12.0, 6)
     # endpoint 7 has no edges: row kept, score 0
     assert got[(0, 7)] == 0.0
+
+
+def test_salton_index(spark):
+    """Salton (cosine) = |∩|/√(du·dv); brute-force neighborhood oracle
+    over every edge, plus 0-score-keep for edge-less endpoints."""
+    import math
+
+    edges = fixtures.clique_ring_edges()
+    adj: dict[int, set[int]] = {}
+    for u, v, _ in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {(r.u, r.v): r.salton for r in salton_index(g).collect()}
+    assert len(got) == 35
+    for (u, v), score in got.items():
+        nc = len(adj[u] & adj[v])
+        exp = round(nc / math.sqrt(len(adj[u]) * len(adj[v])), 6)
+        assert score == exp, (u, v)
+    pairs = spark.createDataFrame([(0, 999)], "u long, v long")
+    assert salton_index(g, pairs=pairs).collect()[0].salton == 0.0
+    g.unpersist()
