@@ -3509,6 +3509,14 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram span coverage per doc (Lee et
+    al. 2022 span-dedup signal — localizes boilerplate WITHIN docs)."""
+    from graft.pipeline.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir))
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a deterministic split of the
     documents table: docs with doc_id % 41 == 0 play the held-out eval
@@ -4144,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": _q_quality_scores,
         "pii_scan": _q_pii_scan,
         "doc_repetition": _q_repetition_stats,
+        "dup_span_stats": _q_dup_span_stats,
         "decontamination": _q_decontamination,
     }
 
@@ -4290,6 +4299,7 @@ FROM e WHERE u = v""",
         "doc_quality_scores": _po.SQL_QUALITY_SCORES,
         "pii_scan": _po.SQL_PII_SCAN,
         "doc_repetition": _po.SQL_REPETITION_STATS,
+        "dup_span_stats": _po.SQL_DUP_SPAN_STATS,
         "decontamination": _po.SQL_DECONTAMINATION,
         "rmat_edges": _rmat_oracle(),
     }

@@ -371,3 +371,87 @@ def decontaminate(
             (F.round(frac, 6) >= threshold).alias("contaminated"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicated n-gram SPAN coverage (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    signal): for each document, how much of it is made of n-token grams
+    that also occur in at least one OTHER document.
+
+    Returns ``(doc_id, n_tokens, n_grams, dup_grams, covered_tokens,
+    dup_token_frac double)`` — tokenizer shared with
+    :func:`graft.pipeline.textstats.token_counts`; ``dup_grams`` counts
+    this document's (non-distinct) gram occurrences that are
+    cross-doc-duplicated, ``covered_tokens`` the distinct token
+    positions inside such grams, ``dup_token_frac`` their share of the
+    document (6 dp; 0.0 for docs shorter than n tokens). Complements the
+    doc-level near-dup family: it localizes boilerplate WITHIN documents
+    so a pipeline can strip spans instead of dropping whole docs.
+
+    Plan shape: ONE posexplode to (doc_id, pos, gram) — the shuffle unit
+    is a gram row, never the document; the duplicated-gram set is one
+    two-level hash agg (distinct (gram, doc) then count per gram — both
+    map-side combinable); coverage is a semi-join of the gram table
+    against that set, a bounded explode of exactly n positions per
+    duplicated occurrence, and one per-doc distinct count. At 100 TB the
+    agg key would be xxhash64(gram) (halves shuffle width; a collision
+    only over-marks coverage) — the contract keeps the exact string so
+    the DuckDB oracle replays it bit-for-bit.
+    """
+    from graft.pipeline.textstats import _tokens, _word_ngrams
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    base = df.select(
+        "doc_id", _tokens(F.col(text_col)).alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n_tokens"))
+    per = base.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).alias("n_grams"),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(_word_ngrams(F.col("t"), n)).alias("pos", "g")
+    )
+    dup = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi")
+    dupg = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_grams"))
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered_tokens"))
+    )
+    return (
+        per.join(dupg, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0))
+                    / F.col("n_tokens"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -1016,3 +1016,46 @@ FROM tf
 
 
 SQL_ZIPF_ALPHA = _zipf_sql()
+
+
+# --- cross-doc duplicated n-gram span coverage (dedup.dup_span_stats) ---
+def _dup_span_sql(n: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), per AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         greatest(len(t) - {n - 1}, 0) AS n_grams
+  FROM toks
+), gr AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i + {n - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS s(i)
+  WHERE len(t) >= {n}
+), dup AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+  WHERE nd >= 2
+), hits AS (
+  SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (g)
+), dupg AS (
+  SELECT doc_id, count(*) AS dup_grams FROM hits GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, count(DISTINCT pos + o) AS covered
+  FROM hits, UNNEST(generate_series(0, {n - 1})) AS u(o)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_grams,
+       coalesce(d.dup_grams, 0) AS dup_grams,
+       coalesce(c.covered, 0) AS covered_tokens,
+       round(CASE WHEN p.n_tokens > 0
+                  THEN coalesce(c.covered, 0) / p.n_tokens
+                  ELSE 0 END, 6) AS dup_token_frac
+FROM per p
+LEFT JOIN dupg d USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
+SQL_DUP_SPAN_STATS = _dup_span_sql()

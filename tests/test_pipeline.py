@@ -555,3 +555,48 @@ def test_decontaminate_flags_overlap(spark):
     assert got[1]["n_hit"] == 0 and not got[1]["contaminated"]
     # the short doc still reports (its sub-length shingle misses)
     assert not got[2]["contaminated"]
+
+
+def test_dup_span_stats(spark):
+    """Cross-doc duplicated n-gram coverage vs a brute-force reference:
+    within-doc repeats don't count, spans union correctly, short docs
+    get zeros."""
+    from graft.pipeline.dedup import dup_span_stats
+
+    rows = [
+        (0, "a b c d e"),            # shares "a b c" with doc 1
+        (1, "x a b c y"),
+        (2, "q r s t u"),            # unique
+        (3, "a b"),                  # shorter than n
+        (4, "m n o m n o m n o"),    # within-doc repeat only
+        (5, "a b c d"),              # "a b c" with 0/1, "b c d" with 0
+    ]
+    n = 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_span_stats(df, n=n).collect()}
+
+    toks = {d: t.split() for d, t in rows}
+    grams = {
+        d: [tuple(t[i:i + n]) for i in range(len(t) - n + 1)]
+        for d, t in toks.items()
+    }
+    dup = {
+        g
+        for d, gs in grams.items()
+        for g in gs
+        if any(g in set(gs2) for d2, gs2 in grams.items() if d2 != d)
+    }
+    assert len(got) == len(rows)
+    for d, t in toks.items():
+        hits = [i for i, g in enumerate(grams[d]) if g in dup]
+        covered = {p for i in hits for p in range(i, i + n)}
+        r = got[d]
+        assert r.n_tokens == len(t), d
+        assert r.n_grams == max(len(t) - n + 1, 0), d
+        assert r.dup_grams == len(hits), d
+        assert r.covered_tokens == len(covered), d
+        exp = round(len(covered) / len(t), 6) if t else 0.0
+        assert r.dup_token_frac == exp, d
+    # the designed cases really exercise what they claim
+    assert got[4].dup_grams == 0 and got[3].n_grams == 0
+    assert got[0].dup_token_frac > 0 and got[5].covered_tokens == 4
