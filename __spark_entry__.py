@@ -1348,6 +1348,62 @@ _SQL_SORENSEN = (
     + _SQL_PAIR_TAIL
 )
 
+# link-prediction AUC: deterministic md5-prefix edge holdout, train-graph
+# wedge scoring, tie-corrected Mann-Whitney over the per-score histogram
+# (mirrors graft.algos.linkpred.link_pred_auc with default arguments)
+def _sql_pair_u60(u: str, v: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5({u} || '|' || {v} || '#{salt}'), 1, 15))"
+        "::BIGINT"
+    )
+
+
+_SQL_LINK_PRED_AUC = (
+    _SQL_ACTORS
+    + f"""
+, und AS (SELECT u, v FROM e WHERE u < v)
+, tst AS (SELECT u, v FROM und
+          WHERE {_sql_pair_u60('u', 'v', 'lp-test')} < {int(0.2 * 2**60)})
+, trn AS (SELECT u, v FROM und
+          WHERE NOT ({_sql_pair_u60('u', 'v', 'lp-test')}
+                     < {int(0.2 * 2**60)}))
+, adjt AS (SELECT u AS src, v AS dst FROM trn
+           UNION ALL SELECT v, u FROM trn)
+, cand AS (
+  SELECT l.dst AS u, r.dst AS v, count(*) AS nc
+  FROM adjt l JOIN adjt r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY l.dst, r.dst
+)
+, psc AS (
+  SELECT coalesce(c.nc, 0) AS score, 1 AS is_pos
+  FROM tst LEFT JOIN cand c ON c.u = tst.u AND c.v = tst.v
+)
+, nsc AS (
+  SELECT c.nc AS score, 0 AS is_pos
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = c.u AND und.v = c.v)
+)
+, hist AS (
+  SELECT score, sum(is_pos) AS np_s, count(*) - sum(is_pos) AS nn_s
+  FROM (SELECT * FROM psc UNION ALL SELECT * FROM nsc) GROUP BY score
+)
+, cum AS (
+  SELECT np_s, nn_s,
+         coalesce(sum(nn_s) OVER (ORDER BY score
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS below
+  FROM hist
+)
+SELECT cast(coalesce(sum(np_s), 0) AS BIGINT) AS n_pos,
+       cast(coalesce(sum(nn_s), 0) AS BIGINT) AS n_neg,
+       round(CASE WHEN coalesce(sum(np_s), 0) * coalesce(sum(nn_s), 0) = 0
+                  THEN 0.5
+                  ELSE sum(np_s * (below + nn_s / 2.0))
+                       / (sum(np_s) * sum(nn_s)) END, 6) AS auc
+FROM cum
+"""
+)
+
 _SQL_SALTON = (
     _SQL_PAIR_BASE
     + """SELECT p.u, p.v,
@@ -2997,6 +3053,18 @@ def _q_salton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salton_index(g)
 
 
+def _q_link_pred_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation harness: deterministic 20% edge
+    holdout, common-neighbor scoring of held-out positives vs
+    distance-2 hard negatives on the train graph, tie-corrected
+    Mann-Whitney AUC from the per-score histogram (no global rank
+    sort anywhere in the plan)."""
+    from graft.algos.linkpred import link_pred_auc
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return link_pred_auc(g)
+
+
 def _q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge raw common-neighbor counts (networkx
     common_neighbors) — the denominator-free link-prediction score."""
@@ -4060,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_coefficient": _q_overlap,
         "sorensen_coefficient": _q_sorensen,
         "salton_index": _q_salton,
+        "link_pred_auc": _q_link_pred_auc,
         "adamic_adar": _q_adamic_adar,
         "resource_allocation": _q_resource_allocation,
         "common_neighbors": _q_common_neighbors,
@@ -4208,6 +4277,7 @@ FROM e WHERE u = v""",
         "overlap_coefficient": _SQL_OVERLAP,
         "sorensen_coefficient": _SQL_SORENSEN,
         "salton_index": _SQL_SALTON,
+        "link_pred_auc": _SQL_LINK_PRED_AUC,
         "adamic_adar": _SQL_ADAMIC_ADAR,
         "resource_allocation": _SQL_RESOURCE_ALLOCATION,
         "common_neighbors": _SQL_COMMON_NEIGHBORS,

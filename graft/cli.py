@@ -52,7 +52,7 @@ ALGOS = {
     "pagerank", "components", "lpa", "triangles", "louvain", "leiden",
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
     "betweenness", "edge-betweenness", "ecg", "spectral", "msf",
-    "snapshot-drift", "conv-entropy", "node-roles",
+    "snapshot-drift", "conv-entropy", "node-roles", "link-pred-auc",
 }
 
 
@@ -163,6 +163,10 @@ def main(argv=None) -> None:
         out = participation_roles(
             g, label_propagation(g, max_iter=args.max_iter)
         )
+    elif args.algo == "link-pred-auc":
+        from graft.algos.linkpred import link_pred_auc
+
+        out = link_pred_auc(g)
     elif args.algo == "wl":
         from graft.algos.wl import wl_colors
 
