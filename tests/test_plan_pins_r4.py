@@ -230,3 +230,35 @@ def test_packing_mixing_roles_plans(spark):
     labels = g.vertices().select("id", F.col("id").alias("community"))
     _assert_jvm_only(participation_roles(g, labels), "participation_roles")
     g.unpersist()
+
+
+def test_linkpred_salton_dupspan_plans(spark):
+    """The final r4 family stays JVM-side; link_pred_auc's only
+    unpartitioned window runs over the histogram-sized score table (the
+    one Sort in the plan sorts scores, not candidates), and
+    dup_span_stats keeps its declared one-posexplode shape."""
+    from graft.algos.jaccard import salton_index
+    from graft.algos.linkpred import link_pred_auc
+    from graft.pipeline.dedup import dup_span_stats
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    _assert_jvm_only(salton_index(g), "salton_index")
+
+    p = _assert_jvm_only(link_pred_auc(g), "link_pred_auc")
+    # the tie-corrected AUC never ranks the candidate set: exactly one
+    # window (over the per-score histogram), and the aggregate after it
+    # is a scalar — no rank/row_number over pair rows anywhere
+    assert "row_number" not in p and "rank(" not in p
+    assert p.count("Window") == 1
+    g.unpersist()
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    p = _assert_jvm_only(dup_span_stats(docs, n=3), "dup_span_stats")
+    # gram table generated once per side it feeds (dup-set + hits);
+    # coverage explode is the bounded n-positions one, not a cross join
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
