@@ -207,6 +207,60 @@ _SQL_PPR_3ITER = (
     + "\nSELECT id, round(rank, 6) AS rank FROM p3"
 )
 
+# PPR sweep cut (graft.algos.sweepcut.ppr_sweep_cut): the same unrolled
+# PPR chain, then the ACL conductance sweep over the top-50
+# degree-normalized prefix — vol/cut conventions of graft.quality
+_SQL_PPR_SWEEP = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", srcv AS (SELECT min(id) AS sid FROM verts)"
+    + """
+, p0 AS (
+  SELECT id, CASE WHEN id = (SELECT sid FROM srcv) THEN 1.0 ELSE 0.0 END
+           AS rank
+  FROM verts
+)"""
+    + _sql_ppr_iter("p0", "p1")
+    + _sql_ppr_iter("p1", "p2")
+    + _sql_ppr_iter("p2", "p3")
+    + """
+, kv AS (
+  SELECT src AS id,
+         sum(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS k
+  FROM sym2 GROUP BY src
+), twom AS (SELECT sum(k) AS t FROM kv)
+, ordered AS (
+  SELECT p3.id, p3.rank, kv.k, round(p3.rank / kv.k, 6) AS score
+  FROM p3 JOIN kv USING (id)
+), topk AS (
+  SELECT id, rank, k, pos FROM (
+    SELECT id, rank, k,
+           row_number() OVER (ORDER BY score DESC, id) AS pos
+    FROM ordered
+  ) WHERE pos <= 50
+), vint AS (
+  SELECT greatest(tu.pos, tv.pos) AS pos,
+         sum(CASE WHEN e2.src = e2.dst THEN e2.weight * 2
+                  ELSE e2.weight END) AS vin_at
+  FROM sym2 e2
+  JOIN topk tu ON tu.id = e2.src
+  JOIN topk tv ON tv.id = e2.dst
+  GROUP BY greatest(tu.pos, tv.pos)
+), sweep AS (
+  SELECT t.pos, t.id, t.rank,
+         sum(t.k) OVER (ORDER BY t.pos) AS vol,
+         coalesce(sum(v.vin_at) OVER (ORDER BY t.pos), 0) AS vin
+  FROM topk t LEFT JOIN vint v USING (pos)
+)
+SELECT pos, id, round(rank, 6) AS rank,
+       round(CASE WHEN least(vol, (SELECT t FROM twom) - vol) > 0
+                  THEN (vol - vin)
+                       / least(vol, (SELECT t FROM twom) - vol)
+                  ELSE 0 END, 6) AS conductance
+FROM sweep
+"""
+)
+
 
 def _sql_pic_iter(prev: str, cur: str) -> str:
     """One unrolled PIC power superstep: v ← W·v with W = D⁻¹A
@@ -2203,6 +2257,19 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded local community extraction (Andersen–Chung–Lang): PPR
+    from the lexicographically-first actor, conductance sweep over the
+    top-50 degree-normalized prefix. The argmin row is the extracted
+    community boundary; the whole sweep table is returned so the
+    operator stays deterministic and hash-certifiable."""
+    from graft.algos.sweepcut import ppr_sweep_cut
+
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    return ppr_sweep_cut(g, sources=[src], iters=3, k=50)
+
+
 def _q_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cugraph get_two_hop_neighbors: distinct pairs joined by a
     length-2 path (direct neighbors kept, self-pairs excluded)."""
@@ -4097,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": _q_pagerank_3iter,
         "pagerank_warm_3iter": _q_pagerank_warm_3iter,
         "ppr_3iter": _q_ppr_3iter,
+        "ppr_sweep_cut": _q_ppr_sweep,
         "pic_embedding_3iter": _q_pic_embedding_3iter,
         "msf_total_weight": _q_msf_total_weight,
         "two_hop_neighbors": _q_two_hop_neighbors,
@@ -4245,6 +4313,7 @@ FROM e WHERE u = v""",
         "pagerank_3iter": _SQL_PAGERANK_3ITER,
         "pagerank_warm_3iter": _SQL_PAGERANK_WARM_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
+        "ppr_sweep_cut": _SQL_PPR_SWEEP,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
         "two_hop_neighbors": _SQL_TWO_HOP,
         "degree_centrality": _SQL_DEGREE_CENTRALITY,

@@ -53,6 +53,7 @@ ALGOS = {
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
     "betweenness", "edge-betweenness", "ecg", "spectral", "msf",
     "snapshot-drift", "conv-entropy", "node-roles", "link-pred-auc",
+    "sweep-cut",
 }
 
 
@@ -167,6 +168,13 @@ def main(argv=None) -> None:
         from graft.algos.linkpred import link_pred_auc
 
         out = link_pred_auc(g)
+    elif args.algo == "sweep-cut":
+        from pyspark.sql import functions as F
+
+        from graft.algos.sweepcut import ppr_sweep_cut
+
+        src = g.vertices().agg(F.min("id")).first()[0]
+        out = ppr_sweep_cut(g, sources=[src])
     elif args.algo == "wl":
         from graft.algos.wl import wl_colors
 
