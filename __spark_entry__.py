@@ -3349,6 +3349,15 @@ def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_sources(_docs(spark, sf_dir), _MIX_WEIGHTS)
 
 
+def _q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram cross-entropy (mean conditional surprisal, bits)
+    vs the corpus's own bigram MLE — the fluency counterpart of
+    unigram_xent (their gap flags repetitive boilerplate)."""
+    from graft.pipeline.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram cross-entropy (mean token surprisal, bits) vs the
     corpus's own unigram distribution — the cheap LM-quality filter."""
@@ -3642,6 +3651,18 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graft.pipeline.textstats import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc survives with
+    probability equal to its own quality score — the epoch-stable
+    corpus-shaping primitive (pure hash decision, monotone in the
+    sampling budget)."""
+    from graft.pipeline.splits import weighted_sample
+    from graft.pipeline.textstats import quality_scores
+
+    q = quality_scores(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return weighted_sample(q, "quality", "doc_id").select("doc_id")
 
 
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4262,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_plan": _q_source_mix_plan,
         "source_mix": _q_source_mix,
         "unigram_xent": _q_unigram_xent,
+        "bigram_xent": _q_bigram_xent,
         "zipf_alpha": _q_zipf_alpha,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
@@ -4290,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "doc_repetition": _q_repetition_stats,
         "dup_span_stats": _q_dup_span_stats,
+        "weighted_sample": _q_weighted_sample,
         "decontamination": _q_decontamination,
     }
 
@@ -4411,6 +4434,7 @@ FROM e WHERE u = v""",
         "source_mix_plan": _po.SQL_SOURCE_MIX_PLAN,
         "source_mix": _po.SQL_SOURCE_MIX,
         "unigram_xent": _po.SQL_UNIGRAM_XENT,
+        "bigram_xent": _po.SQL_BIGRAM_XENT,
         "zipf_alpha": _po.SQL_ZIPF_ALPHA,
         "doc_token_counts": _po.SQL_TOKEN_COUNTS,
         "doc_fingerprints": _po.SQL_FINGERPRINTS,
@@ -4439,6 +4463,7 @@ FROM e WHERE u = v""",
         "pii_scan": _po.SQL_PII_SCAN,
         "doc_repetition": _po.SQL_REPETITION_STATS,
         "dup_span_stats": _po.SQL_DUP_SPAN_STATS,
+        "weighted_sample": _po.SQL_WEIGHTED_SAMPLE,
         "decontamination": _po.SQL_DECONTAMINATION,
         "rmat_edges": _rmat_oracle(),
     }

@@ -1059,3 +1059,38 @@ LEFT JOIN cov c USING (doc_id)
 
 
 SQL_DUP_SPAN_STATS = _dup_span_sql()
+
+
+# --- quality-weighted deterministic sampling (splits.weighted_sample) ---
+SQL_WEIGHTED_SAMPLE = (
+    "WITH "
+    + _QUALITY_BODY
+    + f"""
+SELECT doc_id FROM qual
+WHERE {_U60.format(salt='wsample')}
+      < least(quality * 1152921504606846976.0, 1152921504606846976.0)
+"""
+)
+
+
+# --- per-doc bigram cross-entropy (textstats.bigram_logprob) ---
+SQL_BIGRAM_XENT = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex({_NORM_SPACED}, '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+), bf AS (
+  SELECT prev, cur, count(*) AS f FROM bg GROUP BY prev, cur
+), cf AS (
+  SELECT prev, sum(f) AS cf FROM bf GROUP BY prev
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-avg(log2(f / cf)), 6) AS xent_bits
+FROM bg JOIN bf USING (prev, cur) JOIN cf USING (prev)
+GROUP BY doc_id
+"""

@@ -49,6 +49,37 @@ def deterministic_sample(
     return df.where(_u60(F.col(key_col), salt) < int(p * _MOD))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    scale: float = 1.0,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Rows kept with probability ``min(1, scale * weight)`` — the
+    quality-weighted (importance) variant of
+    :func:`deterministic_sample`, still a pure hash decision: a row
+    survives iff its 60-bit hash falls below its OWN scaled weight.
+    The standard corpus shaping move ("keep high-quality docs with
+    prob ∝ quality score, epoch-stable"): deterministic under reruns,
+    partitioning, and appends, and monotone in ``scale`` — raising
+    the budget only ADDS rows, never swaps them, because each row's
+    hash threshold moves up while its hash stays fixed.
+
+    ``weight_col`` must be in [0, 1/scale] for exact proportionality
+    (values above the cap simply always survive). One column
+    expression, no shuffle, no Python.
+    """
+    # raw double product on purpose (no rounding step): both engines
+    # evaluate w*scale*2^60 with the same IEEE ops, so the keep set is
+    # bit-identical in the DuckDB oracle
+    thr = F.least(
+        F.col(weight_col).cast("double") * float(scale) * float(_MOD),
+        F.lit(float(_MOD)),
+    )
+    return df.where(_u60(F.col(key_col), salt) < thr)
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float] | None = None,

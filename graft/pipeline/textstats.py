@@ -359,3 +359,53 @@ def zipf_alpha(df: DataFrame, f_min: int = 2, text_col: str = "text") -> DataFra
         F.count(F.lit(1)).alias("vocab_size"),
         F.lit(f_min).cast("long").alias("f_min"),
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram cross-entropy against the corpus's OWN
+    bigram MLE — the conditional counterpart of
+    :func:`unigram_logprob`: ``xent_bits = -mean_i log2(c(prev, cur) /
+    c_ctx(prev))`` over the doc's token bigrams, where ``c_ctx`` counts
+    the context token's occurrences AS a bigram context. Because the
+    model is trained on the same corpus it scores, every scored bigram
+    has nonzero count — no smoothing term to tune. Low = predictable /
+    template-like text, high = incoherent token soup; the GAP
+    unigram−bigram xent is the classic fluency signal (repetitive
+    boilerplate has low bigram xent even when its unigram xent is
+    normal).
+
+    Returns ``(doc_id, n_bigrams, xent_bits)``; docs with fewer than 2
+    tokens yield no row (same convention as unigram_logprob's
+    zero-token docs).
+
+    Plan shape at 100 TB: same as unigram_logprob one level up — the
+    bigram stream is explode-narrow; the frequency tables are
+    bigram-vocabulary-sized hash aggs (map-side combinable) probed by
+    hash joins; no window, no collect.
+    """
+    from graft.checkpoint import truncate
+
+    grams = df.select(
+        "doc_id", F.explode(_word_ngrams(_tokens(F.col(text_col)), 2))
+        .alias("g")
+    )
+    pairs = grams.select(
+        "doc_id",
+        F.substring_index("g", " ", 1).alias("prev"),
+        F.substring_index("g", " ", -1).alias("cur"),
+    )
+    bf = truncate(
+        pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("f"))
+    )
+    cf = bf.groupBy("prev").agg(F.sum("f").alias("cf"))
+    return (
+        pairs.join(bf, ["prev", "cur"])
+        .join(cf, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log2(F.col("f") / F.col("cf"))), 6
+            ).alias("xent_bits"),
+        )
+    )

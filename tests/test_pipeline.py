@@ -600,3 +600,51 @@ def test_dup_span_stats(spark):
     # the designed cases really exercise what they claim
     assert got[4].dup_grams == 0 and got[3].n_grams == 0
     assert got[0].dup_token_frac > 0 and got[5].covered_tokens == 4
+
+
+def test_weighted_sample(spark):
+    """Quality-weighted keep: exact hash-threshold semantics, monotone
+    in scale (raising the budget only adds rows), weight-0 never kept,
+    weight>=1 always kept."""
+    import hashlib
+
+    from graft.pipeline.splits import weighted_sample
+
+    rows = [(i, [0.0, 0.25, 0.5, 0.75, 1.0][i % 5]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r.doc_id for r in weighted_sample(df, "w", "doc_id").collect()}
+
+    mod = 2**60
+    exp = {
+        i for i, w in rows
+        if int(hashlib.md5(f"{i}#wsample".encode()).hexdigest()[:15], 16)
+        < min(w * mod, float(mod))
+    }
+    assert kept == exp
+    assert not any(i % 5 == 0 for i in kept)          # w=0 never
+    assert all(i in kept for i, w in rows if w >= 1)  # w=1 always
+    half = {
+        r.doc_id
+        for r in weighted_sample(df, "w", "doc_id", scale=0.5).collect()
+    }
+    assert half <= kept                               # monotone in scale
+    assert len(half) < len(kept)
+
+
+def test_bigram_logprob(spark):
+    """Hand-computed corpus bigram MLE surprisal; <2-token docs drop."""
+    import math
+
+    from graft.pipeline.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # bf: (a,b)=2 (b,a)=1 (a,c)=1; cf: a=3, b=1
+    assert set(got) == {0, 1}
+    assert got[0].n_bigrams == 3
+    assert got[0].xent_bits == round(-2 * math.log2(2 / 3) / 3, 6)
+    assert got[1].n_bigrams == 1
+    assert got[1].xent_bits == round(math.log2(3), 6)
