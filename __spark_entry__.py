@@ -333,6 +333,49 @@ _SQL_BFS_3HOPS = (
     + "\nSELECT id, hop FROM h3"
 )
 
+def _sql_pair_u60(u: str, v: str, salt: str) -> str:
+    """Portable 60-bit md5-prefix hash of a pair key (the SQL twin of
+    graft.pipeline.splits._u60 over ``u|v``)."""
+    return (
+        f"('0x' || substr(md5({u} || '|' || {v} || '#{salt}'), 1, 15))"
+        "::BIGINT"
+    )
+
+
+def _sql_ic_round(prev: str, cur: str) -> str:
+    """One unrolled live-edge cascade round (activated ∪ newly → min)."""
+    return f"""
+, {cur} AS (
+  SELECT id, min(round) AS round FROM (
+    SELECT id, round FROM {prev}
+    UNION ALL
+    SELECT l.dst AS id, min(a.round) + 1 AS round
+    FROM live l JOIN {prev} a ON l.src = a.id
+    GROUP BY l.dst
+  ) GROUP BY id
+)"""
+
+
+# deterministic independent cascade (graft.algos.cascade.ic_spread):
+# live-edge reduction — per-directed-row md5-prefix coin < p·2^60,
+# then bounded reachability from the seed
+_SQL_IC_SPREAD = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + ", srcv AS (SELECT min(id) AS sid FROM verts)"
+    + f"""
+, live AS (
+  SELECT src, dst FROM sym2
+  WHERE src <> dst
+    AND {_sql_pair_u60('src', 'dst', 'ic')} < {int(0.3 * 2**60)}
+)
+, a0 AS (SELECT sid AS id, 0 AS round FROM srcv)"""
+    + _sql_ic_round("a0", "a1")
+    + _sql_ic_round("a1", "a2")
+    + _sql_ic_round("a2", "a3")
+    + "\nSELECT id, round FROM a3"
+)
+
 _SQL_GRAPH_SUMMARY = (
     _SQL_ACTORS
     + _SQL_SYM2
@@ -1405,13 +1448,6 @@ _SQL_SORENSEN = (
 # link-prediction AUC: deterministic md5-prefix edge holdout, train-graph
 # wedge scoring, tie-corrected Mann-Whitney over the per-score histogram
 # (mirrors graft.algos.linkpred.link_pred_auc with default arguments)
-def _sql_pair_u60(u: str, v: str, salt: str) -> str:
-    return (
-        f"('0x' || substr(md5({u} || '|' || {v} || '#{salt}'), 1, 15))"
-        "::BIGINT"
-    )
-
-
 _SQL_LINK_PRED_AUC = (
     _SQL_ACTORS
     + f"""
@@ -2255,6 +2291,17 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = g.vertices().agg(F.min("id")).first()[0]
     pr = pagerank(g, fixed_iterations=3, sources=[src])
     return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_ic_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic independent-cascade influence spread (live-edge
+    reduction, p=0.3) from the lexicographically-first actor: per-vertex
+    activation round within 3 rounds."""
+    from graft.algos.cascade import ic_spread
+
+    g = _actor_graph(spark, sf_dir).cache()
+    src = g.vertices().agg(F.min("id")).first()[0]
+    return ic_spread(g, seeds=[src], p=0.3, rounds=3)
 
 
 def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4186,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_3iter": _q_pagerank_warm_3iter,
         "ppr_3iter": _q_ppr_3iter,
         "ppr_sweep_cut": _q_ppr_sweep,
+        "ic_spread_3rounds": _q_ic_spread,
         "pic_embedding_3iter": _q_pic_embedding_3iter,
         "msf_total_weight": _q_msf_total_weight,
         "two_hop_neighbors": _q_two_hop_neighbors,
@@ -4337,6 +4385,7 @@ FROM e WHERE u = v""",
         "pagerank_warm_3iter": _SQL_PAGERANK_WARM_3ITER,
         "ppr_3iter": _SQL_PPR_3ITER,
         "ppr_sweep_cut": _SQL_PPR_SWEEP,
+        "ic_spread_3rounds": _SQL_IC_SPREAD,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
         "two_hop_neighbors": _SQL_TWO_HOP,
         "degree_centrality": _SQL_DEGREE_CENTRALITY,

@@ -41,6 +41,7 @@ from graft.algos.structure import (  # noqa: F401
 )
 from graft.algos.spreading import label_spreading  # noqa: F401
 from graft.algos.kcore import core_number, k_core  # noqa: F401
+from graft.algos.cascade import ic_spread  # noqa: F401
 from graft.algos.linkpred import link_pred_auc  # noqa: F401
 from graft.algos.sweepcut import ppr_sweep_cut  # noqa: F401
 from graft.algos.ktruss import k_truss  # noqa: F401

@@ -53,7 +53,7 @@ ALGOS = {
     "wl", "conv-fingerprints", "sessionize", "turn-gaps", "actor-pmi",
     "betweenness", "edge-betweenness", "ecg", "spectral", "msf",
     "snapshot-drift", "conv-entropy", "node-roles", "link-pred-auc",
-    "sweep-cut",
+    "sweep-cut", "ic-spread",
 }
 
 
@@ -175,6 +175,13 @@ def main(argv=None) -> None:
 
         src = g.vertices().agg(F.min("id")).first()[0]
         out = ppr_sweep_cut(g, sources=[src])
+    elif args.algo == "ic-spread":
+        from pyspark.sql import functions as F
+
+        from graft.algos.cascade import ic_spread
+
+        src = g.vertices().agg(F.min("id")).first()[0]
+        out = ic_spread(g, seeds=[src])
     elif args.algo == "wl":
         from graft.algos.wl import wl_colors
 
