@@ -3907,6 +3907,14 @@ def _q_windowed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_to_edges_windowed(t, "day")
 
 
+def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) activity z-score vs the trailing 7
+    observed days — the burst/drift detector over the ingest stream."""
+    from graft.temporal import rate_anomalies
+
+    return rate_anomalies(read_table(spark, sf_dir, "events"))
+
+
 def _q_edge_diff_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge diff between the first and last daily snapshot of the
     windowed link graph — the what-changed-since view a live deployment
@@ -3994,6 +4002,31 @@ SELECT coalesce(o.u, n.u) AS u,
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.u = n.u AND o.v = n.v"""
 )
+
+# trailing-baseline activity z-score (graft.temporal.rate_anomalies):
+# one (key × day) hash agg, then windows over the tiny bucket table
+_SQL_RATE_ANOMALIES = """
+WITH c AS (
+  SELECT event_type AS key,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT key, win, n,
+         avg(n) OVER w AS m,
+         stddev_samp(n) OVER w AS s,
+         count(n) OVER w AS k
+  FROM c
+  WINDOW w AS (PARTITION BY key ORDER BY win
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, win, n,
+       round(m, 6) AS base_mean,
+       round(s, 6) AS base_std,
+       round(CASE WHEN k >= 3 AND s IS NOT NULL AND s > 0
+                  THEN (n - m) / s END, 6) AS z
+FROM b
+"""
 
 _SQL_SNAPSHOT_DRIFT = (
     "WITH "
@@ -4258,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_edges": _q_windowed_edges,
         "edge_diff_days": _q_edge_diff_days,
         "snapshot_drift": _q_snapshot_drift,
+        "rate_anomalies": _q_rate_anomalies,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "vertex_jaccard": _q_vertex_jaccard,
@@ -4411,6 +4445,7 @@ FROM e WHERE u = v""",
         "windowed_edges": _SQL_WINDOWED_EDGES,
         "edge_diff_days": _SQL_EDGE_DIFF_DAYS,
         "snapshot_drift": _SQL_SNAPSHOT_DRIFT,
+        "rate_anomalies": _SQL_RATE_ANOMALIES,
         "triangle_count": _SQL_TRIANGLES,
         "triangles_per_vertex": _SQL_TRIANGLES_PER_VERTEX,
         "vertex_jaccard": _SQL_JACCARD,

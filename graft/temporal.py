@@ -130,3 +130,60 @@ def snapshot_drift(
             ).alias("weight_delta"),
         )
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    granularity: str = "day",
+    trailing: int = 7,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Per-(key, time-bucket) activity-count anomaly score: the z-score
+    of each bucket's event count against its own trailing baseline —
+    the standard operational drift/burst detector over an ingest stream
+    ("did role:error spike today?").
+
+    Returns ``(key, win string, n long, base_mean, base_std, z)`` —
+    ``win`` uses the engine's bucket convention (date_trunc formatted
+    ``yyyy-MM-dd HH:mm:ss``, lexicographic == chronological);
+    ``base_mean``/``base_std`` are the mean / sample-stddev of the
+    trailing ``trailing`` OBSERVED buckets (empty buckets don't emit
+    rows and don't enter the baseline — document-able semantics that
+    every engine replays identically); ``z`` is NULL while the baseline
+    has fewer than ``min_periods`` buckets or zero variance. All floats
+    6 dp.
+
+    Plan shape: ONE hash agg over the event stream (map-side
+    combinable) down to (key × bucket) rows, then windows over that
+    tiny table partitioned BY KEY — nothing event-sized ever sorts, so
+    the operator holds at 10^12 events with bounded (keys × buckets)
+    state.
+    """
+    win = F.date_format(
+        F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    )
+    counts = events.groupBy(
+        F.col(key_col).alias("key"), win.alias("win")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("win")
+        .rowsBetween(-trailing, -1)
+    )
+    m = F.avg("n").over(w)
+    s = F.stddev_samp("n").over(w)
+    k = F.count("n").over(w)
+    z = F.when(
+        (k >= min_periods) & s.isNotNull() & (s > 0),
+        (F.col("n") - m) / s,
+    )
+    return counts.select(
+        "key",
+        "win",
+        "n",
+        F.round(m, 6).alias("base_mean"),
+        F.round(s, 6).alias("base_std"),
+        F.round(z, 6).alias("z"),
+    )

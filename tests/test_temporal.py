@@ -70,3 +70,33 @@ def test_snapshot_drift_consecutive_pairs(spark):
 def test_snapshot_drift_single_window_empty(spark):
     snaps = _snaps(spark, [("d1", "a", "b", 1.0)])
     assert snapshot_drift(snaps).count() == 0
+
+
+def test_rate_anomalies(spark):
+    """Hand-built series: z fires only with >= min_periods baseline and
+    nonzero variance; empty buckets never enter the baseline."""
+    import datetime as dt
+
+    from graft.temporal import rate_anomalies
+
+    rows = []
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+    for day, c in enumerate([1, 2, 3, 10]):          # "a": spike on day 4
+        rows += [("a", base + dt.timedelta(days=day))] * c
+    for day in range(4):                             # "b": flat (s = 0)
+        rows += [("b", base + dt.timedelta(days=day))] * 2
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r.key, r.win): r
+        for r in rate_anomalies(df, min_periods=3).collect()
+    }
+    assert len(got) == 8
+    spike = got[("a", "2026-03-04 00:00:00")]
+    assert spike.n == 10 and spike.base_mean == 2.0 and spike.base_std == 1.0
+    assert spike.z == 8.0
+    # fewer than min_periods trailing buckets -> NULL z
+    assert got[("a", "2026-03-01 00:00:00")].z is None
+    assert got[("a", "2026-03-03 00:00:00")].z is None
+    # zero-variance baseline -> NULL z, mean still reported
+    flat = got[("b", "2026-03-04 00:00:00")]
+    assert flat.base_std == 0.0 and flat.z is None and flat.base_mean == 2.0
