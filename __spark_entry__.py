@@ -1494,6 +1494,30 @@ FROM cum
 """
 )
 
+# disparity-filter backbone (graft.algos.subgraph.disparity_backbone):
+# degree/strength agg + two joins + pure column math, p's rounded
+# before the keep predicate so the backbone replays bit-for-bit
+_SQL_DISPARITY = (
+    _SQL_ACTORS
+    + """
+, adjw AS (
+  SELECT u AS src, v AS dst, weight FROM e WHERE u <> v
+  UNION ALL
+  SELECT v, u, weight FROM e WHERE u <> v
+), ds AS (
+  SELECT src AS id, sum(weight) AS s, count(*) AS k FROM adjw GROUP BY src
+), undw AS (SELECT u, v, weight FROM e WHERE u < v)
+SELECT p.u, p.v, p.weight,
+       round(pow(1 - p.weight / du.s, du.k - 1), 6) AS p_u,
+       round(pow(1 - p.weight / dv.s, dv.k - 1), 6) AS p_v,
+       least(round(pow(1 - p.weight / du.s, du.k - 1), 6),
+             round(pow(1 - p.weight / dv.s, dv.k - 1), 6)) < 0.05 AS keep
+FROM undw p
+JOIN ds du ON du.id = p.u
+JOIN ds dv ON dv.id = p.v
+"""
+)
+
 _SQL_SALTON = (
     _SQL_PAIR_BASE
     + """SELECT p.u, p.v,
@@ -3158,6 +3182,15 @@ def _q_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorensen_coefficient(g)
 
 
+def _q_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serrano et al. disparity-filter backbone: per-edge endpoint
+    significance p's + the alpha=0.05 keep decision."""
+    from graft.algos.subgraph import disparity_backbone
+
+    g = _actor_graph(spark, sf_dir).cache()
+    return disparity_backbone(g)
+
+
 def _q_salton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge Salton (cosine) index |∩|/√(du·dv) — the fourth member
     of the unweighted pair-similarity quartet (networkx parity)."""
@@ -4267,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_3iter": _q_ppr_3iter,
         "ppr_sweep_cut": _q_ppr_sweep,
         "ic_spread_3rounds": _q_ic_spread,
+        "disparity_backbone": _q_disparity,
         "pic_embedding_3iter": _q_pic_embedding_3iter,
         "msf_total_weight": _q_msf_total_weight,
         "two_hop_neighbors": _q_two_hop_neighbors,
@@ -4420,6 +4454,7 @@ FROM e WHERE u = v""",
         "ppr_3iter": _SQL_PPR_3ITER,
         "ppr_sweep_cut": _SQL_PPR_SWEEP,
         "ic_spread_3rounds": _SQL_IC_SPREAD,
+        "disparity_backbone": _SQL_DISPARITY,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
         "two_hop_neighbors": _SQL_TWO_HOP,
         "degree_centrality": _SQL_DEGREE_CENTRALITY,

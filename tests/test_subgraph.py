@@ -180,3 +180,27 @@ def test_two_hop_neighbors_keeps_direct_and_restricts_sources(spark):
     g.unpersist()
     assert full == {(a, b) for a in range(3) for b in range(3) if a != b}
     assert only0 == {(0, 1), (0, 2)}
+
+
+def test_disparity_backbone(spark):
+    """Hand-checked disparity p-values: a hub with one dominant edge
+    keeps it, uniform edges are insignificant, leaves give p=1."""
+    from graft.algos.subgraph import disparity_backbone
+
+    # hub 0 with neighbors 1..4: one heavy edge (0,1,w=20), three
+    # light (w=1); vertex 5 dangles off 1 (leaf edge)
+    edges = [(0, 1, 20.0), (0, 2, 1.0), (0, 3, 1.0), (0, 4, 1.0),
+             (1, 5, 1.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    got = {(r.u, r.v): r for r in disparity_backbone(g).collect()}
+    g.unpersist()
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (0, 4), (1, 5)}
+    # endpoint 0: s=23, k=4 -> p_(0,1) from 0's side = (1-20/23)^3
+    assert got[(0, 1)].p_u == round((1 - 20 / 23) ** 3, 6)
+    assert got[(0, 1)].keep                      # 0.00227 < 0.05
+    # light hub edges: (1-1/23)^3 ~ 0.875 -> not significant from 0;
+    # degree-1 far endpoints give p = 1 (0^0 convention)
+    assert got[(0, 2)].p_v == 1.0 and not got[(0, 2)].keep
+    # leaf edge (1,5): from 1 (s=21, k=2) p=(1-1/21)^1; from 5 p=1
+    assert got[(1, 5)].p_u == round(1 - 1 / 21, 6)
+    assert got[(1, 5)].p_v == 1.0 and not got[(1, 5)].keep
