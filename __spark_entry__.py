@@ -3768,6 +3768,17 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, ev, k=3, threshold=0.1)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucket ANN arm vs exact cosine top-10 over
+    the deterministic query sample — the index-quality certification
+    row (bucketing loss is the ONLY difference between the arms)."""
+    from graft.pipeline.similarity import ann_recall, rademacher_planes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return ann_recall(emb, rademacher_planes(dim, 4))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k with engine-portable
     md5-Rademacher hyperplanes — the oracle reproduces the bucketing,
@@ -4412,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
+        "ann_recall": _q_ann_recall,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "smoothed_embeddings": _q_smoothed_embeddings,
@@ -4566,6 +4578,7 @@ FROM e WHERE u = v""",
         "simhash": _po.SQL_SIMHASH,
         "cosine_topk": _po.SQL_COSINE_TOPK,
         "ann_topk": _po.SQL_ANN_TOPK,
+        "ann_recall": _po.SQL_ANN_RECALL,
         "ivf_topk": _po.SQL_IVF_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,

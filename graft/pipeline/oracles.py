@@ -1094,3 +1094,55 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM bg JOIN bf USING (prev, cur) JOIN cf USING (prev)
 GROUP BY doc_id
 """
+
+
+def _ann_recall_sql(dim: int = 64, n_planes: int = 4, k: int = 10,
+                    query_mod: int = 97) -> str:
+    """Mirror of similarity.ann_recall: identical md5-Rademacher
+    bucketing, identical (cosine 6-dp DESC, id ASC) ranking on both the
+    exact and the bucketed arm."""
+    from graft.pipeline.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, n_planes)
+    cos = (
+        "round(list_dot_product(b.ev, q.qv) / "
+        "(sqrt(list_dot_product(b.ev, b.ev)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS ev FROM embeddings
+), sg AS (
+  SELECT vid, ev, {_sig_sql(planes, 'ev')} AS s FROM base
+), q AS (
+  SELECT vid AS qid, ev AS qv, s AS qs FROM sg WHERE vid % {query_mod} = 0
+), exact AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, b.vid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos} DESC, b.vid) AS rn
+    FROM base b, q
+  ) WHERE rn <= {k}
+), ann AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, b.vid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos} DESC, b.vid) AS rn
+    FROM sg b JOIN q ON b.s = q.qs
+  ) WHERE rn <= {k}
+), ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)
+, na AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid)
+, nh AS (
+  SELECT e.qid, count(*) AS n_hit
+  FROM exact e JOIN ann a ON a.qid = e.qid AND a.vid = e.vid
+  GROUP BY e.qid
+)
+SELECT ne.qid AS query_id, ne.n_exact,
+       coalesce(na.n_ann, 0) AS n_ann,
+       coalesce(nh.n_hit, 0) AS n_hit,
+       round(coalesce(nh.n_hit, 0) / {float(k)}, 6) AS recall
+FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
+"""
+
+
+SQL_ANN_RECALL = _ann_recall_sql()

@@ -588,3 +588,85 @@ def knn_graph(
     )
     sigs.unpersist()
     return out
+
+
+def ann_recall(
+    emb: DataFrame,
+    planes: np.ndarray,
+    query_mod: int = 97,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the LSH-bucket ANN path against exact cosine top-k,
+    per query — the index-quality certification every ANN deployment
+    needs before trusting the approximate path. Queries are the
+    deterministic corpus sample ``id % query_mod == 0``; both arms use
+    the identical (cosine 6 dp DESC, id ASC) ranking, so recall
+    differences measure BUCKETING loss only.
+
+    Returns ``(query_id, n_exact, n_ann, n_hit, recall double)`` with
+    ``recall = n_hit / k`` (n_ann can be < k when the query's bucket is
+    small — exactly the failure mode this operator exists to surface).
+
+    Scale shape: the query set is bounded and BROADCAST into both
+    arms; the exact arm is the one deliberate brute-force pass (Q × 
+    corpus scored rows, the evaluation cost itself — run it on a query
+    sample, which is what query_mod is); the ANN arm touches only
+    sig-equal rows. Both top-k windows partition BY QUERY, so no
+    global sort exists at any scale.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("vid"), v.alias("ev"))
+    signed = base.withColumn("sig", _signature(F.col("ev"), planes))
+    queries = signed.where(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("qid"),
+        F.col("ev").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    cos = F.round(
+        _dot(F.col("ev"), F.col("qv"))
+        / (_norm(F.col("ev")) * _norm(F.col("qv"))),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vid")
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "vid")
+        )
+
+    exact = _topk(
+        base.crossJoin(F.broadcast(queries)).select(
+            "qid", "vid", cos.alias("cosine")
+        )
+    )
+    ann = _topk(
+        signed.join(
+            F.broadcast(queries), F.col("sig") == F.col("qsig")
+        ).select("qid", "vid", cos.alias("cosine"))
+    )
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ann = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ann"))
+    n_hit = (
+        exact.join(ann, ["qid", "vid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_ann, "qid", "left")
+        .join(n_hit, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

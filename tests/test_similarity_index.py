@@ -187,3 +187,73 @@ def test_index_probe_agrees_with_exact_on_planted_neighbor(spark, emb):
     assert ids[0] == 0 and ids[1] == 9999
     exact = cosine_topk(emb2, base, k=2).collect()
     assert [r["vec_id"] for r in exact] == ids
+
+
+def test_ann_recall_zero_planes_is_perfect(spark):
+    """With no hyperplanes every vector shares one bucket, so the ANN
+    arm IS the exact arm — recall must be exactly 1.0 for all queries
+    (end-to-end machinery check: ranking, hits, denominators)."""
+    import numpy as np
+
+    from graft.pipeline.similarity import ann_recall, rademacher_planes
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_recall(
+        emb, rademacher_planes(8, 0), query_mod=20, k=5
+    ).collect()
+    assert {r.query_id for r in out} == {0, 20, 40}
+    assert all(r.recall == 1.0 and r.n_hit == 5 for r in out)
+
+
+def test_ann_recall_matches_numpy_reference(spark):
+    """2-plane bucketing vs a numpy replay of both arms."""
+    import numpy as np
+
+    from graft.pipeline.similarity import ann_recall, rademacher_planes
+
+    rows = [
+        (i, [float(((i + 1) * (d + 2)) % 13) - 6.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = rademacher_planes(8, 2)
+    got = {
+        r.query_id: (r.n_ann, r.n_hit, r.recall)
+        for r in ann_recall(emb, planes, query_mod=15, k=5).collect()
+    }
+
+    vecs = {i: np.array(v) for i, v in rows}
+    sig = {
+        i: "".join(
+            "1" if float(np.dot(planes[j], v)) >= 0 else "0"
+            for j in range(len(planes))
+        )
+        for i, v in vecs.items()
+    }
+    exp = {}
+    for qid in (0, 15, 30):
+        qv = vecs[qid]
+
+        def _rank(ids):
+            scored = sorted(
+                ids,
+                key=lambda i: (
+                    -round(
+                        float(np.dot(vecs[i], qv))
+                        / (np.linalg.norm(vecs[i]) * np.linalg.norm(qv)),
+                        6,
+                    ),
+                    i,
+                ),
+            )
+            return scored[:5]
+
+        exact = _rank(list(vecs))
+        ann = _rank([i for i in vecs if sig[i] == sig[qid]])
+        hit = len(set(exact) & set(ann))
+        exp[qid] = (len(ann), hit, round(hit / 5.0, 6))
+    assert got == exp
