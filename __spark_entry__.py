@@ -3779,6 +3779,17 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(emb, rademacher_planes(dim, 4))
 
 
+def _q_ann_recall_mp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the MULTI-PROBE (Hamming ≤ 1) LSH arm — certifies
+    the recall-recovery knob and, against `ann_recall`, measures what
+    each probed bit buys."""
+    from graft.pipeline.similarity import ann_recall, rademacher_planes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return ann_recall(emb, rademacher_planes(dim, 4), probe_bits=1)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k with engine-portable
     md5-Rademacher hyperplanes — the oracle reproduces the bucketing,
@@ -4424,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "ann_recall": _q_ann_recall,
+        "ann_recall_mp1": _q_ann_recall_mp1,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "smoothed_embeddings": _q_smoothed_embeddings,
@@ -4579,6 +4591,7 @@ FROM e WHERE u = v""",
         "cosine_topk": _po.SQL_COSINE_TOPK,
         "ann_topk": _po.SQL_ANN_TOPK,
         "ann_recall": _po.SQL_ANN_RECALL,
+        "ann_recall_mp1": _po.SQL_ANN_RECALL_MP1,
         "ivf_topk": _po.SQL_IVF_TOPK,
         "embedding_near_dups": _po.SQL_NEAR_DUP_EMBEDDINGS,
         "smoothed_embeddings": _po.SQL_SMOOTHED_EMBEDDINGS,

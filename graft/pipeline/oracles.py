@@ -1097,13 +1097,19 @@ GROUP BY doc_id
 
 
 def _ann_recall_sql(dim: int = 64, n_planes: int = 4, k: int = 10,
-                    query_mod: int = 97) -> str:
+                    query_mod: int = 97, probe_bits: int = 0) -> str:
     """Mirror of similarity.ann_recall: identical md5-Rademacher
     bucketing, identical (cosine 6-dp DESC, id ASC) ranking on both the
-    exact and the bucketed arm."""
+    exact and the bucketed arm; ``probe_bits`` mirrors the multi-probe
+    arm (positional Hamming distance over the signature bitstring)."""
     from graft.pipeline.similarity import rademacher_planes
 
     planes = rademacher_planes(dim, n_planes)
+    ham = " + ".join(
+        f"(CASE WHEN substr(b.s, {j + 1}, 1) <> substr(q.qs, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for j in range(n_planes)
+    )
     cos = (
         "round(list_dot_product(b.ev, q.qv) / "
         "(sqrt(list_dot_product(b.ev, b.ev)) * "
@@ -1128,7 +1134,7 @@ WITH base AS (
     SELECT q.qid, b.vid,
            row_number() OVER (PARTITION BY q.qid
                               ORDER BY {cos} DESC, b.vid) AS rn
-    FROM sg b JOIN q ON b.s = q.qs
+    FROM sg b JOIN q ON ({ham}) <= {probe_bits}
   ) WHERE rn <= {k}
 ), ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)
 , na AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid)
@@ -1146,3 +1152,4 @@ FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
 
 
 SQL_ANN_RECALL = _ann_recall_sql()
+SQL_ANN_RECALL_MP1 = _ann_recall_sql(probe_bits=1)

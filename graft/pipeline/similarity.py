@@ -172,6 +172,23 @@ def _query_signature(query, planes: np.ndarray) -> str:
     )
 
 
+def _probe_signatures(qsig: str, probe_bits: int) -> list[str]:
+    """All signatures within Hamming distance ``probe_bits`` of
+    ``qsig`` (multi-probe LSH, Lv et al. 2007): Σ_{i≤b} C(n, i)
+    strings — a driver-bounded parameter set, never data-sized."""
+    from itertools import combinations
+
+    sigs = {qsig}
+    flip = {"0": "1", "1": "0"}
+    for d in range(1, probe_bits + 1):
+        for idxs in combinations(range(len(qsig)), d):
+            s = list(qsig)
+            for i in idxs:
+                s[i] = flip[s[i]]
+            sigs.add("".join(s))
+    return sorted(sigs)
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query: list[float],
@@ -200,6 +217,7 @@ def lsh_bucket_topk_planes(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index: DataFrame | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """:func:`lsh_bucket_topk` with caller-supplied hyperplanes (e.g.
     :func:`rademacher_planes`) so the bucketing is engine-portable and
@@ -213,15 +231,26 @@ def lsh_bucket_topk_planes(
     signatures are not recomputed. When omitted (convenience /
     one-shot path) signatures are computed inline, which costs a full
     corpus pass per query.
+
+    ``probe_bits``: multi-probe LSH (Lv et al. 2007) — also score the
+    buckets within that Hamming distance of the query's signature
+    (Σ_{i≤b} C(n_planes, i) buckets, a driver-bounded ``IN`` list that
+    still pushes down / partition-prunes on the persisted index).
+    probe_bits=1 is the standard recall-recovery knob: the neighbors a
+    single-band signature loses sit overwhelmingly one flipped plane
+    away (measured by :func:`ann_recall`).
     """
-    qsig = _query_signature(query, planes)
+    sigs = _probe_signatures(_query_signature(query, planes), probe_bits)
+    pred = (
+        (F.col("sig") == sigs[0])
+        if len(sigs) == 1
+        else F.col("sig").isin(sigs)
+    )
     if index is not None:
-        bucketed = index.where(F.col("sig") == qsig)
+        bucketed = index.where(pred)
         return cosine_topk(bucketed, query, k, vec_col, id_col)
     v = F.col(vec_col).cast("array<double>")
-    bucketed = emb.withColumn("_sig", _signature(v, planes)).where(
-        F.col("_sig") == qsig
-    )
+    bucketed = emb.withColumn("sig", _signature(v, planes)).where(pred)
     return cosine_topk(bucketed, query, k, vec_col, id_col)
 
 
@@ -597,6 +626,7 @@ def ann_recall(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Recall@k of the LSH-bucket ANN path against exact cosine top-k,
     per query — the index-quality certification every ANN deployment
@@ -615,6 +645,12 @@ def ann_recall(
     sample, which is what query_mod is); the ANN arm touches only
     sig-equal rows. Both top-k windows partition BY QUERY, so no
     global sort exists at any scale.
+
+    ``probe_bits``: evaluate the multi-probe arm instead — candidates
+    are all vectors whose signature is within that Hamming distance of
+    the query's (what :func:`lsh_bucket_topk_planes` probes with the
+    same setting), quantifying exactly how much recall each extra
+    probed bit buys.
     """
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("vid"), v.alias("ev"))
@@ -645,9 +681,24 @@ def ann_recall(
             "qid", "vid", cos.alias("cosine")
         )
     )
+    # probe_bits > 0: multi-probe arm — candidate iff the signatures
+    # differ in at most probe_bits planes (Hamming over the bitstring,
+    # evaluated positionally so the SQL oracle replays it exactly)
+    n_planes = len(planes)
+    if n_planes == 0:
+        ham = F.lit(0)
+    else:
+        ham = sum(
+            F.when(
+                F.substring("sig", j + 1, 1)
+                != F.substring("qsig", j + 1, 1),
+                1,
+            ).otherwise(0)
+            for j in range(n_planes)
+        )
     ann = _topk(
         signed.join(
-            F.broadcast(queries), F.col("sig") == F.col("qsig")
+            F.broadcast(queries), ham <= probe_bits
         ).select("qid", "vid", cos.alias("cosine"))
     )
     n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))

@@ -257,3 +257,64 @@ def test_ann_recall_matches_numpy_reference(spark):
         hit = len(set(exact) & set(ann))
         exp[qid] = (len(ann), hit, round(hit / 5.0, 6))
     assert got == exp
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """probe_bits=1 candidates are a superset of the exact-bucket arm,
+    so per-query recall can only go up; _probe_signatures enumerates
+    exactly the Hamming ball."""
+    from graft.pipeline.similarity import (
+        _probe_signatures,
+        ann_recall,
+        rademacher_planes,
+    )
+
+    assert _probe_signatures("0101", 0) == ["0101"]
+    assert sorted(_probe_signatures("01", 1)) == ["00", "01", "11"]
+    assert len(_probe_signatures("0101", 1)) == 5
+    assert len(_probe_signatures("0101", 2)) == 1 + 4 + 6
+
+    rows = [
+        (i, [float(((i + 1) * (d + 2)) % 13) - 6.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = rademacher_planes(8, 3)
+    r0 = {
+        r.query_id: r.recall
+        for r in ann_recall(emb, planes, query_mod=15, k=5).collect()
+    }
+    r1 = {
+        r.query_id: r.recall
+        for r in ann_recall(
+            emb, planes, query_mod=15, k=5, probe_bits=1
+        ).collect()
+    }
+    assert set(r0) == set(r1)
+    assert all(r1[q] >= r0[q] for q in r0)
+
+
+def test_lsh_topk_probe_bits_widens_the_bucket(spark, emb, query):
+    """probe_bits=1 returns at least the single-bucket rows and ranks
+    identically; full Hamming ball (= n_planes) recovers exact top-k."""
+    from graft.pipeline.similarity import (
+        cosine_topk,
+        lsh_bucket_topk_planes,
+        rademacher_planes,
+    )
+
+    planes = rademacher_planes(len(query), 4)
+    one = lsh_bucket_topk_planes(emb, query, planes, k=10).collect()
+    mp = lsh_bucket_topk_planes(
+        emb, query, planes, k=10, probe_bits=1
+    ).collect()
+    assert {r.vec_id for r in one} <= {r.vec_id for r in mp} or len(
+        one
+    ) == 10
+    full = lsh_bucket_topk_planes(
+        emb, query, planes, k=10, probe_bits=4
+    ).collect()
+    exact = cosine_topk(emb, query, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
