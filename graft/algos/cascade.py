@@ -65,6 +65,13 @@ def ic_spread(
         .where(F.col("id").isin(seed_set))
         .select("id", F.lit(0).alias("round"))
     )
+    # same contract as pagerank's source validation: a typo'd seed is
+    # an input error, not an empty cascade
+    if act.limit(1).count() == 0:
+        raise ValueError(
+            f"ic_spread: no seed vertex from {seed_set!r} exists in the"
+            " graph"
+        )
     with superstep_conf(graph.edges.sparkSession, graph.edges.count()):
         for _ in range(rounds):
             relaxed = (

@@ -94,11 +94,12 @@ def link_pred_auc(
     pos = test.join(cand, ["u", "v"], "left").select(
         F.coalesce("nc", F.lit(0)).alias("score"), F.lit(1).alias("is_pos")
     )
-    neg = (
-        cand.join(und, ["u", "v"], "left_anti")
-        .where(_pair_hash(f"{salt}-neg") < int(neg_frac * _MOD))
-        .select(F.col("nc").alias("score"), F.lit(0).alias("is_pos"))
-    )
+    neg = cand.join(und, ["u", "v"], "left_anti")
+    if neg_frac < 1.0:  # the default keeps every row — skip the hash
+        neg = neg.where(
+            _pair_hash(f"{salt}-neg") < int(neg_frac * _MOD)
+        )
+    neg = neg.select(F.col("nc").alias("score"), F.lit(0).alias("is_pos"))
     hist = (
         pos.unionAll(neg)
         .groupBy("score")

@@ -1146,7 +1146,7 @@ WITH base AS (
 SELECT ne.qid AS query_id, ne.n_exact,
        coalesce(na.n_ann, 0) AS n_ann,
        coalesce(nh.n_hit, 0) AS n_hit,
-       round(coalesce(nh.n_hit, 0) / {float(k)}, 6) AS recall
+       round(coalesce(nh.n_hit, 0) / least({k}, ne.n_exact), 6) AS recall
 FROM ne LEFT JOIN na USING (qid) LEFT JOIN nh USING (qid)
 """
 

@@ -636,8 +636,10 @@ def ann_recall(
     differences measure BUCKETING loss only.
 
     Returns ``(query_id, n_exact, n_ann, n_hit, recall double)`` with
-    ``recall = n_hit / k`` (n_ann can be < k when the query's bucket is
-    small — exactly the failure mode this operator exists to surface).
+    ``recall = n_hit / min(k, n_exact)`` — normalized by the achievable
+    hit count, so a corpus smaller than k can still score 1.0 (n_ann
+    can be < k when the query's bucket is small — exactly the failure
+    mode this operator exists to surface).
 
     Scale shape: the query set is bounded and BROADCAST into both
     arms; the exact arm is the one deliberate brute-force pass (Q × 
@@ -681,24 +683,35 @@ def ann_recall(
             "qid", "vid", cos.alias("cosine")
         )
     )
-    # probe_bits > 0: multi-probe arm — candidate iff the signatures
-    # differ in at most probe_bits planes (Hamming over the bitstring,
-    # evaluated positionally so the SQL oracle replays it exactly)
+    # multi-probe arm as an EQUI-join: each query row expands to its
+    # Hamming-ball of signatures (index combinations are data-
+    # independent, so the flip expressions enumerate driver-side;
+    # Σ_{i≤b} C(n, i) strings per query), then sig = psig hash-joins —
+    # never a nested-loop Hamming scan of the corpus
+    from itertools import combinations
+
     n_planes = len(planes)
-    if n_planes == 0:
-        ham = F.lit(0)
-    else:
-        ham = sum(
-            F.when(
-                F.substring("sig", j + 1, 1)
-                != F.substring("qsig", j + 1, 1),
-                1,
-            ).otherwise(0)
-            for j in range(n_planes)
-        )
+
+    def _flip(idxs) -> F.Column:
+        chars = []
+        for j in range(n_planes):
+            c = F.substring("qsig", j + 1, 1)
+            if j in idxs:
+                c = F.when(c == "0", F.lit("1")).otherwise(F.lit("0"))
+            chars.append(c)
+        return F.concat(*chars) if chars else F.lit("")
+
+    balls = [
+        _flip(idxs)
+        for d in range(0, probe_bits + 1)
+        for idxs in combinations(range(n_planes), d)
+    ]
+    probes = queries.select(
+        "qid", "qv", F.explode(F.array(*balls)).alias("psig")
+    )
     ann = _topk(
         signed.join(
-            F.broadcast(queries), ham <= probe_bits
+            F.broadcast(probes), F.col("sig") == F.col("psig")
         ).select("qid", "vid", cos.alias("cosine"))
     )
     n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -717,7 +730,9 @@ def ann_recall(
             F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             F.round(
-                F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6
+                F.coalesce("n_hit", F.lit(0))
+                / F.least(F.lit(k), F.col("n_exact")),
+                6,
             ).alias("recall"),
         )
     )

@@ -73,4 +73,7 @@ def test_ic_spread_p_extremes_and_validation(spark):
         ic_spread(g, seeds=[], p=0.5)
     with pytest.raises(ValueError):
         ic_spread(g, seeds=[0], p=1.5)
+    # a typo'd seed is an input error, not an empty cascade
+    with pytest.raises(ValueError, match="no seed vertex"):
+        ic_spread(g, seeds=[999], p=0.5)
     g.unpersist()

@@ -318,3 +318,26 @@ def test_lsh_topk_probe_bits_widens_the_bucket(spark, emb, query):
     assert [(r.vec_id, r.cosine) for r in full] == [
         (r.vec_id, r.cosine) for r in exact
     ]
+
+
+def test_ann_recall_ann_arm_is_an_equi_join(spark):
+    """The multi-probe arm expands queries to their Hamming ball and
+    hash-joins on sig — the only nested-loop join in the plan is the
+    exact arm's deliberate brute-force crossJoin."""
+    from graft.pipeline.similarity import ann_recall, rademacher_planes
+
+    rows = [(i, [float(i + d) for d in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        ann_recall(emb, rademacher_planes(8, 3), query_mod=10, probe_bits=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # every nested-loop is a Cross build (the exact arm); a Hamming
+    # <= b nested-loop would print a non-Cross BNLJ with a condition
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in m.group(0), m.group(0)
