@@ -40,13 +40,21 @@ def canon(rows, cols):
     return sorted(out, key=repr)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
-    spark = get_spark("oracle-check", master="local[8]")
+def _fresh_con(sf_dir: str):
+    """One DuckDB connection per query: a long sweep on a single
+    connection accumulates buffer/temp state until heavyweight unrolled
+    oracles (hits_3iter) die with a bad allocation on a busy host —
+    reconnecting resets that and matches how the round driver runs."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    return con
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
+    spark = get_spark("oracle-check", master="local[8]")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -59,9 +67,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
         if name not in oracles:
             print(f"{name}: rows={len(srows)} (no oracle — rows-only)")
             continue
+        con = _fresh_con(sf_dir)
         orel = con.sql(oracles[name])
         ocols = orel.columns
         orows = [dict(zip(ocols, row)) for row in orel.fetchall()]
+        con.close()
         ok_schema = sorted(scols) == sorted(ocols)
         a, b = canon(srows, scols), canon(orows, ocols)
         ok_vals = a == b
