@@ -262,6 +262,47 @@ FROM sweep
 )
 
 
+def _sql_batch_ppr_iter(prev: str, cur: str, alpha: float = 0.85) -> str:
+    """One unrolled BATCHED-PPR superstep: the single-seed recurrence
+    keyed by (source, id), sparse state (absent = 0)."""
+    return f"""
+, {cur} AS (
+  SELECT x.source, x.id, sum(x.r) AS rank FROM (
+    SELECT g.source, g.id, {alpha} * g.g AS r FROM (
+      SELECT s.source, e2.dst AS id, sum(s.rank * e2.weight / ow.s) AS g
+      FROM {prev} s
+      JOIN sym2 e2 ON e2.src = s.id
+      JOIN outw ow ON ow.src = e2.src
+      GROUP BY s.source, e2.dst
+    ) g
+    UNION ALL
+    SELECT source, source AS id, {1 - alpha} AS r FROM srcs
+  ) x GROUP BY x.source, x.id
+)"""
+
+
+_SQL_BATCH_PPR = (
+    _SQL_ACTORS
+    + _SQL_SYM2
+    + """
+, srcs AS (
+  SELECT id AS source FROM (
+    SELECT id, row_number() OVER (ORDER BY id) AS rn FROM verts
+  ) WHERE rn <= 3
+)
+, b0 AS (SELECT source, source AS id, 1.0 AS rank FROM srcs)"""
+    + _sql_batch_ppr_iter("b0", "b1")
+    + _sql_batch_ppr_iter("b1", "b2")
+    + _sql_batch_ppr_iter("b2", "b3")
+    + """
+SELECT s.source, v.id, round(coalesce(b3.rank, 0.0), 6) AS rank
+FROM verts v
+CROSS JOIN srcs s
+LEFT JOIN b3 ON b3.source = s.source AND b3.id = v.id
+"""
+)
+
+
 def _sql_pic_iter(prev: str, cur: str) -> str:
     """One unrolled PIC power superstep: v ← W·v with W = D⁻¹A
     (neighbor averaging — gather FROM dst, fold onto src), then L1
@@ -2317,6 +2358,17 @@ def _q_ppr_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_batch_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched personalized PageRank: full rank vectors for the 3
+    lexicographically-first actors from ONE superstep loop (all seeds
+    share every edge scan — the topic-sensitive-PageRank table shape)."""
+    from graft.algos.pagerank import batch_personalized_pagerank
+
+    g = _actor_graph(spark, sf_dir).cache()
+    seeds = [r.id for r in g.vertices().orderBy("id").limit(3).collect()]
+    return batch_personalized_pagerank(g, seeds, fixed_iterations=3)
+
+
 def _q_ic_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic independent-cascade influence spread (live-edge
     reduction, p=0.3) from the lexicographically-first actor: per-vertex
@@ -4323,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep_cut": _q_ppr_sweep,
         "ic_spread_3rounds": _q_ic_spread,
         "disparity_backbone": _q_disparity,
+        "batch_ppr_3iter": _q_batch_ppr,
         "pic_embedding_3iter": _q_pic_embedding_3iter,
         "msf_total_weight": _q_msf_total_weight,
         "two_hop_neighbors": _q_two_hop_neighbors,
@@ -4479,6 +4532,7 @@ FROM e WHERE u = v""",
         "ppr_sweep_cut": _SQL_PPR_SWEEP,
         "ic_spread_3rounds": _SQL_IC_SPREAD,
         "disparity_backbone": _SQL_DISPARITY,
+        "batch_ppr_3iter": _SQL_BATCH_PPR,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
         "two_hop_neighbors": _SQL_TWO_HOP,
         "degree_centrality": _SQL_DEGREE_CENTRALITY,

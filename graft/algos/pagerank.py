@@ -370,3 +370,76 @@ def pagerank(
     # verts is the Graph's memoized vertex table — stays cached for the
     # next algorithm on the same Graph (Graph.unpersist releases it)
     return ranks
+
+
+def batch_personalized_pagerank(
+    graph: Graph,
+    sources: list,
+    alpha: float = 0.85,
+    fixed_iterations: int = 3,
+) -> DataFrame:
+    """Personalized PageRank for EVERY seed in one superstep loop:
+    returns ``(source, id, rank double)`` — one full rank vector per
+    seed, all seeds sharing every edge scan and shuffle.
+
+    The multi-tenant form of :func:`pagerank` with ``sources``: n
+    sequential PPR runs cost n × (iters × edge-pass); here the state is
+    keyed by (source, id) so one gather join serves all seeds — the
+    standard trick for seed batches (topic-sensitive PageRank tables,
+    per-hub influence features) where the per-seed reached set is far
+    smaller than the graph. State stays SPARSE (absent = 0.0: teleport
+    mass enters only at each seed, so unreached vertices never
+    materialize rows mid-loop); the output is densified against the
+    vertex table once at the end, matching the single-seed operator's
+    all-vertices contract.
+
+    Iteration is the engine's PPR recurrence exactly
+    (r ← (1−α)·1[id=source] + α·Pᵀr per seed), so each output slice
+    equals `pagerank(g, sources=[s])` — pytest-pinned.
+    """
+    if not sources:
+        raise ValueError("batch_personalized_pagerank needs seeds")
+    verts = graph.vertices()
+    seed_rows = verts.where(F.col("id").isin(list(sources)))
+    n_found = seed_rows.count()
+    if n_found != len(set(sources)):
+        raise ValueError(
+            f"batch_personalized_pagerank: only {n_found} of "
+            f"{len(set(sources))} seeds exist in the graph"
+        )
+    seeds = seed_rows.select(
+        F.col("id").alias("source"), "id", F.lit(1.0).alias("rank")
+    )
+    trans = graph.transition()
+    state = truncate(seeds)
+    with superstep_conf(graph.edges.sparkSession, graph.edges.count()):
+        for _ in range(fixed_iterations):
+            gather = (
+                state.join(trans.withColumnRenamed("src", "id"), "id")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("g"))
+            )
+            parts = gather.select(
+                "source", "id", (F.lit(alpha) * F.col("g")).alias("r")
+            ).unionAll(
+                seeds.select(
+                    "source", "id", F.lit(1.0 - alpha).alias("r")
+                )
+            )
+            nxt = truncate(
+                parts.groupBy("source", "id").agg(
+                    F.sum("r").alias("rank")
+                )
+            )
+            drop_spill(state)
+            state = nxt
+    srcs = seeds.select("source")
+    return (
+        verts.crossJoin(F.broadcast(srcs))
+        .join(state, ["source", "id"], "left")
+        .select(
+            "source",
+            "id",
+            F.round(F.coalesce("rank", F.lit(0.0)), 6).alias("rank"),
+        )
+    )

@@ -158,3 +158,41 @@ def test_personalized_pagerank_missing_sources_raises(spark, st):
         pagerank(g, sequential_threshold=st, sources=[777, 888],
                  fixed_iterations=3)
     g.unpersist()
+
+
+def test_batch_ppr_slices_equal_single_seed_runs(spark):
+    """Each (source, ·) slice of the batched operator equals the
+    single-seed personalized pagerank at the same iteration count."""
+    import math
+
+    import pytest
+
+    from graft.algos.pagerank import batch_personalized_pagerank, pagerank
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    out = batch_personalized_pagerank(
+        g, sources=[0, 7, 13], fixed_iterations=3
+    )
+    got = {(r.source, r.id): r.rank for r in out.collect()}
+    assert len(got) == 3 * 20
+    for s in (0, 7, 13):
+        single = {
+            r.id: r.rank
+            for r in pagerank(g, fixed_iterations=3, sources=[s]).collect()
+        }
+        for vid, rank in single.items():
+            assert math.isclose(
+                got[(s, vid)], round(rank, 6), abs_tol=2e-6
+            ), (s, vid)
+    # per-seed mass: at fixed iterations each vector sums to
+    # (1-a)*(1+a+a^2) + a^3 = 1 on a dangling-free graph
+    for s in (0, 7, 13):
+        tot = sum(v for (src, _), v in got.items() if src == s)
+        assert math.isclose(tot, 1.0, abs_tol=1e-4), s
+    with pytest.raises(ValueError, match="seeds exist"):
+        batch_personalized_pagerank(g, sources=[0, 999])
+    with pytest.raises(ValueError):
+        batch_personalized_pagerank(g, sources=[])
+    g.unpersist()
