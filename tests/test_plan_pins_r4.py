@@ -262,3 +262,35 @@ def test_linkpred_salton_dupspan_plans(spark):
     # gram table generated once per side it feeds (dup-set + hits);
     # coverage explode is the bounded n-positions one, not a cross join
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_final_r4_family_plans(spark):
+    """disparity / rate-anomalies / batched-PPR stay JVM-side; the
+    anomaly windows are keyed (no global sort of the bucket table) and
+    the disparity plan carries no wedge join or window at all."""
+    import datetime as dt
+
+    from graft.algos.pagerank import batch_personalized_pagerank
+    from graft.algos.subgraph import disparity_backbone
+    from graft.temporal import rate_anomalies
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, fixtures.clique_ring_edges())
+    ).cache()
+    p = _assert_jvm_only(disparity_backbone(g), "disparity_backbone")
+    assert "Window" not in p and "CartesianProduct" not in p
+
+    ev = spark.createDataFrame(
+        [("a", dt.datetime(2026, 3, 1) + dt.timedelta(days=i))
+         for i in range(5)],
+        "event_type string, ts timestamp",
+    )
+    p = _assert_jvm_only(rate_anomalies(ev), "rate_anomalies")
+    for line in p.splitlines():
+        ls = line.strip().lstrip("+-*: ")
+        if ls.startswith("Window "):
+            assert "[key" in ls, f"unpartitioned window: {ls}"
+
+    out = batch_personalized_pagerank(g, [0, 7], fixed_iterations=1)
+    _assert_jvm_only(out, "batch_personalized_pagerank")
+    g.unpersist()
