@@ -3911,6 +3911,19 @@ def _q_anf_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(g, max_hops=3, exact=True)
 
 
+def _q_community_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community dashboard (size, volume, cut, internal weight/
+    edges, conductance, density) over the deterministic 2-round LPA
+    labeling — certifies graft.quality.community_profile end to end."""
+    from graft.quality import community_profile
+
+    g = _actor_graph(spark, sf_dir).cache()
+    labels = label_propagation(g, max_iter=2).select(
+        "id", F.col("label").alias("community")
+    )
+    return community_profile(g.edges, labels)
+
+
 def _q_lpa_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance of the (deterministic) 2-round LPA
     labeling — certifies graft.quality.conductance end to end against
@@ -4241,6 +4254,37 @@ SELECT v.community,
 FROM vol v LEFT JOIN cutw c ON v.community = c.community"""
 )
 
+_SQL_COMMUNITY_PROFILE = (
+    _SQL_LPA_QUALITY_BASE
+    + """
+, prof AS (
+  SELECT cs AS community,
+         sum(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS volume,
+         sum(CASE WHEN cs <> cd THEN weight ELSE 0 END) AS cut,
+         sum(CASE WHEN cs = cd
+                  THEN CASE WHEN src = dst THEN weight
+                       ELSE weight / 2 END
+                  ELSE 0 END) AS w_in,
+         count(CASE WHEN cs = cd AND src < dst THEN 1 END) AS n_in_edges
+  FROM j GROUP BY cs
+)
+, mem AS (SELECT community, count(*) AS n_members FROM lab GROUP BY community)
+SELECT m.community, m.n_members,
+       round(p.volume, 6) AS volume,
+       round(p.cut, 6) AS cut,
+       round(p.w_in, 6) AS w_in,
+       p.n_in_edges,
+       round(CASE WHEN least(p.volume, (SELECT t FROM tm) - p.volume) > 0
+                  THEN p.cut
+                       / least(p.volume, (SELECT t FROM tm) - p.volume)
+                  ELSE 0 END, 6) AS conductance,
+       round(CASE WHEN m.n_members > 1
+                  THEN 2.0 * p.n_in_edges
+                       / (m.n_members * (m.n_members - 1))
+                  ELSE 0 END, 6) AS density
+FROM mem m JOIN prof p USING (community)"""
+)
+
 _SQL_LPA_MODULARITY = (
     _SQL_LPA_QUALITY_BASE
     + """
@@ -4393,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cliques": _q_four_cliques,
         "conversation_entropy": _q_conversation_entropy,
         "lpa_conductance": _q_lpa_conductance,
+        "community_profile": _q_community_profile,
         "partition_agreement": _q_partition_agreement,
         "lpa_modularity": _q_lpa_modularity,
         "anf_3hops": _q_anf_3hops,
@@ -4549,6 +4594,7 @@ FROM e WHERE u = v""",
         "four_cliques": _SQL_FOUR_CLIQUES,
         "conversation_entropy": _SQL_CONVERSATION_ENTROPY,
         "lpa_conductance": _SQL_LPA_CONDUCTANCE,
+        "community_profile": _SQL_COMMUNITY_PROFILE,
         "partition_agreement": _SQL_PARTITION_AGREEMENT,
         "lpa_modularity": _SQL_LPA_MODULARITY,
         "anf_3hops": _SQL_ANF_3HOPS,

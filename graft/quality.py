@@ -316,3 +316,77 @@ def modularity(edges: DataFrame, assign: DataFrame) -> float:
         .first()
     )
     return float(row[0] or 0.0)
+
+
+def community_profile(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Per-community dashboard row: ``(community, n_members, volume,
+    cut, w_in, n_in_edges, conductance, density)`` — the summary table
+    an analyst asks for right after any community detection ("how big,
+    how dense, how well separated is each cluster?").
+
+    Conventions shared with :func:`conductance` / :func:`modularity`:
+    volume = member strengths (loops twice); cut = single-counted
+    boundary weight; ``w_in`` = single-counted internal weight (loops
+    once); ``n_in_edges`` = distinct internal simple edges; density =
+    n_in_edges / C(n_members, 2) (0.0 for singletons); all floats 6 dp.
+
+    Plan shape: the per-edge label join (two broadcast-able assignment
+    joins) feeds ONE conditional-sum hash agg producing volume, cut,
+    w_in, and n_in_edges together — no extra pass per metric — plus a
+    member-count agg on the (vertex-sized) assignment; both aggs are
+    map-side combinable and the final join keys on the community id.
+    """
+    a_src = assign.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    a_dst = assign.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    j = edges.join(a_src, "src").join(a_dst, "dst")
+    loop = F.col("src") == F.col("dst")
+    same = F.col("c_src") == F.col("c_dst")
+    prof = j.groupBy(F.col("c_src").alias("community")).agg(
+        F.sum(
+            F.when(loop, F.col("weight") * 2).otherwise(F.col("weight"))
+        ).alias("volume"),
+        F.sum(
+            F.when(~same, F.col("weight")).otherwise(F.lit(0.0))
+        ).alias("cut"),
+        F.sum(
+            F.when(
+                same,
+                F.when(loop, F.col("weight")).otherwise(
+                    F.col("weight") / 2
+                ),
+            ).otherwise(F.lit(0.0))
+        ).alias("w_in"),
+        F.count(
+            F.when(same & (F.col("src") < F.col("dst")), F.lit(1))
+        ).alias("n_in_edges"),
+    )
+    members = assign.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    two_m = edges.agg(
+        F.sum(
+            F.when(loop, F.col("weight") * 2).otherwise(F.col("weight"))
+        )
+    ).first()[0] or 0.0
+    denom = F.least(F.col("volume"), F.lit(two_m) - F.col("volume"))
+    pairs = F.col("n_members") * (F.col("n_members") - 1)
+    return members.join(prof, "community").select(
+        "community",
+        "n_members",
+        F.round("volume", 6).alias("volume"),
+        F.round("cut", 6).alias("cut"),
+        F.round("w_in", 6).alias("w_in"),
+        "n_in_edges",
+        F.round(
+            F.when(denom > 0, F.col("cut") / denom).otherwise(0.0), 6
+        ).alias("conductance"),
+        F.round(
+            F.when(pairs > 0, 2.0 * F.col("n_in_edges") / pairs)
+            .otherwise(0.0),
+            6,
+        ).alias("density"),
+    )

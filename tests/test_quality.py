@@ -142,3 +142,33 @@ def test_agreement_inner_join_and_relabel_invariance(spark):
     # on the overlap the partitions are identical up to relabeling
     assert row["nmi"] == pytest.approx(nmi, abs=1e-12)
     assert row["ari"] == pytest.approx(ari, abs=1e-12)
+
+
+def test_community_profile(spark):
+    """Hand-computed profile on two triangles + a bridge + a loop-only
+    singleton: sizes, volumes, cuts, densities, and both degenerate
+    branches (singleton density, loop-excluded n_in_edges)."""
+    from graft.quality import community_profile
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+             (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0),
+             (2, 3, 1.0), (6, 6, 2.0)]
+    g = Graph.from_undirected(fixtures.edges_df(spark, edges)).cache()
+    assign = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20), (6, 30)],
+        "id long, community long",
+    )
+    got = {r.community: r for r in
+           community_profile(g.edges, assign).collect()}
+    g.unpersist()
+    assert set(got) == {10, 20, 30}
+    for c in (10, 20):
+        r = got[c]
+        assert (r.n_members, r.volume, r.cut) == (3, 7.0, 1.0)
+        assert (r.w_in, r.n_in_edges) == (3.0, 3)
+        assert r.conductance == round(1 / 7, 6)
+        assert r.density == 1.0
+    s = got[30]
+    assert (s.n_members, s.volume, s.cut) == (1, 4.0, 0.0)
+    assert (s.w_in, s.n_in_edges) == (2.0, 0)
+    assert s.conductance == 0.0 and s.density == 0.0
