@@ -1040,6 +1040,45 @@ _SQL_COMPONENT_SIZES = (
 SELECT comp, count(*) AS size FROM labels GROUP BY comp"""
 )
 
+# minimum spanning forest — the cut property makes Kruskal
+# SQL-expressible under a strict total order: edge (w, u, v) is in the
+# unique MSF iff u cannot reach v using only edges strictly SMALLER in
+# the (weight, u, v) order (connectivity over the first k-1 edges in
+# processing order equals connectivity over the forest Kruskal accepted
+# from them, so this is exactly Kruskal's acceptance test, per edge).
+# WITH RECURSIVE runs reachability to its exact fixpoint, so unlike the
+# round-unrolled oracles there is no depth to certify. Expects a
+# ``cand(u, v, weight)`` CTE upstream (canonical u < v, no loops);
+# shared with tests/test_msf.py which replays it on random graphs.
+SQL_MSF_BODY = """
+, ranked AS (
+  SELECT u, v, weight, row_number() OVER (ORDER BY weight, u, v) AS rk
+  FROM cand
+), reach(rk, vertex) AS (
+  SELECT rk, u FROM ranked
+  UNION
+  SELECT r.rk, CASE WHEN s.u = r.vertex THEN s.v ELSE s.u END
+  FROM reach r
+  JOIN ranked s ON s.rk < r.rk AND (s.u = r.vertex OR s.v = r.vertex)
+), msf AS (
+  SELECT t.u, t.v, t.weight FROM ranked t
+  WHERE NOT EXISTS (SELECT 1 FROM reach
+                    WHERE reach.rk = t.rk AND reach.vertex = t.v)
+)"""
+
+_SQL_MSF_TOTAL_WEIGHT = (
+    "WITH RECURSIVE "
+    + _SQL_ACTORS_BODY
+    + """
+, cand AS (
+  SELECT u, v, weight FROM e WHERE u <> v
+)"""
+    + SQL_MSF_BODY
+    + """
+SELECT count(*) AS n_edges, round(sum(weight), 6) AS total_weight
+FROM msf"""
+)
+
 
 def _sql_lpa_round(prev: str, cur: str) -> str:
     """One synchronous LPA round, tie-break (max weight, min label)."""
@@ -2449,12 +2488,14 @@ def _q_ratio_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_msf_total_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum-spanning-forest regression pin: (n_edges, total_weight)
-    of the unique (weight, u, v)-order MSF on the actor graph. MST has
-    no honest SQL twin (union-find / log-round contraction are not
-    expressible in DuckDB SQL), so this is a rows-only contract row;
-    tests/test_msf.py certifies the SAME sf-dir graphs edge-for-edge
-    against an independent in-test Kruskal instead."""
+    """(n_edges, total_weight) of the unique (weight, u, v)-order MSF
+    on the actor graph — hash-certified against the cut-property SQL
+    twin (`_SQL_MSF_TOTAL_WEIGHT`: an edge is in the MSF iff its
+    endpoints are not connected by strictly order-smaller edges, with
+    WITH RECURSIVE reachability run to the exact fixpoint — Kruskal's
+    acceptance test expressed per edge, no union-find state needed).
+    tests/test_msf.py additionally certifies the sf-dir graphs
+    edge-for-edge against an independent in-test Kruskal."""
     from graft.algos.msf import msf_total_weight
 
     g = _actor_graph(spark, sf_dir).cache()
@@ -4579,6 +4620,7 @@ FROM e WHERE u = v""",
         "disparity_backbone": _SQL_DISPARITY,
         "batch_ppr_3iter": _SQL_BATCH_PPR,
         "pic_embedding_3iter": _SQL_PIC_3ITER,
+        "msf_total_weight": _SQL_MSF_TOTAL_WEIGHT,
         "two_hop_neighbors": _SQL_TWO_HOP,
         "degree_centrality": _SQL_DEGREE_CENTRALITY,
         "edge_cut": _SQL_EDGE_CUT,

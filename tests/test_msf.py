@@ -163,3 +163,40 @@ def test_maximum_spanning_forest(spark, weighted):
     assert sum(w for _, _, w in got) >= sum(
         w for _, _, w in _kruskal(rows)
     )
+
+
+def test_cut_property_sql_oracle_matches_kruskal():
+    """The contract oracle's cut-property characterization
+    (__spark_entry__.SQL_MSF_BODY: an edge is in the unique MSF iff its
+    endpoints are NOT connected by strictly (weight, u, v)-order-smaller
+    edges, reachability run to the WITH RECURSIVE fixpoint) reproduces
+    Kruskal edge-for-edge on random tie-heavy graphs — certifying the
+    SQL twin's logic independently of the events-table derivation. No
+    Spark involved: pure DuckDB vs the in-test Kruskal."""
+    import random
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import SQL_MSF_BODY
+
+    rng = random.Random(7)
+    for _trial in range(5):
+        n = rng.randrange(5, 40)
+        pairs = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randrange(4, 3 * n))
+        }
+        # small weight universe so tie-breaks on (u, v) actually fire
+        rows = [(u, v, float(rng.randrange(1, 4))) for u, v in pairs]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE raw(u BIGINT, v BIGINT, weight DOUBLE)")
+        con.executemany("INSERT INTO raw VALUES (?, ?, ?)", rows)
+        got = con.execute(
+            "WITH RECURSIVE cand AS (SELECT u, v, weight FROM raw)"
+            + SQL_MSF_BODY
+            + " SELECT u, v, weight FROM msf"
+        ).fetchall()
+        con.close()
+        assert sorted(got) == _kruskal(rows), f"n={n} rows={rows}"
