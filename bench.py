@@ -591,23 +591,27 @@ def brandes_scaling_run(
         return round(_t.perf_counter() - t0, 3)
 
     run(k_lo)  # warm JIT + python workers + OS page cache
-    lo_walls = [run(k_lo) for _ in range(reps)]
-    hi_walls = [run(k_hi) for _ in range(reps)]
-    _log(
-        f"brandes scaling local[{n_cores}] lo={lo_walls} hi={hi_walls}"
-    )
-    marginal = (min(hi_walls) - min(lo_walls)) / (k_hi - k_lo)
+    # INTERLEAVED (lo, hi) pairs: each marginal is differenced within
+    # one ~2-min load window, so slowly-varying co-tenant load cancels
+    # inside the pair instead of biasing the difference of two minima
+    # taken under different conditions (a lo minimum from a quiet
+    # window minus a hi minimum from a loaded one overstates the
+    # marginal — observed as a >1 "efficiency" artifact)
+    wall_pairs = [(run(k_lo), run(k_hi)) for _ in range(reps)]
+    _log(f"brandes scaling local[{n_cores}] pairs={wall_pairs}")
+    marginal = _pair_min_marginal(wall_pairs, k_hi - k_lo)
     g.unpersist()
     spark.stop()
     return {
         "cores": n_cores,
         "k_lo": k_lo,
         "k_hi": k_hi,
-        "wall_sec_lo": lo_walls,
-        "wall_sec_hi": hi_walls,
+        "wall_sec_pairs": wall_pairs,
         "sym_edge_rows": n_edges,
         "marginal_sec_per_source": round(marginal, 5),
-        "source_bfs_per_sec": round(1.0 / max(marginal, 1e-9), 2),
+        "source_bfs_per_sec": (
+            round(1.0 / marginal, 2) if marginal > 0 else None
+        ),
     }
 
 
@@ -668,12 +672,10 @@ def minhash_scaling_run(
         return round(_t.perf_counter() - t0, 3)
 
     run(nh_lo)  # warm code paths + the cached expansion
-    lo_walls = [run(nh_lo) for _ in range(reps)]
-    hi_walls = [run(nh_hi) for _ in range(reps)]
-    _log(
-        f"minhash scaling local[{n_cores}] lo={lo_walls} hi={hi_walls}"
-    )
-    marginal = (min(hi_walls) - min(lo_walls)) / (nh_hi - nh_lo)
+    # interleaved pairs — same rationale as brandes_scaling_run
+    wall_pairs = [(run(nh_lo), run(nh_hi)) for _ in range(reps)]
+    _log(f"minhash scaling local[{n_cores}] pairs={wall_pairs}")
+    marginal = _pair_min_marginal(wall_pairs, nh_hi - nh_lo)
     docs.unpersist()
     spark.stop()
     return {
@@ -681,10 +683,11 @@ def minhash_scaling_run(
         "nh_lo": nh_lo,
         "nh_hi": nh_hi,
         "docs": n_docs,
-        "wall_sec_lo": lo_walls,
-        "wall_sec_hi": hi_walls,
+        "wall_sec_pairs": wall_pairs,
         "marginal_sec_per_hash_fn": round(marginal, 4),
-        "hash_fns_per_sec": round(1.0 / max(marginal, 1e-9), 2),
+        "hash_fns_per_sec": (
+            round(1.0 / marginal, 2) if marginal > 0 else None
+        ),
     }
 
 
@@ -747,18 +750,31 @@ def _merge_sweep_runs(a: dict, b: dict) -> dict:
     return out
 
 
+def _pair_min_marginal(wall_pairs: list, span: int) -> float:
+    """Minimum positive per-pair differenced marginal. Each (lo, hi)
+    pair ran back-to-back, so slowly-varying host load largely cancels
+    within the pair; load can only ADD to a pair's marginal (the hi run
+    is longer so it absorbs more of any burst), so the minimum over
+    pairs converges to the quiet-host marginal from above. A pair whose
+    marginal comes out non-positive (a burst landed on its lo run) is
+    meaningless and skipped; -1.0 if every pair is non-positive, which
+    downstream reports as a null efficiency."""
+    marginals = [(hi - lo) / span for lo, hi in wall_pairs]
+    positive = [m for m in marginals if m > 0]
+    return min(positive) if positive else -1.0
+
+
 def _merge_wall_runs(
     a: dict, b: dict, span: int, marginal_key: str, rate_key: str
 ) -> dict:
-    """One-sided pooling for the wall-pair runs (minhash / brandes):
-    pool the lo and hi walls, re-difference the minima."""
-    lo = a["wall_sec_lo"] + b["wall_sec_lo"]
-    hi = a["wall_sec_hi"] + b["wall_sec_hi"]
-    marginal = (min(hi) - min(lo)) / span
+    """Pool two wall-pair runs (minhash / brandes): concatenate the
+    (lo, hi) pairs and re-take the min positive per-pair marginal."""
+    pairs = a["wall_sec_pairs"] + b["wall_sec_pairs"]
+    marginal = _pair_min_marginal(pairs, span)
     out = dict(a)
-    out.update(wall_sec_lo=lo, wall_sec_hi=hi)
+    out.update(wall_sec_pairs=pairs)
     out[marginal_key] = round(marginal, 5)
-    out[rate_key] = round(1.0 / max(marginal, 1e-9), 2)
+    out[rate_key] = round(1.0 / marginal, 2) if marginal > 0 else None
     return out
 
 

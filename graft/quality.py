@@ -374,13 +374,15 @@ def community_profile(edges: DataFrame, assign: DataFrame) -> DataFrame:
     ).first()[0] or 0.0
     denom = F.least(F.col("volume"), F.lit(two_m) - F.col("volume"))
     pairs = F.col("n_members") * (F.col("n_members") - 1)
-    return members.join(prof, "community").select(
+    # left join: a community of edge-less (isolated/padded) vertices
+    # still gets a profile row — all-zero metrics, not a dropped row
+    return members.join(prof, "community", "left").select(
         "community",
         "n_members",
-        F.round("volume", 6).alias("volume"),
-        F.round("cut", 6).alias("cut"),
-        F.round("w_in", 6).alias("w_in"),
-        "n_in_edges",
+        F.round(F.coalesce("volume", F.lit(0.0)), 6).alias("volume"),
+        F.round(F.coalesce("cut", F.lit(0.0)), 6).alias("cut"),
+        F.round(F.coalesce("w_in", F.lit(0.0)), 6).alias("w_in"),
+        F.coalesce("n_in_edges", F.lit(0)).alias("n_in_edges"),
         F.round(
             F.when(denom > 0, F.col("cut") / denom).otherwise(0.0), 6
         ).alias("conductance"),

@@ -172,3 +172,24 @@ def test_community_profile(spark):
     assert (s.n_members, s.volume, s.cut) == (1, 4.0, 0.0)
     assert (s.w_in, s.n_in_edges) == (2.0, 0)
     assert s.conductance == 0.0 and s.density == 0.0
+
+
+def test_community_profile_isolated_community(spark):
+    """A community whose members have no incident edges still gets a
+    (all-zero) profile row instead of vanishing from the table."""
+    from graft.quality import community_profile
+
+    g = Graph.from_undirected(
+        fixtures.edges_df(spark, [(0, 1, 1.0)])
+    ).cache()
+    assign = spark.createDataFrame(
+        [(0, 10), (1, 10), (7, 99)], "id long, community long"
+    )
+    got = {r.community: r for r in
+           community_profile(g.edges, assign).collect()}
+    g.unpersist()
+    assert set(got) == {10, 99}
+    iso = got[99]
+    assert (iso.n_members, iso.volume, iso.cut) == (1, 0.0, 0.0)
+    assert (iso.w_in, iso.n_in_edges) == (0.0, 0)
+    assert iso.conductance == 0.0 and iso.density == 0.0
