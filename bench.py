@@ -779,16 +779,18 @@ def _merge_wall_runs(
 
 
 def _merge_pagerank_runs(a: dict, b: dict) -> dict:
-    """Same one-sided pooling for ``pagerank_scaling_run`` pairs."""
-    t1s = a["t1_sec"] + b["t1_sec"]
-    tks = a["tk_sec"] + b["tk_sec"]
-    marginal = max((min(tks) - min(t1s)) / (a["k"] - 1), 1e-9)
+    """Pool two ``pagerank_scaling_run`` results: concatenate their
+    interleaved (t1, tk) pairs, re-take the min positive marginal."""
+    pairs = a["wall_sec_pairs"] + b["wall_sec_pairs"]
+    marginal = _pair_min_marginal(pairs, a["k"] - 1)
     out = dict(a)
     out.update(
-        t1_sec=t1s,
-        tk_sec=tks,
+        wall_sec_pairs=pairs,
         marginal_sec_per_superstep=round(marginal, 3),
-        edges_per_sec_per_superstep=round(a["sym_edge_rows"] / marginal, 1),
+        edges_per_sec_per_superstep=(
+            round(a["sym_edge_rows"] / marginal, 1) if marginal > 0
+            else None
+        ),
     )
     return out
 
@@ -827,20 +829,24 @@ def pagerank_scaling_run(n_cores: int, k: int = 6, reps: int = 3) -> dict:
         return round(_t.perf_counter() - t0, 3)
 
     run(1)  # warm: builds + caches the copartitioned transition table
-    t1s = [run(1) for _ in range(reps)]
-    tks = [run(k) for _ in range(reps)]
-    _log(f"pagerank scaling local[{n_cores}] t1={t1s} t{k}={tks}")
-    marginal = max((min(tks) - min(t1s)) / (k - 1), 1e-9)
+    # interleaved (t1, tk) pairs, min positive per-pair marginal — same
+    # bias rationale as _pair_min_marginal (differencing across two
+    # load windows can fabricate or sink a marginal; within a
+    # back-to-back pair the load cancels)
+    wall_pairs = [(run(1), run(k)) for _ in range(reps)]
+    _log(f"pagerank scaling local[{n_cores}] pairs={wall_pairs}")
+    marginal = _pair_min_marginal(wall_pairs, k - 1)
     g.unpersist()
     spark.stop()
     return {
         "cores": n_cores,
         "k": k,
-        "t1_sec": t1s,
-        "tk_sec": tks,
+        "wall_sec_pairs": wall_pairs,
         "marginal_sec_per_superstep": round(marginal, 3),
         "sym_edge_rows": n_edges,
-        "edges_per_sec_per_superstep": round(n_edges / marginal, 1),
+        "edges_per_sec_per_superstep": (
+            round(n_edges / marginal, 1) if marginal > 0 else None
+        ),
     }
 
 
@@ -977,17 +983,17 @@ def main() -> None:
     time.sleep(5)
     pr_hi = pagerank_scaling_run(SCALE_N * 4)
 
-    def _pr_eff(lo_: dict, hi_: dict) -> float:
-        return round(
-            hi_["edges_per_sec_per_superstep"]
-            / (4.0 * lo_["edges_per_sec_per_superstep"]),
-            3,
-        )
+    def _pr_eff(lo_: dict, hi_: dict) -> float | None:
+        lo_r = lo_["edges_per_sec_per_superstep"]
+        hi_r = hi_["edges_per_sec_per_superstep"]
+        if not lo_r or not hi_r:
+            return None  # a side with no positive pair: no honest ratio
+        return round(hi_r / (4.0 * lo_r), 3)
 
     pr_eff = _pr_eff(pr_lo, pr_hi)
     # same one-sided retry-and-pool as the sweep cell above
     for _ in range(2):
-        if pr_eff >= 0.82:
+        if pr_eff is not None and pr_eff >= 0.82:
             break
         _log(f"pagerank N->4N eff {pr_eff} below bar; pooling extra reps")
         time.sleep(5)
