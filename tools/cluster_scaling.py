@@ -91,16 +91,20 @@ def main() -> None:
     lo = _run(N_LO, edges, zip_path)
     hi = _run(N_HI, edges, zip_path)
 
-    def eff(job: str, key: str) -> float:
-        return round(hi[job][key] / (4.0 * lo[job][key]), 3)
+    def eff(job: str, key: str) -> float | None:
+        lo_r, hi_r = lo[job][key], hi[job][key]
+        if not lo_r or not hi_r:
+            return None  # a side with no usable pair: no honest ratio
+        return round(hi_r / (4.0 * lo_r), 3)
 
     result = {
         "protocol": (
             "spark-submit --py-files graft.zip tools/cluster_job.py at "
             f"local-cluster[{N_LO},{EXEC_CORES},{EXEC_MB}] vs "
             f"local-cluster[{N_HI},{EXEC_CORES},{EXEC_MB}] — N vs 4N "
-            "separate executor JVMs, fixed executor size; differenced "
-            "marginals, min over 2 reps after warm-up"
+            "separate executor JVMs, fixed executor size; interleaved "
+            "(lo, hi) wall pairs after warm-up, min positive per-pair "
+            "differenced marginal (load cancels within a pair)"
         ),
         "low": lo,
         "high": hi,
