@@ -751,17 +751,29 @@ def _merge_sweep_runs(a: dict, b: dict) -> dict:
 
 
 def _pair_min_marginal(wall_pairs: list, span: int) -> float:
-    """Minimum positive per-pair differenced marginal. Each (lo, hi)
-    pair ran back-to-back, so slowly-varying host load largely cancels
-    within the pair; load can only ADD to a pair's marginal (the hi run
-    is longer so it absorbs more of any burst), so the minimum over
-    pairs converges to the quiet-host marginal from above. A pair whose
-    marginal comes out non-positive (a burst landed on its lo run) is
-    meaningless and skipped; -1.0 if every pair is non-positive, which
-    downstream reports as a null efficiency."""
-    marginals = [(hi - lo) / span for lo, hi in wall_pairs]
-    positive = [m for m in marginals if m > 0]
-    return min(positive) if positive else -1.0
+    """(min hi − min lo)/span over pooled interleaved (lo, hi) pairs —
+    the CONSISTENT estimator: each minimum converges to its quiet-host
+    wall as pairs accumulate, so the difference converges to the true
+    marginal. (A min-of-per-pair-differences variant was tried first
+    and is not consistent: a burst landing on one pair's lo run drives
+    that pair's difference arbitrarily LOW, and the min keeps it —
+    observed as >1 "efficiencies". Conversely min-vs-min over few,
+    non-interleaved reps landed high when only the lo minimum caught a
+    quiet window — hence interleaving, so both walls sample the same
+    load epochs, plus the both-direction retry-pooling in main().)
+    Non-positive (a burst on every hi run): -1.0 → null efficiency
+    downstream rather than a fabricated rate."""
+    lo = min(p[0] for p in wall_pairs)
+    hi = min(p[1] for p in wall_pairs)
+    marginal = (hi - lo) / span
+    return marginal if marginal > 0 else -1.0
+
+
+def _abnormal(eff: float | None, hi_bar: float = 1.05) -> bool:
+    """A reading that warrants pooling more reps: below the north-rule
+    bar (could be a loaded hi side) or super-linear (could be a loaded
+    lo side) — both one-sided artifacts that extra minima shrink."""
+    return eff is None or eff < 0.82 or eff > hi_bar
 
 
 def _merge_wall_runs(
@@ -883,9 +895,9 @@ def main() -> None:
     # minima — an honest tightening, every raw wall stays in the detail
     # file. Bounded at 2 extra rounds (~3 min worst case).
     for _ in range(2):
-        if eff >= 0.82:
+        if not _abnormal(eff):
             break
-        _log(f"sweep N->4N eff {eff} below bar; pooling an extra rep pair")
+        _log(f"sweep N->4N eff {eff} abnormal; pooling an extra rep pair")
         time.sleep(5)
         lo = _merge_sweep_runs(lo, scaling_run(SCALE_N, reps=1))
         time.sleep(5)
@@ -939,7 +951,7 @@ def main() -> None:
     # these two cells are the named ≥0.8 evidence at 8→32 and hover at
     # the bar under co-tenant load: same one-sided retry-and-pool as
     # the official N→4N cells (one extra rep pair, bounded)
-    if minhash_eff_8_32 is None or minhash_eff_8_32 < 0.82:
+    if _abnormal(minhash_eff_8_32):
         time.sleep(5)
         mh8 = _merge_wall_runs(
             mh8, minhash_scaling_run(8, reps=2, expand=32),
@@ -958,7 +970,7 @@ def main() -> None:
     time.sleep(5)
     b32 = brandes_scaling_run(32, reps=2)
     brandes_eff_8_32 = _eff_8_32(b8, b32, "marginal_sec_per_source")
-    if brandes_eff_8_32 is None or brandes_eff_8_32 < 0.82:
+    if _abnormal(brandes_eff_8_32):
         time.sleep(5)
         b8 = _merge_wall_runs(
             b8, brandes_scaling_run(8, reps=2),
@@ -993,9 +1005,9 @@ def main() -> None:
     pr_eff = _pr_eff(pr_lo, pr_hi)
     # same one-sided retry-and-pool as the sweep cell above
     for _ in range(2):
-        if pr_eff is not None and pr_eff >= 0.82:
+        if not _abnormal(pr_eff):
             break
-        _log(f"pagerank N->4N eff {pr_eff} below bar; pooling extra reps")
+        _log(f"pagerank N->4N eff {pr_eff} abnormal; pooling extra reps")
         time.sleep(5)
         pr_lo = _merge_pagerank_runs(pr_lo, pagerank_scaling_run(SCALE_N, reps=2))
         time.sleep(5)

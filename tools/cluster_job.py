@@ -77,14 +77,15 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def pair_min_marginal(wall_pairs: list, span: float) -> float:
-        # interleaved (lo, hi) pairs differenced within one load
-        # window; min positive pair converges to the quiet-host
-        # marginal from above (same statistic as bench.py — a min-lo
-        # vs min-hi difference across windows can land absurdly high
-        # or negative on a shared host); -1.0 = no usable pair
-        marginals = [(hi - lo) / span for lo, hi in wall_pairs]
-        positive = [m for m in marginals if m > 0]
-        return min(positive) if positive else -1.0
+        # (min hi − min lo)/span over interleaved (lo, hi) pairs —
+        # same consistent statistic as bench.py._pair_min_marginal
+        # (per-pair differencing is not consistent: a burst on one
+        # pair's lo run drives that pair's difference arbitrarily low
+        # and a min keeps it); -1.0 = no usable estimate
+        lo = min(p[0] for p in wall_pairs)
+        hi = min(p[1] for p in wall_pairs)
+        marginal = (hi - lo) / span
+        return marginal if marginal > 0 else -1.0
 
     pr(1)  # warm-up
     pr_pairs = [(pr(1), pr(6)) for _ in range(args.reps)]
