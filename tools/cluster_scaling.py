@@ -82,6 +82,37 @@ def _run(n_workers: int, edges: str, zip_path: str) -> dict:
     return out
 
 
+def _merge_runs(a: dict, b: dict) -> dict:
+    """Pool a second cluster run into a first (same statistic family as
+    bench.py): per-index sweep minima, pooled (lo, hi) wall pairs with
+    the consistent (min hi − min lo)/span marginal."""
+    out = dict(a)
+    reps = a["sweep"]["durations_per_rep"] + b["sweep"]["durations_per_rep"]
+    n_idx = min(len(r) for r in reps)
+    per_idx = [min(r[i] for r in reps) for i in range(n_idx)]
+    sm = sum(per_idx) / len(per_idx)
+    out["sweep"] = {
+        **a["sweep"],
+        "durations_per_rep": reps,
+        "marginal_sec_per_sweep": round(sm, 3),
+        "rows_per_sec": round(a["sym_edge_rows"] / sm, 1),
+    }
+
+    def pool(job: str, span: float, m_key: str, r_key: str, rate_num: float):
+        pairs = a[job]["wall_sec_pairs"] + b[job]["wall_sec_pairs"]
+        m = (min(p[1] for p in pairs) - min(p[0] for p in pairs)) / span
+        d = {**a[job], "wall_sec_pairs": pairs}
+        d[m_key] = round(m, 5)
+        d[r_key] = round(rate_num / m, 3) if m > 0 else None
+        out[job] = d
+
+    pool("pagerank", 5.0, "marginal_sec_per_superstep", "rows_per_sec",
+         float(a["sym_edge_rows"]))
+    pool("brandes", float(a["brandes"]["k_hi"] - a["brandes"]["k_lo"]),
+         "marginal_sec_per_source", "sources_per_sec", 1.0)
+    return out
+
+
 def main() -> None:
     from bench import synth_powerlaw_parquet
 
@@ -96,6 +127,16 @@ def main() -> None:
         if not lo_r or not hi_r:
             return None  # a side with no usable pair: no honest ratio
         return round(hi_r / (4.0 * lo_r), 3)
+
+    # retry-and-pool (bounded, one extra run pair) when the CPU-bound
+    # cell — the one expected to scale on this box — reads abnormal:
+    # same both-direction rationale as bench.py._abnormal
+    br = eff("brandes", "sources_per_sec")
+    if br is None or br < 0.82 or br > 1.05:
+        print(f"[cluster] brandes eff {br} abnormal; pooling an extra "
+              "run pair", file=sys.stderr, flush=True)
+        lo = _merge_runs(lo, _run(N_LO, edges, zip_path))
+        hi = _merge_runs(hi, _run(N_HI, edges, zip_path))
 
     result = {
         "protocol": (
