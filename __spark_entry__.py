@@ -308,7 +308,7 @@ def _sql_pic_iter(prev: str, cur: str) -> str:
     (neighbor averaging — gather FROM dst, fold onto src), then L1
     renormalization."""
     return f"""
-, {cur}_raw AS (
+, {cur}_raw AS MATERIALIZED (
   SELECT vv.id, coalesce(i.x, 0.0) AS x
   FROM verts vv LEFT JOIN (
     SELECT e2.src AS id, sum((e2.weight / ow.s) * r.v) AS x
@@ -317,7 +317,7 @@ def _sql_pic_iter(prev: str, cur: str) -> str:
     JOIN outw ow ON e2.src = ow.src
     GROUP BY e2.src
   ) i ON i.id = vv.id
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT id, x / (SELECT sum(abs(x)) FROM {cur}_raw) AS v FROM {cur}_raw
 )"""
 
@@ -1066,6 +1066,13 @@ SQL_MSF_BODY = """
                     WHERE reach.rk = t.rk AND reach.vertex = t.v)
 )"""
 
+# SCALE GUARD: the reach CTE is O(E·V) per-edge reachability — exact
+# and fast at the driver's correctness scale (sf0.01: 2.3 s) but it
+# does not terminate in reasonable time at sf0.1 (~16k edges).  The
+# oracle twin is only meant to run at <= sf0.01; tools/check_oracle.py
+# skips it (rows-only) above _MSF_ORACLE_MAX_EDGES.  The engine side
+# (graft/algos/msf.py) has no such bound — it is Borůvka-style and
+# scales; only this DuckDB certification twin is size-limited.
 _SQL_MSF_TOTAL_WEIGHT = (
     "WITH RECURSIVE "
     + _SQL_ACTORS_BODY
@@ -2126,14 +2133,14 @@ FROM k3"""
 def _sql_eig_iter(prev: str, cur: str) -> str:
     """One unrolled power-iteration step: y = A·x ; x' = y/||y||₂."""
     return f"""
-, {cur}_raw AS (
+, {cur}_raw AS MATERIALIZED (
   SELECT v.id, coalesce(i.s, 0.0) AS x
   FROM verts v LEFT JOIN (
     SELECT e2.dst AS id, sum(x.x * e2.weight) AS s
     FROM sym2 e2 JOIN {prev} x ON e2.src = x.id
     GROUP BY e2.dst
   ) i ON v.id = i.id
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT id, x / (SELECT sqrt(sum(x * x)) FROM {cur}_raw) AS x
   FROM {cur}_raw
 )"""
@@ -2266,26 +2273,34 @@ FROM j"""
 
 
 def _sql_hits_iter(prev_h: str, cur_a: str, cur_h: str) -> str:
-    """One unrolled HITS iteration: a = norm₂(Aᵀh); h = norm₂(A·a)."""
+    """One unrolled HITS iteration: a = norm₂(Aᵀh); h = norm₂(A·a).
+
+    Every CTE is MATERIALIZED: each ``*_raw`` is referenced twice (the
+    scalar-subquery norm plus the division) and each normalized vector
+    feeds the next iteration twice more, so DuckDB's default CTE
+    inlining re-expands the whole upstream chain at every reference —
+    the same exponential-plan footprint that made the recursive APSP
+    oracle die with bad allocations on a loaded host (fixed the same
+    way in commit a9f0f47)."""
     return f"""
-, {cur_a}_raw AS (
+, {cur_a}_raw AS MATERIALIZED (
   SELECT v.id, coalesce(i.s, 0.0) AS x
   FROM dverts v LEFT JOIN (
     SELECT de.dst AS id, sum(h.x * de.weight) AS s
     FROM de JOIN {prev_h} h ON de.src = h.id
     GROUP BY de.dst
   ) i ON v.id = i.id
-), {cur_a} AS (
+), {cur_a} AS MATERIALIZED (
   SELECT id, x / (SELECT sqrt(sum(x * x)) FROM {cur_a}_raw) AS x
   FROM {cur_a}_raw
-), {cur_h}_raw AS (
+), {cur_h}_raw AS MATERIALIZED (
   SELECT v.id, coalesce(i.s, 0.0) AS x
   FROM dverts v LEFT JOIN (
     SELECT de.src AS id, sum(a2.x * de.weight) AS s
     FROM de JOIN {cur_a} a2 ON de.dst = a2.id
     GROUP BY de.src
   ) i ON v.id = i.id
-), {cur_h} AS (
+), {cur_h} AS MATERIALIZED (
   SELECT id, x / (SELECT sqrt(sum(x * x)) FROM {cur_h}_raw) AS x
   FROM {cur_h}_raw
 )"""
@@ -2293,8 +2308,8 @@ def _sql_hits_iter(prev_h: str, cur_a: str, cur_h: str) -> str:
 
 _SQL_HITS_3ITER = (
     _SQL_DIRECTED
-    + "\n, h0 AS (SELECT id, 1.0 / sqrt((SELECT n FROM dnv)) AS x"
-      " FROM dverts)"
+    + "\n, h0 AS MATERIALIZED"
+      " (SELECT id, 1.0 / sqrt((SELECT n FROM dnv)) AS x FROM dverts)"
     + _sql_hits_iter("h0", "a1", "h1")
     + _sql_hits_iter("h1", "a2", "h2")
     + _sql_hits_iter("h2", "a3", "h3")
@@ -4448,13 +4463,66 @@ FROM tot t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the round driver certifies the FIRST 50 keys.
+    # Round-5 rotation (VERDICT r4 directive #1): slots 1-47 are rows
+    # never present in CORRECTNESS_r01-r04, slots 48-50 are graph-core
+    # canaries; the r1-r4-certified rows follow after slot 50.
     return {
+        "betweenness": _q_betweenness,
+        "edge_betweenness": _q_edge_betweenness,
+        "closeness": _q_closeness,
+        "harmonic_centrality": _q_harmonic,
+        "eccentricity": _q_eccentricity,
+        "graph_diameter": _q_diameter,
+        "katz_3iter": _q_katz_3iter,
+        "eigenvector_3iter": _q_eigenvector_3iter,
+        "hits_3iter": _q_hits_3iter,
+        "scc_components": _q_scc,
+        "k_core_3": _q_k_core,
+        "core_numbers": _q_core_numbers,
+        "k_truss_10": _q_k_truss,
+        "truss_numbers": _q_truss_numbers,
+        "maximal_independent_set": _q_mis,
+        "greedy_coloring": _q_coloring,
+        "wl_colors_2rounds": _q_wl_colors,
+        "clustering_coefficient": _q_clustering,
+        "transitivity": _q_transitivity,
+        "degree_assortativity": _q_assortativity,
+        "square_count": _q_square_count,
+        "rich_club": _q_rich_club,
+        "reciprocity": _q_reciprocity,
+        "pagerank_directed_3iter": _q_pagerank_directed_3iter,
+        "neighbor_sample_2hop": _q_neighbor_sample,
+        "node2vec_walks_3": _q_node2vec,
+        "skipgram_pairs_w2": _q_skipgram,
+        "negative_samples_500": _q_negative_samples,
+        "random_walks_4": _q_random_walks,
+        "sessionized_turns": _q_sessionized_turns,
+        "conversation_stats": _q_conversation_stats,
+        "role_transitions": _q_role_transitions,
+        "actor_pmi": _q_actor_pmi,
+        "directed_edges": _q_directed_edges,
+        "decayed_edges": _q_decayed_edges,
+        "kmeans_2iter": _q_kmeans_2iter,
+        "knn_graph": _q_knn_graph,
+        "dedup_survivors": _q_dedup_survivors,
+        "decontamination": _q_decontamination,
+        "pii_scan": _q_pii_scan,
+        "packed_sequences": _q_packed_sequences,
+        "packing_stats": _q_packing_stats,
+        "source_mix": _q_source_mix,
+        "embedding_covariance": _q_embedding_covariance,
+        "dup_span_stats": _q_dup_span_stats,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "zipf_alpha": _q_zipf_alpha,
         "transcript_edges": _q_transcript_edges,
+        "pagerank_3iter": _q_pagerank_3iter,
+        "connected_components": _q_components,
+        # --- end of driver-certified prefix (50) ---
         "degrees": _q_degrees,
         "top_hubs": _q_top_hubs,
         "total_edge_weight_m": _q_total_edge_weight,
         "self_loops": _q_self_loops,
-        "pagerank_3iter": _q_pagerank_3iter,
         "pagerank_warm_3iter": _q_pagerank_warm_3iter,
         "ppr_3iter": _q_ppr_3iter,
         "ppr_sweep_cut": _q_ppr_sweep,
@@ -4471,7 +4539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_3hops": _q_bfs_3hops,
         "bfs_pred_3hops": _q_bfs_pred_3hops,
         "sssp_3rounds": _q_sssp_3rounds,
-        "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_2rounds": _q_lpa_2rounds,
         "node_roles": _q_node_roles,
@@ -4499,54 +4566,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_allocation": _q_resource_allocation,
         "common_neighbors": _q_common_neighbors,
         "preferential_attachment": _q_pref_attach,
-        "clustering_coefficient": _q_clustering,
-        "transitivity": _q_transitivity,
-        "degree_assortativity": _q_assortativity,
         "attribute_mixing": _q_attribute_mixing,
         "attribute_assortativity": _q_attribute_assortativity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
-        "betweenness": _q_betweenness,
-        "edge_betweenness": _q_edge_betweenness,
-        "closeness": _q_closeness,
-        "harmonic_centrality": _q_harmonic,
-        "neighbor_sample_2hop": _q_neighbor_sample,
-        "node2vec_walks_3": _q_node2vec,
-        "skipgram_pairs_w2": _q_skipgram,
-        "negative_samples_500": _q_negative_samples,
-        "eccentricity": _q_eccentricity,
-        "graph_diameter": _q_diameter,
         "degree_histogram": _q_degree_histogram,
-        "maximal_independent_set": _q_mis,
-        "greedy_coloring": _q_coloring,
-        "wl_colors_2rounds": _q_wl_colors,
         "graph_fingerprint": _q_graph_fingerprint,
         "conversation_fingerprints": _q_conversation_fingerprints,
         "ego_graph_2hop": _q_ego_graph_2hop,
         "community_quotient": _q_community_quotient,
-        "sessionized_turns": _q_sessionized_turns,
-        "conversation_stats": _q_conversation_stats,
-        "role_transitions": _q_role_transitions,
         "turn_gap_stats": _q_turn_gap_stats,
-        "actor_pmi": _q_actor_pmi,
-        "square_count": _q_square_count,
-        "rich_club": _q_rich_club,
         "sparsify_top3": _q_sparsify_top3,
         "label_spreading_2r": _q_label_spreading_2r,
-        "reciprocity": _q_reciprocity,
-        "pagerank_directed_3iter": _q_pagerank_directed_3iter,
         "window_fingerprints": _q_window_fingerprints,
         "powerlaw_alpha": _q_powerlaw_alpha,
-        "random_walks_4": _q_random_walks,
-        "katz_3iter": _q_katz_3iter,
-        "eigenvector_3iter": _q_eigenvector_3iter,
-        "directed_edges": _q_directed_edges,
-        "decayed_edges": _q_decayed_edges,
-        "hits_3iter": _q_hits_3iter,
-        "scc_components": _q_scc,
-        "k_core_3": _q_k_core,
-        "core_numbers": _q_core_numbers,
-        "k_truss_10": _q_k_truss,
-        "truss_numbers": _q_truss_numbers,
         "leiden_communities": _q_leiden,
         "louvain_communities": _q_louvain,
         "leiden_quality": _q_leiden_quality,
@@ -4555,13 +4587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecg_quality": _q_ecg_quality,
         "rmat_edges": _q_rmat_edges,
         "doc_chunks": _q_doc_chunks,
-        "packed_sequences": _q_packed_sequences,
-        "packing_stats": _q_packing_stats,
         "source_mix_plan": _q_source_mix_plan,
-        "source_mix": _q_source_mix,
         "unigram_xent": _q_unigram_xent,
         "bigram_xent": _q_bigram_xent,
-        "zipf_alpha": _q_zipf_alpha,
         "doc_token_counts": _q_token_counts,
         "doc_fingerprints": _q_fingerprints,
         "exact_dedup": _q_exact_dedup,
@@ -4569,7 +4597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
-        "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
@@ -4579,20 +4606,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "smoothed_embeddings": _q_smoothed_embeddings,
         "embedding_mean": _q_embedding_mean,
-        "embedding_covariance": _q_embedding_covariance,
-        "kmeans_2iter": _q_kmeans_2iter,
-        "knn_graph": _q_knn_graph,
         "top_terms": _q_top_terms,
         "deterministic_sample": _q_deterministic_sample,
         "split_assignment": _q_split_assignment,
-        "tfidf_top_terms": _q_tfidf_top_terms,
         "media_features": _q_media_features,
         "doc_quality_scores": _q_quality_scores,
-        "pii_scan": _q_pii_scan,
         "doc_repetition": _q_repetition_stats,
-        "dup_span_stats": _q_dup_span_stats,
         "weighted_sample": _q_weighted_sample,
-        "decontamination": _q_decontamination,
     }
 
 

@@ -297,9 +297,25 @@ def leiden(
     sequential_tail_edges: int = 1_000_000,
     tail_max_vertices: int | None = None,
     return_quality: bool = False,
+    initial_membership: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, community long)`` final labels on original
     vertices. Deterministic for a fixed seed (SURVEY.md §1.4 item 10).
+
+    ``initial_membership``: warm start — an ``(id, community)`` table
+    seeding level 0 instead of singletons. The reference's maintain_p
+    invariant (custom_leiden.py:693-757 seeds from singletons, but
+    :493-523's maintained partition accepts ANY starting P) imposes no
+    obstacle: local moving starts from the seed partition, refinement
+    still splits each P community into well-connected parts, and both
+    the BSP and sequential-tail paths honor the seed (seq_tail reads a
+    ``community`` column when present). Vertices absent from the seed
+    start as singletons. Greedy local moving never decreases the CPM
+    objective, so quality(result) >= quality(seed) (pytest-pinned);
+    like Louvain's the fixpoint is seed-DEPENDENT — a warm run may
+    legitimately differ from a cold run. On an incrementally-grown
+    graph, seeding with the previous refresh's labels converges in
+    fewer sweeps (graft.streaming.incremental_leiden).
 
     ``return_quality=True`` returns ``(labels, cpm_quality)`` — the
     cugraph.leiden-shaped API (examples/test2.py:71,
@@ -328,6 +344,17 @@ def leiden(
     ``sequential_tail_edges=0`` to force the BSP path at every level."""
     base_ids = graph.vertices().persist()
     level = init_level(graph.edges)
+    if initial_membership is not None:
+        level.vertices = level.vertices.join(
+            initial_membership.withColumnRenamed("community", "_c0"),
+            "id",
+            "left",
+        ).select(
+            "id",
+            F.coalesce("_c0", F.col("id")).alias("community"),
+            "agg_count",
+            "k",
+        )
     level.edges = level.edges.persist()
     mappings: list[DataFrame] = []
     start_lvl = 0

@@ -139,7 +139,7 @@ def pic_embedding(
     u = verts.select(
         "id", (hash_priority(F.col("id"), seed) / F.lit(2.0**60)).alias("u")
     )
-    v0 = u.crossJoin(u.agg(F.sum("u").alias("nrm"))).select(
+    v0 = u.crossJoin(F.broadcast(u.agg(F.sum("u").alias("nrm")))).select(
         "id", (F.col("u") / F.col("nrm")).alias("v")
     )
 
@@ -177,7 +177,7 @@ def pic_embedding(
             # scalar-aggregate cross join: the L1 normalizer stays in
             # the same job — no per-iteration driver collect
             nxt = raw.crossJoin(
-                raw.agg(F.sum(F.abs(F.col("x"))).alias("nrm"))
+                F.broadcast(raw.agg(F.sum(F.abs(F.col("x"))).alias("nrm")))
             ).select(
                 "id",
                 F.when(F.col("nrm") > 0, F.col("x") / F.col("nrm"))

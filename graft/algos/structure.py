@@ -209,7 +209,7 @@ def rich_club(graph: Graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16)) -> DataFrame
         [(int(k),) for k in sorted(set(ks))], "k long"
     )
     nk = (
-        ksdf.crossJoin(deg)
+        F.broadcast(ksdf).crossJoin(deg)
         .groupBy("k")
         .agg(
             F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
@@ -218,7 +218,7 @@ def rich_club(graph: Graph, ks: tuple[int, ...] = (1, 2, 4, 8, 16)) -> DataFrame
         )
     )
     ek = (
-        ksdf.crossJoin(em)
+        F.broadcast(ksdf).crossJoin(em)
         .groupBy("k")
         .agg(
             F.sum(F.when(F.col("m") > F.col("k"), 1).otherwise(0))

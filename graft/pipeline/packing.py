@@ -207,5 +207,7 @@ def packed_sequence_stats(packed: DataFrame, seq_len: int = 512) -> DataFrame:
             "full_seqs"
         ),
     ).crossJoin(
-        straddlers.agg(F.count(F.lit(1)).alias("straddling_docs"))
+        F.broadcast(
+            straddlers.agg(F.count(F.lit(1)).alias("straddling_docs"))
+        )
     )

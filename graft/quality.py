@@ -384,10 +384,15 @@ def community_profile(edges: DataFrame, assign: DataFrame) -> DataFrame:
         F.round(F.coalesce("w_in", F.lit(0.0)), 6).alias("w_in"),
         F.coalesce("n_in_edges", F.lit(0)).alias("n_in_edges"),
         F.round(
-            F.when(denom > 0, F.col("cut") / denom).otherwise(0.0), 6
+            F.when(denom > 0, F.coalesce("cut", F.lit(0.0)) / denom)
+            .otherwise(0.0),
+            6,
         ).alias("conductance"),
         F.round(
-            F.when(pairs > 0, 2.0 * F.col("n_in_edges") / pairs)
+            F.when(
+                pairs > 0,
+                2.0 * F.coalesce("n_in_edges", F.lit(0)) / pairs,
+            )
             .otherwise(0.0),
             6,
         ).alias("density"),

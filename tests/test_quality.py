@@ -183,13 +183,21 @@ def test_community_profile_isolated_community(spark):
         fixtures.edges_df(spark, [(0, 1, 1.0)])
     ).cache()
     assign = spark.createDataFrame(
-        [(0, 10), (1, 10), (7, 99)], "id long, community long"
+        [(0, 10), (1, 10), (7, 99), (8, 88), (9, 88)],
+        "id long, community long",
     )
     got = {r.community: r for r in
            community_profile(g.edges, assign).collect()}
     g.unpersist()
-    assert set(got) == {10, 99}
+    assert set(got) == {10, 99, 88}
     iso = got[99]
     assert (iso.n_members, iso.volume, iso.cut) == (1, 0.0, 0.0)
     assert (iso.w_in, iso.n_in_edges) == (0.0, 0)
     assert iso.conductance == 0.0 and iso.density == 0.0
+    # >=2 edge-less members: pairs > 0 exercises the density branch on a
+    # NULL (left-join-missed) n_in_edges — must coalesce to 0.0, not NULL
+    pair = got[88]
+    assert (pair.n_members, pair.volume, pair.cut) == (2, 0.0, 0.0)
+    assert (pair.w_in, pair.n_in_edges) == (0.0, 0)
+    assert pair.conductance == 0.0
+    assert pair.density == 0.0
