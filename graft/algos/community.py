@@ -104,26 +104,29 @@ def _select_moves(
         ΔH = (k_v→new − γ·n_v·n_new) − (k_v→own\\v − γ·n_v·(n_own − n_v))
     Modularity delta (custom_louvain.py:124-160 closed form):
         ΔQ = (k_v→new − k_v→own\\v)/m − k_v·(Σtot_new − Σtot_own + k_v)/(2m²)
+
+    Plan shape (r5 rewrite): the delta decomposes as
+        Δ(v → C) = score(v, C) − own_part(v)
+    where score carries everything candidate-dependent (k_v→C and the
+    target community's aggregates) and own_part everything fixed per
+    vertex (k_v→own, the own community's aggregates). Since own_part is
+    constant across a vertex's candidates, argmax-by-score ≡
+    argmax-by-delta (subtracting a per-vertex constant is monotone),
+    so one grouped aggregation computes BOTH the best candidate (max
+    struct(score, −nbr_comm) over other-community rows — same
+    deterministic min-label tie-break) and k_v→own (sum over own-
+    community rows); own_part is applied afterwards on the V-sized
+    result and Δ>0 filtered there. The r4 shape joined gather back to a
+    per-vertex base table, which cost two sort-merge exchanges of the
+    gather-sized relation per sweep; this shape's only non-broadcast
+    grouping key is the vertex id — and when the caller pre-partitions
+    the edge table by src (move_nodes does, once per level), the gather
+    agg, this agg, and every broadcast dimension join all run in the
+    SAME partitioning: the steady-state sweep shuffles nothing but the
+    commit set.
     """
     v = vertices.select("id", "community", "agg_count", "k")
-    own = gather.withColumnRenamed("nbr_comm", "community").withColumnRenamed(
-        "k_vc", "k_own"
-    )
-    base = (
-        v.join(own, ["id", "community"], "left")
-        .na.fill({"k_own": 0.0})
-        .join(
-            comm_agg.select(
-                "community",
-                F.col("n").alias("n_own"),
-                F.col("stot").alias("stot_own"),
-            ),
-            "community",
-        )
-    )
-    cand = base.join(
-        gather.select("id", "nbr_comm", "k_vc"), "id"
-    ).where(F.col("nbr_comm") != F.col("community")).join(
+    cand = gather.join(v, "id").join(
         comm_agg.select(
             F.col("community").alias("nbr_comm"),
             F.col("n").alias("n_new"),
@@ -132,38 +135,50 @@ def _select_moves(
         "nbr_comm",
     )
     if objective == "cpm":
-        delta = (
+        score = (
             F.col("k_vc") - F.lit(gamma) * F.col("agg_count") * F.col("n_new")
-        ) - (
-            F.col("k_own")
-            - F.lit(gamma)
-            * F.col("agg_count")
-            * (F.col("n_own") - F.col("agg_count"))
         )
     elif objective == "modularity":
-        delta = (F.col("k_vc") - F.col("k_own")) / F.lit(m) - F.col("k") * (
-            F.col("stot_new") - F.col("stot_own") + F.col("k")
+        score = F.col("k_vc") / F.lit(m) - F.col("k") * F.col(
+            "stot_new"
         ) / F.lit(2.0 * m * m)
     else:
         raise ValueError(f"unknown objective {objective!r}")
-    scored = cand.select(
-        "id", "community", F.col("nbr_comm"), delta.alias("delta")
-    ).where(F.col("delta") > 0)
-    # argmax with deterministic tie-break: max struct(delta, -nbr_comm)
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("delta"), (-F.col("nbr_comm")).alias("nc")
-                )
-            ).alias("top")
+    is_cand = F.col("nbr_comm") != F.col("community")
+    agg = cand.groupBy("id", "community", "agg_count", "k").agg(
+        F.max(
+            F.when(
+                is_cand,
+                F.struct(score.alias("s"), (-F.col("nbr_comm")).alias("nc")),
+            )
+        ).alias("top"),
+        F.coalesce(
+            F.sum(F.when(~is_cand, F.col("k_vc"))), F.lit(0.0)
+        ).alias("k_own"),
+    )
+    best = agg.where(F.col("top").isNotNull()).join(
+        comm_agg.select(
+            "community",
+            F.col("n").alias("n_own"),
+            F.col("stot").alias("stot_own"),
+        ),
+        "community",
+    )
+    if objective == "cpm":
+        own_part = F.col("k_own") - F.lit(gamma) * F.col("agg_count") * (
+            F.col("n_own") - F.col("agg_count")
         )
-        .select(
+    else:
+        own_part = F.col("k_own") / F.lit(m) - F.col("k") * (
+            F.col("stot_own") - F.col("k")
+        ) / F.lit(2.0 * m * m)
+    return (
+        best.select(
             "id",
             (-F.col("top.nc")).alias("new_community"),
-            F.col("top.delta").alias("delta"),
+            (F.col("top.s") - own_part).alias("delta"),
         )
+        .where(F.col("delta") > 0)
     )
 
 
@@ -352,21 +367,25 @@ def move_nodes(
     edges = level.edges
     spark = edges.sparkSession
     with superstep_conf(spark, edges.count()) as sp_sweep:
-        loop_level = level
-        if edges.rdd.getNumPartitions() > sp_sweep * 2:
-            # narrow (no shuffle) so map stages stop paying one task
-            # launch per idle core on small levels
-            loop_level = Level(
-                edges=edges.coalesce(sp_sweep), vertices=level.vertices
-            )
+        # One shuffle per LEVEL instead of per sweep: hash-partition the
+        # edge table by src and keep it cached for the whole loop. The
+        # gather groupBy(src, nbr_comm), the per-vertex argmax groupBy
+        # (id = src), and the broadcast dimension joins in _select_moves
+        # all satisfy their clustering from hash(src), so the steady-
+        # state sweep plan contains no E-sized exchange at all — the
+        # partitioning amortizes over ~15 sweeps. (Also right-sizes the
+        # partition count: the old coalesce() did only that part.)
+        loop_edges = edges.repartition(sp_sweep, "src").persist()
+        loop_edges.count()
         out, total = _move_nodes_loop(
-            loop_level, objective, gamma, m, max_sweeps, seed, patience,
-            on_sweep,
+            Level(edges=loop_edges, vertices=level.vertices),
+            objective, gamma, m, max_sweeps, seed, patience, on_sweep,
         )
-        # hand back the CALLER's edge frame, not the loop-local coalesced
-        # derivative: callers unpersist level.edges when the level is
-        # contracted away, and unpersisting a derived frame is a no-op
-        # that would leak the original cached table for the session
+        loop_edges.unpersist()
+        # hand back the CALLER's edge frame, not the loop-local
+        # repartitioned derivative: callers unpersist level.edges when
+        # the level is contracted away, and unpersisting a derived frame
+        # is a no-op that would leak the original cached table
         return Level(edges=edges, vertices=out.vertices), total
 
 

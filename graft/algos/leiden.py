@@ -91,6 +91,8 @@ def _refine_core(
     """merge_nodes_subset semantics on plain python/numpy structures:
     ``ids`` sorted ascending, ``edges_uvw`` an iterable of single-counted
     (u, v, weight) pairs sorted by (u, v). Returns {id: refined_id}."""
+    if len(ids) == 1:  # singleton community: nothing to merge, no rng
+        return {ids[0]: ids[0]}
     n_v = dict(zip(ids, sizes))
 
     # adjacency within S (single-counted pairs, loops excluded from v_in)
@@ -211,14 +213,59 @@ def refine_partition(
         )
     )
 
+    # Cogroup on a BUCKET of (community, _b), not the key itself: local
+    # moving leaves ~tens of thousands of small communities, and one
+    # Arrow group per community pays Spark's per-group overhead (batch
+    # framing + Python invocation) ~40k times — measured r5 as the
+    # majority of the 20 s refinement wall on the 2M-edge level. With
+    # ~64 communities per bucket the overhead amortizes while the
+    # per-community reference semantics (and the scale guard's _b
+    # sub-bucketing) are untouched: the kernel segments the bucket by
+    # (community, _b) and runs the same _refine_core per segment.
+    # Bucket count scales with the session's reducer setting, so larger
+    # clusters get proportionally more buckets.
+    spark = level.vertices.sparkSession
+    n_buckets = 8 * max(
+        1, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    bucket = F.pmod(
+        F.xxhash64("community", "_b", F.lit(seed)), F.lit(n_buckets)
+    ).alias("_g")
+
     def fn(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         if nodes_pdf.empty:
             return pd.DataFrame({"id": [], "refined": []})
-        return _refine_community(nodes_pdf, edges_pdf, gamma, seed)
+        edges_by = {}
+        if len(edges_pdf):
+            edges_by = {
+                k: sub for k, sub in
+                edges_pdf.groupby(["community", "_b"], sort=False)
+            }
+        parts = []
+        trivial_ids: list = []
+        for key, nsub in nodes_pdf.groupby(["community", "_b"], sort=False):
+            esub = edges_by.get(key)
+            # exact short-circuit (same as seq_tail._refine_groups): a
+            # singleton community, or one with no intra edges, refines
+            # every member to itself — skip the per-community kernel
+            if len(nsub) == 1 or esub is None:
+                trivial_ids.extend(nsub["id"].tolist())
+                continue
+            parts.append(_refine_community(nsub, esub, gamma, seed))
+        if trivial_ids:
+            parts.append(
+                pd.DataFrame({"id": trivial_ids, "refined": trivial_ids})
+            )
+        return pd.concat(parts, ignore_index=True)
 
     return (
-        assign.groupBy("community", "_b")
-        .cogroup(intra.groupBy("community", "_b"))
+        assign.select("id", "community", "agg_count", "s_tot_full",
+                      "_b", bucket)
+        .groupBy("_g")
+        .cogroup(
+            intra.select("community", "_b", "u", "v", "weight", bucket)
+            .groupBy("_g")
+        )
         .applyInPandas(fn, schema="id long, refined long")
     )
 
@@ -382,18 +429,29 @@ def leiden(
             )
             start_lvl = done + 1
     for lvl in range(start_lvl, max_levels):
+        _n_rows, _n_verts = level.edges.count(), level.vertices.count()
         if _tail_ready(
-            level.edges.count(), level.vertices.count(),
-            sequential_tail_edges, tail_max_vertices,
+            _n_rows, _n_verts, sequential_tail_edges, tail_max_vertices,
         ):
+            import os as _os
+            import sys as _sys
+            import time as _time
+
             from graft.algos.seq_tail import run_tail_distributed
 
+            _t0 = _time.time()
             tail = truncate(
                 run_tail_distributed(
                     level.edges, level.vertices, "cpm", gamma, 1.0,
                     seed + lvl,
                 )
             )
+            if _os.environ.get("GRAFT_SWEEP_LOG"):
+                print(
+                    f"[leiden] lvl={lvl} tail rows={_n_rows} "
+                    f"verts={_n_verts} tail_s={_time.time() - _t0:.1f}",
+                    file=_sys.stderr, flush=True,
+                )
             level = Level(edges=level.edges, vertices=tail)
             break
 

@@ -236,11 +236,19 @@ def _refine_groups(
     for gi in range(len(bounds)):
         lo, hi = starts[gi], starts[gi + 1]
         members = order[lo:hi]
+        elo = ebounds[gi]
+        ehi = ebounds[gi + 1] if gi + 1 < len(ebounds) else len(ic)
+        # Exact short-circuits (bit-identical to the full call, measured
+        # r5 as the bulk of the 133k per-community invocations at tail
+        # levels): a singleton community refines to itself, and a
+        # community with NO intra edges has every k_to empty — no move
+        # can fire, every member stays its own founding singleton.
+        if hi - lo == 1 or elo == ehi:
+            refined[members] = ids[members]
+            continue
         member_ids = ids[members].tolist()
         c = int(comm_label[members[0]])
         s_tot_full = int(size[members].sum())
-        elo = ebounds[gi]
-        ehi = ebounds[gi + 1] if gi + 1 < len(ebounds) else len(ic)
         lut = _refine_core(
             member_ids,
             size[members].tolist(),

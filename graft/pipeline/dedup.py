@@ -374,7 +374,8 @@ def decontaminate(
 
 
 def dup_span_stats(
-    df: DataFrame, n: int = 8, text_col: str = "text"
+    df: DataFrame, n: int = 8, text_col: str = "text",
+    hashed_grams: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated n-gram SPAN coverage (the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
@@ -396,10 +397,19 @@ def dup_span_stats(
     two-level hash agg (distinct (gram, doc) then count per gram — both
     map-side combinable); coverage is a semi-join of the gram table
     against that set, a bounded explode of exactly n positions per
-    duplicated occurrence, and one per-doc distinct count. At 100 TB the
-    agg key would be xxhash64(gram) (halves shuffle width; a collision
-    only over-marks coverage) — the contract keeps the exact string so
-    the DuckDB oracle replays it bit-for-bit.
+    duplicated occurrence, and one per-doc distinct count.
+
+    ``hashed_grams=True`` (VERDICT r4 #6 — the 100-TB shuffle shape):
+    the gram string is replaced by ``xxhash64(gram)`` IMMEDIATELY after
+    the posexplode, so every shuffle and agg key is a fixed 8-byte long
+    instead of an ~n-word string — roughly halving shuffle width on
+    natural text. A 64-bit collision can only OVER-mark a gram as
+    duplicated (two distinct grams sharing a hash look like one), so
+    coverage is an upper bound with collision probability ~G²/2⁶⁵ for G
+    distinct grams — negligible below ~10¹⁵ grams, and
+    pytest-equivalence-checked against the exact-string path at test
+    scale. The default keeps the exact string so the DuckDB oracle
+    replays it bit-for-bit.
     """
     from graft.pipeline.textstats import _tokens, _word_ngrams
 
@@ -416,6 +426,8 @@ def dup_span_stats(
     grams = base.select(
         "doc_id", F.posexplode(_word_ngrams(F.col("t"), n)).alias("pos", "g")
     )
+    if hashed_grams:
+        grams = grams.select("doc_id", "pos", F.xxhash64("g").alias("g"))
     dup = (
         grams.select("g", "doc_id")
         .distinct()
