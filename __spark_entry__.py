@@ -344,9 +344,12 @@ _SQL_PIC_3ITER = (
 
 
 def _sql_bfs_round(prev: str, cur: str) -> str:
-    """One unrolled BFS relaxation round (frontier ∪ relaxed → min)."""
+    """One unrolled BFS relaxation round (frontier ∪ relaxed → min).
+    MATERIALIZED: each round references the previous one twice, so the
+    un-hinted plan re-expands 2^rounds (same footprint class fixed for
+    the APSP/HITS oracles in a9f0f47 / r5)."""
     return f"""
-, {cur} AS (
+, {cur} AS MATERIALIZED (
   SELECT v.id, min(x.hop) AS hop
   FROM verts v LEFT JOIN (
     SELECT id, hop FROM {prev} WHERE hop IS NOT NULL
@@ -518,9 +521,10 @@ SELECT h.id, h.hop, p.pred FROM h3 h LEFT JOIN pd p ON h.id = p.id"""
 
 def _sql_sssp_round(prev: str, cur: str) -> str:
     """One unrolled min-plus SSSP relaxation round — the weighted twin
-    of _sql_bfs_round (frontier ∪ relaxed-by-edge-weight → min)."""
+    of _sql_bfs_round (frontier ∪ relaxed-by-edge-weight → min);
+    MATERIALIZED for the same 2-refs-per-round reason."""
     return f"""
-, {cur} AS (
+, {cur} AS MATERIALIZED (
   SELECT v.id, min(x.cost) AS cost
   FROM verts v LEFT JOIN (
     SELECT id, cost FROM {prev} WHERE cost IS NOT NULL
@@ -2224,11 +2228,11 @@ def _sql_directed_pr_iter(prev: str, cur: str, alpha: float = 0.85) -> str:
     with no in-edges still receive the base term (LEFT JOIN + coalesce),
     mirroring graft.algos.pagerank's directed branch."""
     return f"""
-, {cur}_dm AS (
+, {cur}_dm AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0.0) AS dm
   FROM {prev} r LEFT JOIN dout o ON o.src = r.id
   WHERE o.src IS NULL
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT v.id,
          (1 - {alpha}) / (SELECT n FROM dnv)
            + {alpha} * (SELECT dm FROM {cur}_dm) / (SELECT n FROM dnv)
