@@ -95,6 +95,7 @@ def _local_move(
     gamma: float,
     m: float,
     rng,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """Queue-based greedy local moving over the CSR graph — the actual
     Leiden `move_nodes_fast` schedule (custom_leiden.py:533-598): seed a
@@ -115,6 +116,13 @@ def _local_move(
     unique+segment-sum above it (hub-proof) — both accumulate in
     ascending-neighbor order over ascending candidate labels, so the
     branches are numerically identical.
+
+    ``stats``: optional dict accumulating deterministic work counters —
+    ``visits`` (queue pops = delta evaluations) and ``moves``
+    (committed moves). Load-independent evidence for warm-start claims:
+    a near-converged seed drains the queue in ~one pass with few moves,
+    so visits/moves shrink vs a cold (singleton) seed even when
+    wall-clock noise hides it.
     """
     from collections import deque
 
@@ -128,9 +136,12 @@ def _local_move(
     q = deque(rng.permutation(n).tolist())
     in_q = bytearray([1]) * n
     two_m_sq = 2.0 * m * m
+    n_visits = 0
+    n_moves = 0
     while q:
         v = q.popleft()
         in_q[v] = 0
+        n_visits += 1
         s, e = int(indptr[v]), int(indptr[v + 1])
         if s == e:
             continue
@@ -189,6 +200,7 @@ def _local_move(
                     if delta > best_delta:
                         best, best_delta = c, delta
         if best >= 0 and best_delta > 0.0:
+            n_moves += 1
             n_c[cv] -= sv_
             n_c[best] += sv_
             stot[cv] -= kv
@@ -199,6 +211,9 @@ def _local_move(
                 if comm_py[u] != best and not in_q[u]:
                     q.append(u)
                     in_q[u] = 1
+    if stats is not None:
+        stats["visits"] = stats.get("visits", 0) + n_visits
+        stats["moves"] = stats.get("moves", 0) + n_moves
     return comm
 
 
@@ -274,6 +289,7 @@ def seq_community_tail(
     m: float,
     seed: int,
     max_levels: int = 10,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Run the remaining levels sequentially; returns (id, community).
 
@@ -283,7 +299,8 @@ def seq_community_tail(
     ``objective='cpm'`` each level is full Leiden: local moving,
     refinement (leiden._refine_community), contraction by the refined
     partition with maintained P communities. For modularity it is
-    sequential Louvain.
+    sequential Louvain. ``stats``: see :func:`_local_move` — accumulates
+    deterministic visit/move counters across all levels.
     """
     nodes = nodes.sort_values("id")
     rng = np.random.default_rng(seed)
@@ -312,7 +329,7 @@ def seq_community_tail(
         comm_slot = np.searchsorted(labels, init_label).astype(np.int64)
         comm_slot = _local_move(
             indptr, nbr, wgt, size, strength, comm_slot, labels,
-            objective, gamma, m, rng,
+            objective, gamma, m, rng, stats=stats,
         )
         comm_label = labels[comm_slot]
         n_comms = len(np.unique(comm_label))

@@ -174,3 +174,64 @@ def test_incremental_leiden_refresh(spark, tmp_path):
     # warm labels are actor-keyed — every actor labeled exactly once
     assert warm.select("id").distinct().count() == n_vertices
     assert q_warm >= q_seed - 1e-12
+
+
+def test_tail_kernel_warm_seed_does_less_work():
+    """Load-independent warm-start evidence (the bench twin): the
+    seq-tail kernel's deterministic visit/move counters shrink when
+    local moving is seeded with a converged labeling instead of
+    singletons. Pure numpy/pandas — no Spark, no wall-clock."""
+    import numpy as np
+    import pandas as pd
+
+    from graft.algos.seq_tail import seq_community_tail
+
+    rng = np.random.default_rng(99)
+    n, deg = 2000, 6
+    src = np.repeat(np.arange(n), deg)
+    # planted structure: mostly intra-block endpoints, some noise
+    block = src // 100
+    intra = rng.integers(0, 100, size=len(src)) + block * 100
+    noise = rng.integers(0, n, size=len(src))
+    dst = np.where(rng.random(len(src)) < 0.9, intra, noise)
+    keep = src != dst
+    half = pd.DataFrame(
+        {"src": src[keep], "dst": dst[keep], "weight": 1.0}
+    )
+    edges = pd.concat(
+        [half, half.rename(columns={"src": "dst", "dst": "src"})],
+        ignore_index=True,
+    )
+    strength = edges.groupby("src", sort=True)["weight"].sum()
+    nodes = pd.DataFrame(
+        {
+            "id": strength.index.to_numpy(),
+            "agg_count": 1,
+            "k": strength.to_numpy(),
+        }
+    )
+    m = float(edges["weight"].sum()) / 2.0
+
+    cold_stats: dict = {}
+    cold = seq_community_tail(
+        nodes, edges, "cpm", 0.05, m, seed=7, stats=cold_stats
+    )
+    # deterministic: identical rerun -> identical counters and labels
+    rerun_stats: dict = {}
+    rerun = seq_community_tail(
+        nodes, edges, "cpm", 0.05, m, seed=7, stats=rerun_stats
+    )
+    assert rerun_stats == cold_stats
+    assert rerun.equals(cold)
+    assert cold_stats["visits"] >= len(nodes)
+    assert cold_stats["moves"] > 0
+
+    warm_nodes = nodes.merge(
+        cold.rename(columns={"community": "community"}), on="id"
+    )
+    warm_stats: dict = {}
+    seq_community_tail(
+        warm_nodes, edges, "cpm", 0.05, m, seed=7, stats=warm_stats
+    )
+    assert warm_stats["visits"] < cold_stats["visits"]
+    assert warm_stats["moves"] < cold_stats["moves"]
