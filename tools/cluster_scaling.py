@@ -13,7 +13,7 @@ cluster every executor node brings its own memory bus.
 
 Usage::
 
-    python tools/cluster_scaling.py   # writes BENCH/CLUSTER_SCALING_r4.json
+    python tools/cluster_scaling.py [out.json]  # default BENCH/CLUSTER_SCALING_latest.json
 """
 
 from __future__ import annotations
@@ -155,7 +155,8 @@ def main() -> None:
             "brandes": eff("brandes", "sources_per_sec"),
         },
     }
-    dest = os.path.join(REPO, "BENCH", "CLUSTER_SCALING_r4.json")
+    dest = (sys.argv[1] if len(sys.argv) > 1 else
+            os.path.join(REPO, "BENCH", "CLUSTER_SCALING_latest.json"))
     with open(dest, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({"efficiency": result["efficiency"], "detail": dest}))
