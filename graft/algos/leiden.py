@@ -70,6 +70,32 @@ def _refine_community(nodes: pd.DataFrame, edges: pd.DataFrame,
         s_tot = int(nodes["s_tot_full"].iloc[0])
     else:
         s_tot = int(nodes["agg_count"].sum())
+    from graft import _native as _nk
+
+    if _nk.rng_ok() and len(nodes) > 1:
+        # native single-group _refine_core (bit-identical semantics and
+        # rng stream; pinned by tests/test_native_kernels.py)
+        import numpy as np
+
+        ids_arr = nodes["id"].to_numpy(dtype=np.int64)
+        sizes = nodes["agg_count"].to_numpy(dtype=np.int64)
+        if len(edges):
+            u = np.searchsorted(ids_arr, edges["u"].to_numpy(dtype=np.int64))
+            v = np.searchsorted(ids_arr, edges["v"].to_numpy(dtype=np.int64))
+            w = edges["weight"].to_numpy(dtype=np.float64)
+        else:
+            u = v = np.zeros(0, dtype=np.int64)
+            w = np.zeros(0, dtype=np.float64)
+        out = _nk.refine_batch(
+            np.array([0, len(ids_arr)], dtype=np.int64),
+            np.array([0, len(u)], dtype=np.int64),
+            sizes,
+            np.array([s_tot], dtype=np.int64),
+            np.array([int(nodes["community"].iloc[0])], dtype=np.int64),
+            u, v, w, gamma, seed,
+        )
+        if out is not None:
+            return pd.DataFrame({"id": ids_arr, "refined": ids_arr[out]})
     refined = _refine_core(
         [int(v) for v in nodes["id"]],
         [int(x) for x in nodes["agg_count"]],

@@ -68,7 +68,17 @@ def _csr(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Both-direction CSR (indptr, nbr, wgt) with each row's neighbors
     ascending — the canonical accumulation order the distributed
-    refinement kernel uses too."""
+    refinement kernel uses too.
+
+    The (eu < ev) pairs are unique, so the sorted order is unique and
+    the native two-pass counting sort (graft._native.csr_build) returns
+    arrays identical to the lexsort below; it replaces the O(E log E)
+    lexsort with O(E) when the compiled kernels are available."""
+    from graft import _native as _nk
+
+    built = _nk.csr_build(n, eu, ev, ew)
+    if built is not None:
+        return built
     su = np.concatenate([eu, ev])
     sv = np.concatenate([ev, eu])
     sw = np.concatenate([ew, ew])
@@ -126,12 +136,30 @@ def _local_move(
     """
     from collections import deque
 
+    from graft import _native as _nk
+
     n = len(comm)
     n_slots = len(labels)
     n_c = np.zeros(n_slots, dtype=np.int64)
     np.add.at(n_c, comm, size)
     stot = np.zeros(n_slots, dtype=np.float64)
     np.add.at(stot, comm, strength)
+    if _nk.lib() is not None:
+        # native queue loop: identical schedule, accumulation order and
+        # tie-breaks (tests/test_native_kernels.py pins both paths to
+        # byte-identical outputs); the permutation is the same single
+        # rng draw the deque seeding below consumes
+        size64 = np.ascontiguousarray(size, dtype=np.int64)
+        strength64 = np.ascontiguousarray(strength, dtype=np.float64)
+        res = _nk.local_move(
+            indptr, nbr, wgt, size64, strength64, comm, n_c, stot,
+            rng.permutation(n), objective, gamma, m,
+        )
+        if res is not None:
+            if stats is not None:
+                stats["visits"] = stats.get("visits", 0) + res[0]
+                stats["moves"] = stats.get("moves", 0) + res[1]
+            return comm
     comm_py = comm.tolist()
     q = deque(rng.permutation(n).tolist())
     in_q = bytearray([1]) * n
@@ -232,6 +260,7 @@ def _refine_groups(
     adapter) and return each node's refined community label (= founding
     member id). Communities and their intra edges are grouped by one
     argsort each — no per-edge Python, no per-community DataFrames."""
+    from graft import _native as _nk
     from graft.algos.leiden import _refine_core
 
     n = len(ids)
@@ -247,6 +276,47 @@ def _refine_groups(
     ieu, iev, iew, ic = ieu[eorder], iev[eorder], iew[eorder], ic[eorder]
     ebounds = np.searchsorted(ic, comm_label[order][bounds])
     refined = np.empty(n, dtype=np.int64)
+    if _nk.rng_ok():
+        # Batched native refinement: one C call for every non-trivial
+        # community, same _refine_core semantics per group (including
+        # the per-community rng stream — the C permutation generator is
+        # validated bit-exact against numpy at import).  Trivial groups
+        # (singletons / no intra edges) keep the exact short-circuit.
+        counts = np.diff(np.append(bounds, n))
+        ebounds_full = np.append(ebounds, len(ic))
+        ecounts = np.diff(ebounds_full)
+        nontriv = (counts > 1) & (ecounts > 0)
+        mask_nodes = np.repeat(nontriv, counts)
+        mask_edges = np.repeat(nontriv, ecounts)
+        members_cat = order[mask_nodes]
+        triv_members = order[~mask_nodes]
+        refined[triv_members] = ids[triv_members]
+        if members_cat.size:
+            # global node position -> group-local index
+            loc = np.empty(n, dtype=np.int64)
+            loc[order] = np.arange(n, dtype=np.int64) - np.repeat(
+                bounds, counts
+            )
+            nt_counts = counts[nontriv]
+            node_start = np.concatenate(
+                ([0], np.cumsum(nt_counts))
+            ).astype(np.int64)
+            edge_start = np.concatenate(
+                ([0], np.cumsum(ecounts[nontriv]))
+            ).astype(np.int64)
+            s_tot = np.add.reduceat(size[order], bounds)[nontriv]
+            g_labels = comm_label[order][bounds][nontriv]
+            out = _nk.refine_batch(
+                node_start, edge_start, size[members_cat], s_tot,
+                g_labels, loc[ieu[mask_edges]], loc[iev[mask_edges]],
+                iew[mask_edges], gamma, seed,
+            )
+            if out is not None:
+                base_rep = np.repeat(node_start[:-1], nt_counts)
+                refined[members_cat] = ids[members_cat[base_rep + out]]
+                return refined
+        else:
+            return refined
     starts = list(bounds) + [n]
     for gi in range(len(bounds)):
         lo, hi = starts[gi], starts[gi + 1]
