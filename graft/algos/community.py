@@ -433,32 +433,36 @@ def _move_nodes_loop(
             _select_moves(vertices, gather, comm_agg, objective, gamma, m)
         )
         spills.append(moves)
-        # The commit set is materialized WITH an Observation attached:
-        # (move count, committed-gain sum) are collected as a side
-        # effect of the same write, so the r3 standalone count-agg job
-        # disappears — the sweep runs THREE driver-materialized jobs
-        # (select, resolve+metrics, apply) instead of four, and skips
-        # the apply entirely on the terminal zero-move sweep. The commit
-        # set stays a materialized parquet leaf (rather than folding the
-        # conflict chain into the apply plan) deliberately: with true
-        # few-MB leaf stats the static planner BROADCASTS the commits
-        # into the apply join and the vertex table is scanned in place —
-        # folded, the commits subquery has no stats, Catalyst picks a
-        # sort-merge join, and the vertex state is shuffled every sweep
-        # (measured r4: ~10% worse sweep marginal at local[4], and at
-        # 10^10 vertices that per-sweep V-row shuffle is the difference
-        # that matters). Each committed delta is the mover's claimed
-        # objective gain; simultaneous movers can realize less, so the
-        # observed sum is a health signal, not a quality delta.
+        # The conflict resolution, its (move count, committed-gain sum)
+        # metrics AND the apply all ride ONE materialization (r6; was
+        # two jobs — commit write + apply write — in r5): the resolved
+        # commit set is explicitly broadcast into the apply join, so the
+        # vertex table is scanned in place exactly as it was when the
+        # commit set was a separately-materialized parquet leaf (the r4
+        # concern about a stats-free folded subquery forcing a
+        # sort-merge shuffle of the vertex state does not apply to an
+        # explicit broadcast hint — commit sets are mover-bounded and
+        # small by construction), and the Observation on the conflict
+        # subtree is collected during the same write. Net: TWO
+        # driver-materialized jobs per sweep (select, resolve+apply).
+        # Each committed delta is the mover's claimed objective gain;
+        # simultaneous movers can realize less, so the observed sum is
+        # a health signal, not a quality delta.
         obs = Observation(f"commits_{it}")
-        commits = truncate(
-            _resolve_conflicts(moves, edges, it, seed).observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
+        commits = _resolve_conflicts(moves, edges, it, seed).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
+        )
+        new_vertices = truncate(
+            vertices.join(F.broadcast(commits), "id", "left").select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+                "agg_count",
+                "k",
             )
         )
-        spills.append(commits)
+        spills.append(new_vertices)
         crow = obs.get
         n_moves, gain = crow["n"], float(crow["g"])
         peak_gain = max(peak_gain, gain)
@@ -491,17 +495,8 @@ def _move_nodes_loop(
         elif best_q is None:
             best_vertices = vertices  # quality tracking not active yet
         if n_moves == 0:
-            break  # terminal sweep: no apply job needed
+            break  # terminal sweep: state unchanged, keep `vertices`
         total += n_moves
-        new_vertices = truncate(
-            vertices.join(commits, "id", "left").select(
-                "id",
-                F.coalesce("new_community", "community").alias("community"),
-                "agg_count",
-                "k",
-            )
-        )
-        spills.append(new_vertices)
         vertices = new_vertices
         final_q = None  # the new state has not been evaluated yet
         if on_sweep is not None:

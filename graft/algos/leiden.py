@@ -171,6 +171,102 @@ def _refine_core(
     return refined
 
 
+def _refine_bucket_native(
+    nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame, gamma: float, seed: int
+) -> pd.DataFrame | None:
+    """One cogroup bucket of communities refined in a single native
+    batch call (semantics identical to the per-community Python loop in
+    ``refine_partition.fn`` — same grouping by (community, _b), members
+    sorted by id, edges by (u, v), same per-community rng stream and
+    trivial-group short-circuits).  The per-community pandas slicing the
+    Python loop pays (~0.3 ms x tens of thousands of communities per
+    level) collapses into two lexsorts plus one C call."""
+    import numpy as np
+
+    from graft import _native as _nk
+
+    if nodes_pdf["s_tot_full"].isna().any():
+        return None
+    ids = nodes_pdf["id"].to_numpy(dtype=np.int64)
+    comm = nodes_pdf["community"].to_numpy(dtype=np.int64)
+    bb = nodes_pdf["_b"].to_numpy(dtype=np.int64)
+    sizes = nodes_pdf["agg_count"].to_numpy(dtype=np.int64)
+    stf = nodes_pdf["s_tot_full"].to_numpy(dtype=np.int64)
+    order_n = np.lexsort((ids, bb, comm))
+    cs, bs = comm[order_n], bb[order_n]
+    ids_s, sz_s, stf_s = ids[order_n], sizes[order_n], stf[order_n]
+    gstart = np.flatnonzero(
+        np.r_[True, (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])]
+    )
+    counts = np.diff(np.append(gstart, len(cs)))
+    n_groups = len(gstart)
+    if len(edges_pdf):
+        ec = edges_pdf["community"].to_numpy(dtype=np.int64)
+        ebb = edges_pdf["_b"].to_numpy(dtype=np.int64)
+        uu = edges_pdf["u"].to_numpy(dtype=np.int64)
+        vv = edges_pdf["v"].to_numpy(dtype=np.int64)
+        ww = edges_pdf["weight"].to_numpy(dtype=np.float64)
+        order_e = np.lexsort((vv, uu, ebb, ec))
+        ec, ebb = ec[order_e], ebb[order_e]
+        uu, vv, ww = uu[order_e], vv[order_e], ww[order_e]
+        estart = np.flatnonzero(
+            np.r_[True, (ec[1:] != ec[:-1]) | (ebb[1:] != ebb[:-1])]
+        )
+        ecounts_g = np.diff(np.append(estart, len(ec)))
+    else:
+        ec = ebb = uu = vv = np.zeros(0, dtype=np.int64)
+        ww = np.zeros(0, dtype=np.float64)
+        estart = np.zeros(0, dtype=np.int64)
+        ecounts_g = np.zeros(0, dtype=np.int64)
+    # align edge groups to node groups (both key-sorted; edge keys are a
+    # subset of node keys)
+    ecount_per_node_group = np.zeros(n_groups, dtype=np.int64)
+    ei = 0
+    for gi in range(n_groups):
+        if ei < len(estart) and ec[estart[ei]] == cs[gstart[gi]] and (
+            ebb[estart[ei]] == bs[gstart[gi]]
+        ):
+            ecount_per_node_group[gi] = ecounts_g[ei]
+            ei += 1
+    if ei != len(estart):
+        return None  # an edge key without a node group: fall back
+    nontriv = (counts > 1) & (ecount_per_node_group > 0)
+    refined_ids = np.empty(len(ids_s), dtype=np.int64)
+    mask_nodes = np.repeat(nontriv, counts)
+    refined_ids[~mask_nodes] = ids_s[~mask_nodes]
+    if nontriv.any():
+        nt_counts = counts[nontriv]
+        node_start = np.concatenate(([0], np.cumsum(nt_counts))).astype(
+            np.int64
+        )
+        edge_start = np.concatenate(
+            ([0], np.cumsum(ecount_per_node_group[nontriv]))
+        ).astype(np.int64)
+        mask_edges = np.repeat(nontriv, ecount_per_node_group)
+        # group-local endpoint indices via per-group searchsorted over
+        # the id-sorted member slice
+        lu = np.empty(int(edge_start[-1]), dtype=np.int64)
+        lv = np.empty(int(edge_start[-1]), dtype=np.int64)
+        uu_nt, vv_nt, ww_nt = uu[mask_edges], vv[mask_edges], ww[mask_edges]
+        nt_gstart = gstart[nontriv]
+        for gi in range(len(nt_counts)):
+            ns, ne = nt_gstart[gi], nt_gstart[gi] + nt_counts[gi]
+            es, ee = edge_start[gi], edge_start[gi + 1]
+            mslice = ids_s[ns:ne]
+            lu[es:ee] = np.searchsorted(mslice, uu_nt[es:ee])
+            lv[es:ee] = np.searchsorted(mslice, vv_nt[es:ee])
+        out = _nk.refine_batch(
+            node_start, edge_start, sz_s[mask_nodes],
+            stf_s[nt_gstart], cs[nt_gstart], lu, lv, ww_nt, gamma, seed,
+        )
+        if out is None:
+            return None
+        members_cat = np.flatnonzero(mask_nodes)
+        base_rep = np.repeat(node_start[:-1], nt_counts)
+        refined_ids[mask_nodes] = ids_s[members_cat[base_rep + out]]
+    return pd.DataFrame({"id": ids_s, "refined": refined_ids})
+
+
 def refine_partition(
     level: Level, gamma: float, seed: int,
     max_community_size: int = 200_000,
@@ -261,6 +357,12 @@ def refine_partition(
     def fn(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         if nodes_pdf.empty:
             return pd.DataFrame({"id": [], "refined": []})
+        from graft import _native as _nk
+
+        if _nk.rng_ok():
+            out = _refine_bucket_native(nodes_pdf, edges_pdf, gamma, seed)
+            if out is not None:
+                return out
         edges_by = {}
         if len(edges_pdf):
             edges_by = {

@@ -160,3 +160,72 @@ def test_tail_c_equals_python_unweighted(monkeypatch):
     rng = np.random.default_rng(11)
     nodes, epdf, m_half = _random_graph(rng, weighted=False)
     _run_both(monkeypatch, nodes, epdf, "cpm", 0.05, m_half, 1234)
+
+
+def test_refine_bucket_native_equals_python_loop():
+    """The batched native bucket refinement must equal the per-community
+    Python loop of refine_partition.fn exactly (same grouping by
+    (community, _b), same rng streams, same trivial short-circuits)."""
+    from graft.algos.leiden import _refine_bucket_native, _refine_community
+
+    rng = np.random.default_rng(17)
+    rows = []
+    edge_rows = []
+    # 40 communities of varied size incl. singletons, edge-less groups,
+    # and a community split into two _b sub-buckets
+    next_id = 0
+    for c in range(40):
+        k = int(rng.integers(1, 12))
+        n_sub = 2 if c == 7 else 1
+        members = np.arange(next_id, next_id + k)
+        next_id += k
+        s_tot_full = int(k + rng.integers(0, 5))
+        for b in range(n_sub):
+            sub = members[b::n_sub]
+            for mid in sub:
+                rows.append(
+                    {
+                        "id": int(mid), "community": 1000 + c,
+                        "agg_count": int(rng.integers(1, 3)),
+                        "s_tot_full": s_tot_full, "_b": b,
+                    }
+                )
+            if len(sub) > 1 and c % 5 != 3:  # some groups edge-less
+                for _ in range(int(rng.integers(1, 2 * len(sub)))):
+                    u, v = sorted(rng.choice(sub, size=2, replace=False))
+                    edge_rows.append(
+                        {
+                            "community": 1000 + c, "_b": b,
+                            "u": int(u), "v": int(v),
+                            "weight": float(np.round(rng.random() + 0.1, 3)),
+                        }
+                    )
+    nodes_pdf = pd.DataFrame(rows).sample(frac=1.0, random_state=3)
+    edges_pdf = pd.DataFrame(edge_rows).sample(frac=1.0, random_state=4)
+    got = _refine_bucket_native(nodes_pdf, edges_pdf, 0.25, 1234)
+    assert got is not None
+    # reference: the Python per-community loop (refine_partition.fn body)
+    edges_by = {
+        k: sub for k, sub in edges_pdf.groupby(["community", "_b"], sort=False)
+    }
+    parts = []
+    trivial = []
+    for key, nsub in nodes_pdf.groupby(["community", "_b"], sort=False):
+        esub = edges_by.get(key)
+        if len(nsub) == 1 or esub is None:
+            trivial.extend(nsub["id"].tolist())
+            continue
+        import graft._native as _nk_mod
+
+        real_rng_ok = _nk_mod.rng_ok
+        _nk_mod.rng_ok = lambda: False  # force the pure-Python core
+        try:
+            parts.append(_refine_community(nsub, esub, 0.25, 1234))
+        finally:
+            _nk_mod.rng_ok = real_rng_ok
+    if trivial:
+        parts.append(pd.DataFrame({"id": trivial, "refined": trivial}))
+    ref = pd.concat(parts, ignore_index=True)
+    merged = got.merge(ref, on="id", suffixes=("_c", "_py"))
+    assert len(merged) == len(got) == len(ref)
+    assert (merged["refined_c"] == merged["refined_py"]).all()
