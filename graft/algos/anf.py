@@ -82,15 +82,23 @@ def _exact_nf(graph: Graph, max_hops: int) -> DataFrame:
     return spark.createDataFrame(counts, "hop int, n_pairs long")
 
 
+# Broadcast gate for the per-round sketch table (r6): a DENSE HLL_4
+# sketch is ~2^lg_config_k / 2 bytes of registers plus ~100 B of
+# framing, so the gate is a deliberate overestimate of the broadcast
+# relation. Under it, every gather round runs exchange-free (see
+# _hll_nf); above it — the 10^12-vertex regime, where V sketches can't
+# sit on every executor — the original shuffle plan runs instead.
+_HLL_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _hll_nf(graph: Graph, max_hops: int, lg_config_k: int) -> DataFrame:
+    from graft.algos.community import superstep_conf
+
     spark = graph.edges.sparkSession
-    edges = graph.without_self_loops().select("src", "dst")
-    # B_0(v) = {v}: one sketch per vertex seeded with its own id
-    sk = truncate(
-        graph.vertices()
-        .groupBy("id")
-        .agg(F.hll_sketch_agg(F.col("id"), F.lit(lg_config_k)).alias("sk"))
-    )
+    n_rows = graph.edges.count()
+    n_verts = graph.num_vertices()
+    sketch_bytes = n_verts * (2 ** lg_config_k // 2 + 100)
+    broadcastable = sketch_bytes <= _HLL_BROADCAST_MAX_BYTES
 
     def total(s: DataFrame) -> int:
         row = s.agg(
@@ -98,25 +106,76 @@ def _hll_nf(graph: Graph, max_hops: int, lg_config_k: int) -> DataFrame:
         ).first()
         return int(round(row["t"]))
 
-    counts = [(0, total(sk))]
-    for h in range(1, max_hops + 1):
-        gathered = (
-            edges.join(sk.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "sk")
-            .unionAll(sk)
+    counts: list[tuple[int, int]]
+    with superstep_conf(spark, n_rows) as sp:
+        if broadcastable:
+            # r6 exchange-free rounds: the union B_{h+1}(v) = B_h(v) ∪
+            # ⋃_{u∈N(v)} B_h(u) is computed by joining the BROADCAST
+            # sketch table into an adjacency that carries one (v, v)
+            # self row per vertex (delivering v its own previous sketch
+            # through the same join — the old unionAll(sk) branch
+            # destroyed the gather's partitioning), over an edge table
+            # hash-partitioned by src ONCE for all rounds. The
+            # groupBy(src) union-agg is then satisfied by the cached
+            # partitioning, so the per-round plan has NO Exchange at
+            # all — the old plan shuffled up to (#partitions × V)
+            # ObjectHashAggregate partial sketches per round (the
+            # dominant cost: ~200 B per partial). Sketch content is
+            # identical either way (register-max union is
+            # order-independent), so estimates match bit-for-bit.
+            adj = (
+                graph.without_self_loops().select("src", "dst")
+                .unionAll(
+                    graph.vertices().select(
+                        F.col("id").alias("src"), F.col("id").alias("dst")
+                    )
+                )
+                .repartition(sp, "src")
+                .persist()
+            )
+            adj.count()
+        else:
+            adj = graph.without_self_loops().select("src", "dst")
+        # B_0(v) = {v}: one sketch per vertex seeded with its own id
+        sk = truncate(
+            graph.vertices()
             .groupBy("id")
-            .agg(F.hll_union_agg("sk").alias("sk"))
+            .agg(
+                F.hll_sketch_agg(F.col("id"), F.lit(lg_config_k)).alias("sk")
+            )
         )
-        prev = sk
-        sk = truncate(gathered)
-        drop_spill(prev)
-        counts.append((h, total(sk)))
-        if counts[-1][1] == counts[-2][1]:
-            # sketch-union fixpoint (unions are monotone, estimates are a
-            # deterministic function of the sketch): pad and stop
-            counts += [(i, counts[-1][1]) for i in range(h + 1, max_hops + 1)]
-            break
-    drop_spill(sk)
+        counts = [(0, total(sk))]
+        for h in range(1, max_hops + 1):
+            if broadcastable:
+                gathered = (
+                    adj.join(
+                        F.broadcast(sk.withColumnRenamed("id", "dst")), "dst"
+                    )
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(F.hll_union_agg("sk").alias("sk"))
+                )
+            else:
+                gathered = (
+                    adj.join(sk.withColumnRenamed("id", "dst"), "dst")
+                    .select(F.col("src").alias("id"), "sk")
+                    .unionAll(sk)
+                    .groupBy("id")
+                    .agg(F.hll_union_agg("sk").alias("sk"))
+                )
+            prev = sk
+            sk = truncate(gathered)
+            drop_spill(prev)
+            counts.append((h, total(sk)))
+            if counts[-1][1] == counts[-2][1]:
+                # sketch-union fixpoint (unions are monotone, estimates
+                # are a deterministic function of the sketch): pad, stop
+                counts += [
+                    (i, counts[-1][1]) for i in range(h + 1, max_hops + 1)
+                ]
+                break
+        drop_spill(sk)
+        if broadcastable:
+            adj.unpersist()
     return spark.createDataFrame(counts, "hop int, n_pairs long")
 
 

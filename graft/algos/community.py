@@ -125,27 +125,33 @@ def _select_moves(
     SAME partitioning: the steady-state sweep shuffles nothing but the
     commit set.
     """
-    v = vertices.select("id", "community", "agg_count", "k")
+    v = vertices.select("id", "community", "agg_count", "k").alias("_v")
+    # Both dimension joins broadcast the IDENTICAL un-projected comm_agg
+    # subtree (r6): with per-join projections the two BroadcastExchange
+    # build sides canonicalized differently and the community-aggregate
+    # shuffle + broadcast was built TWICE per sweep; identical subtrees
+    # let ReuseExchange build it once (verify: the second occurrence
+    # plans as ReusedExchange).
+    ca1 = comm_agg.alias("_ca1")
+    ca2 = comm_agg.alias("_ca2")
     cand = gather.join(v, "id").join(
-        comm_agg.select(
-            F.col("community").alias("nbr_comm"),
-            F.col("n").alias("n_new"),
-            F.col("stot").alias("stot_new"),
-        ),
-        "nbr_comm",
+        F.broadcast(ca1), F.col("nbr_comm") == F.col("_ca1.community")
     )
     if objective == "cpm":
         score = (
-            F.col("k_vc") - F.lit(gamma) * F.col("agg_count") * F.col("n_new")
+            F.col("k_vc")
+            - F.lit(gamma) * F.col("agg_count") * F.col("_ca1.n")
         )
     elif objective == "modularity":
         score = F.col("k_vc") / F.lit(m) - F.col("k") * F.col(
-            "stot_new"
+            "_ca1.stot"
         ) / F.lit(2.0 * m * m)
     else:
         raise ValueError(f"unknown objective {objective!r}")
-    is_cand = F.col("nbr_comm") != F.col("community")
-    agg = cand.groupBy("id", "community", "agg_count", "k").agg(
+    is_cand = F.col("nbr_comm") != F.col("_v.community")
+    agg = cand.groupBy(
+        "id", F.col("_v.community").alias("community"), "agg_count", "k"
+    ).agg(
         F.max(
             F.when(
                 is_cand,
@@ -155,22 +161,17 @@ def _select_moves(
         F.coalesce(
             F.sum(F.when(~is_cand, F.col("k_vc"))), F.lit(0.0)
         ).alias("k_own"),
-    )
+    ).alias("_ag")
     best = agg.where(F.col("top").isNotNull()).join(
-        comm_agg.select(
-            "community",
-            F.col("n").alias("n_own"),
-            F.col("stot").alias("stot_own"),
-        ),
-        "community",
+        F.broadcast(ca2), F.col("_ag.community") == F.col("_ca2.community")
     )
     if objective == "cpm":
         own_part = F.col("k_own") - F.lit(gamma) * F.col("agg_count") * (
-            F.col("n_own") - F.col("agg_count")
+            F.col("_ca2.n") - F.col("agg_count")
         )
     else:
         own_part = F.col("k_own") / F.lit(m) - F.col("k") * (
-            F.col("stot_own") - F.col("k")
+            F.col("_ca2.stot") - F.col("k")
         ) / F.lit(2.0 * m * m)
     return (
         best.select(
@@ -183,7 +184,8 @@ def _select_moves(
 
 
 def _resolve_conflicts(
-    moves: DataFrame, edges: DataFrame, it: int, seed: int
+    moves: DataFrame, edges: DataFrame, it: int, seed: int,
+    broadcast_blocked: bool = False,
 ) -> DataFrame:
     """Commit a gain-prioritized independent set of movers (P3 rewrite).
 
@@ -227,11 +229,17 @@ def _resolve_conflicts(
     beats = (F.col("h_dst") < F.col("h_src")) | (
         (F.col("h_dst") == F.col("h_src")) & (F.col("dst") < F.col("src"))
     )
-    blocked = (
-        mover_edges.where((F.col("c_dst") != F.col("c_src")) & beats)
-        .select(F.col("src").alias("id"))
-        .distinct()
-    )
+    # No distinct before the anti join (r6): LEFT ANTI ignores right-side
+    # duplicates, so the old .distinct() only added an exchange + two
+    # hash-agg passes per sweep. Under the caller's small-V gate the
+    # blocked side (mover-bounded) is broadcast-hinted, making the whole
+    # resolve exchange-free: one streamed pass over the edge table with
+    # three broadcast probes.
+    blocked = mover_edges.where(
+        (F.col("c_dst") != F.col("c_src")) & beats
+    ).select(F.col("src").alias("id"))
+    if broadcast_blocked:
+        blocked = F.broadcast(blocked)
     return m.join(blocked, "id", "left_anti").select(
         "id", "new_community", "delta"
     )
@@ -389,6 +397,46 @@ def move_nodes(
         return Level(edges=edges, vertices=out.vertices), total
 
 
+# How many sweeps of committed moves may fold onto the vertex leaf as
+# chained broadcast left-joins before the state is re-materialized. The
+# apply is algebraically a chain of coalesce(newest commit, ..., base
+# community); folding it means the steady-state sweep materializes ONLY
+# the mover-bounded commit set (two small jobs: select, resolve) and
+# never rewrites the V-sized vertex table — the r5 loop paid a full
+# vertex write per sweep. The cap bounds plan growth: each folded sweep
+# adds one broadcast join to the three references of the vertex state
+# in the next sweep's plan (assign, v, comm_agg), so analysis cost
+# grows linearly with depth; 4 keeps the tree shallow while amortizing
+# the V-write 4x.
+_APPLY_CHAIN_MAX = 4
+
+# Fold gate: the folded chain replaces a parquet leaf (true file-size
+# stats → auto-broadcast into the gather/select joins) with a join
+# expression whose size-only Catalyst estimate inflates multiplicatively
+# — unhinted, the planner would flip the assign join to a sort-merge
+# shuffle of the E-sized edge table. Folding therefore (a) only engages
+# when the MEASURED vertex-leaf size fits comfortably in a broadcast
+# relation, and (b) explicitly broadcast-hints the vertex-state side of
+# those joins. Above the gate — the 10^12-vertex regime, where V can't
+# be broadcast — the loop re-materializes the state every sweep and
+# leaves join selection to the planner, exactly the r5 behavior.
+_FOLD_MAX_VERTEX_BYTES = 64 * 1024 * 1024
+
+
+def _leaf_bytes(df: DataFrame) -> int | None:
+    """Total file size of a truncate()-produced parquet leaf (local
+    paths only; None when unknown — remote URIs or non-leaf frames)."""
+    path = getattr(df, "_graft_spill_path", None)
+    if not path or "://" in path or not os.path.isdir(path):
+        return None
+    total = 0
+    for name in os.listdir(path):
+        fp = os.path.join(path, name)
+        if os.path.isfile(fp):
+            total += os.path.getsize(fp)
+    return total
+
+
 def _move_nodes_loop(
     level: Level,
     objective: str,
@@ -412,8 +460,17 @@ def _move_nodes_loop(
     final_q = None  # quality of `vertices`, when known
     stall = 0
     peak_gain = 0.0
+    chain_depth = 0  # folded commit joins since the last vertex write
+    vb = _leaf_bytes(vertices)
+    fold_ok = vb is not None and vb <= _FOLD_MAX_VERTEX_BYTES
+
+    def hv(df: DataFrame) -> DataFrame:
+        # broadcast-hint the vertex-state side under the fold gate (see
+        # _FOLD_MAX_VERTEX_BYTES); a no-op wrapper otherwise
+        return F.broadcast(df) if fold_ok else df
+
     for it in range(max_sweeps):
-        gather = gather_neighbor_comm_weights(edges, vertices)
+        gather = gather_neighbor_comm_weights(edges, hv(vertices))
         comm_agg = community_aggregates(vertices)
         # Materialize the (small) move set FIRST, for two reasons. One:
         # the conflict chain references the moves subtree three times and
@@ -430,41 +487,48 @@ def _move_nodes_loop(
         # ~25% off the marginal sweep cost, and less DRAM traffic =
         # less multi-core cache-contention inflation).
         moves = truncate(
-            _select_moves(vertices, gather, comm_agg, objective, gamma, m)
+            _select_moves(hv(vertices), gather, comm_agg, objective, gamma, m)
         )
         spills.append(moves)
-        # The conflict resolution, its (move count, committed-gain sum)
-        # metrics AND the apply all ride ONE materialization (r6; was
-        # two jobs — commit write + apply write — in r5): the resolved
-        # commit set is explicitly broadcast into the apply join, so the
-        # vertex table is scanned in place exactly as it was when the
-        # commit set was a separately-materialized parquet leaf (the r4
-        # concern about a stats-free folded subquery forcing a
-        # sort-merge shuffle of the vertex state does not apply to an
-        # explicit broadcast hint — commit sets are mover-bounded and
-        # small by construction), and the Observation on the conflict
-        # subtree is collected during the same write. Net: TWO
-        # driver-materialized jobs per sweep (select, resolve+apply).
+        # The resolved commit set is the sweep's ONLY other
+        # materialization (r6; the r5 loop wrote the full V-sized vertex
+        # state every sweep): the (move count, committed-gain sum)
+        # Observation rides the commit write, and the apply — vertices
+        # left-join broadcast(commits), coalesce — stays LAZY, folded
+        # into the next sweep's plans as a chained broadcast join
+        # against the commit-set parquet leaves (re-materialized every
+        # _APPLY_CHAIN_MAX sweeps to bound plan depth). Commit sets are
+        # mover-bounded and shrink as the level converges, so the
+        # steady-state sweep writes orders of magnitude fewer rows.
         # Each committed delta is the mover's claimed objective gain;
         # simultaneous movers can realize less, so the observed sum is
         # a health signal, not a quality delta.
         obs = Observation(f"commits_{it}")
-        commits = _resolve_conflicts(moves, edges, it, seed).observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
-        )
-        new_vertices = truncate(
-            vertices.join(F.broadcast(commits), "id", "left").select(
-                "id",
-                F.coalesce("new_community", "community").alias("community"),
-                "agg_count",
-                "k",
+        commits = truncate(
+            _resolve_conflicts(
+                moves, edges, it, seed, broadcast_blocked=fold_ok
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
             )
         )
-        spills.append(new_vertices)
+        spills.append(commits)
         crow = obs.get
         n_moves, gain = crow["n"], float(crow["g"])
+        new_vertices = vertices.join(
+            F.broadcast(commits), "id", "left"
+        ).select(
+            "id",
+            F.coalesce("new_community", "community").alias("community"),
+            "agg_count",
+            "k",
+        )
+        chain_depth += 1
+        if chain_depth >= (_APPLY_CHAIN_MAX if fold_ok else 1):
+            new_vertices = truncate(new_vertices)
+            spills.append(new_vertices)
+            chain_depth = 0
         peak_gain = max(peak_gain, gain)
         # exact quality: a deliberately SMALL plan over the materialized
         # state, ONLY when the committed-gain signal collapses (see
@@ -475,7 +539,7 @@ def _move_nodes_loop(
         if it >= _QUALITY_CHECK_FROM and (
             gain <= 1e-12 or gain < peak_gain * _QUALITY_COLLAPSE_REL
         ):
-            q_cur = _quality(edges, vertices, objective, gamma, m)
+            q_cur = _quality(edges, hv(vertices), objective, gamma, m)
         if os.environ.get("GRAFT_SWEEP_LOG"):
             import time as _time
 
@@ -508,12 +572,18 @@ def _move_nodes_loop(
     # whichever partition scored best
     if best_q is not None and vertices is not best_vertices:
         if final_q is None:
-            final_q = _quality(edges, vertices, objective, gamma, m)
+            final_q = _quality(edges, hv(vertices), objective, gamma, m)
         if final_q > best_q + 1e-12:
             best_q = final_q
             best_vertices = vertices
     elif best_q is None:
         best_vertices = vertices  # quality tracking never kicked in
+    if getattr(best_vertices, "_graft_spill_path", None) is None:
+        # the chosen state is a lazy folded-apply chain over commit-set
+        # leaves: write it once, so the spill leaves it references can
+        # be dropped and callers get a stats-true parquet leaf (the
+        # contract every downstream stage depends on)
+        best_vertices = truncate(best_vertices)
     keep = getattr(best_vertices, "_graft_spill_path", None)
     for df in spills:
         if getattr(df, "_graft_spill_path", None) != keep:

@@ -501,7 +501,15 @@ def run_tail_distributed(
     nodes = level_vertices.select(
         F.lit(0).alias("_g"), "id", "community", "agg_count", "k"
     )
-    edges = level_edges.select(F.lit(0).alias("_g"), "src", "dst", "weight")
+    # Ship only the canonical half of the symmetrized table (r6): the
+    # kernel's _half_edges keeps src < dst rows plus loops and DISCARDS
+    # the mirrored direction, so filtering it out here halves the
+    # single-task cogroup shuffle and the Arrow batch — bit-identical
+    # result (strength comes from the nodes' k column, never recomputed
+    # from these rows).
+    edges = level_edges.where(F.col("src") <= F.col("dst")).select(
+        F.lit(0).alias("_g"), "src", "dst", "weight"
+    )
     return (
         nodes.groupBy("_g")
         .cogroup(edges.groupBy("_g"))
