@@ -139,12 +139,22 @@ def _source_parallel_brandes(
 
     spark = graph.edges.sparkSession
     id_type = graph.vertices().schema["id"].dataType.simpleString()
-    ids = np.sort(graph.vertices().select("id").toPandas()["id"].to_numpy())
-    epdf = adj.select("src", "dst").toPandas()
-    pos = pd.Series(np.arange(len(ids)), index=ids)
-    esrc = pos[epdf["src"].to_numpy()].to_numpy()
-    edst = pos[epdf["dst"].to_numpy()].to_numpy()
-    bcast = spark.sparkContext.broadcast((ids, esrc, edst))
+    # The (ids, esrc, edst) arrays are a pure function of the graph:
+    # memoized on the Graph (r6) so repeated Brandes calls — vertex
+    # then edge betweenness on the same graph is the common pairing —
+    # pay the collect + broadcast once per session, not per call.
+    # Released by Graph.unpersist().
+    bcast = graph._brandes_bcast
+    if bcast is None:
+        ids = np.sort(
+            graph.vertices().select("id").toPandas()["id"].to_numpy()
+        )
+        epdf = adj.select("src", "dst").toPandas()
+        pos = pd.Series(np.arange(len(ids)), index=ids)
+        esrc = pos[epdf["src"].to_numpy()].to_numpy()
+        edst = pos[epdf["dst"].to_numpy()].to_numpy()
+        bcast = spark.sparkContext.broadcast((ids, esrc, edst))
+        graph._brandes_bcast = bcast
 
     if n_parts is None:
         n_parts = max(1, spark.sparkContext.defaultParallelism)
@@ -226,7 +236,6 @@ def _source_parallel_brandes(
             )
         )
     out = truncate(out)
-    bcast.unpersist()
     return out
 
 
@@ -399,9 +408,9 @@ def betweenness_centrality(
     )
     if n_src == 0:
         return verts.select("id", F.lit(0.0).alias("betweenness"))
-    adj = truncate(
-        graph.without_self_loops().select("src", "dst").distinct()
-    )
+    # memoized on the Graph (r6): one distinct + write per Graph, shared
+    # with edge betweenness / WL / sampling — not dropped here
+    adj, m = graph.simple_adjacency()
 
     factor = 0.5
     if normalized:
@@ -409,23 +418,18 @@ def betweenness_centrality(
     if not explicit_sources and n_src < n:
         factor *= n / n_src
 
-    m = adj.count()
     if _brandes_tail_ready(m, n_src, sequential_threshold):
-        out = truncate(
+        return truncate(
             _sequential_brandes(graph, adj, sources, False, factor)
         )
-        drop_spill(adj)
-        return out
     if (
         sequential_threshold
         and m <= sequential_threshold
         and n_src <= _SOURCE_PARALLEL_MAX_SOURCES
     ):
-        out = _source_parallel_brandes(
+        return _source_parallel_brandes(
             graph, adj, sources, False, factor
         )
-        drop_spill(adj)
-        return out
 
     spills: list[DataFrame] = []
 
@@ -497,7 +501,6 @@ def betweenness_centrality(
         )
         for df in spills:
             drop_spill(df)
-        drop_spill(adj)
     return out
 
 
@@ -547,7 +550,8 @@ def edge_betweenness_centrality(
     if n_src == 0:
         return und_zero
 
-    adj = truncate(simple)
+    # memoized on the Graph (r6): shared with vertex betweenness
+    adj, m = graph.simple_adjacency()
     und = adj.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
@@ -558,23 +562,18 @@ def edge_betweenness_centrality(
     if not explicit_sources and n_src < n:
         factor *= n / n_src
 
-    m = adj.count()
     if _brandes_tail_ready(m, n_src, sequential_threshold):
-        out = truncate(
+        return truncate(
             _sequential_brandes(graph, adj, sources, True, factor)
         )
-        drop_spill(adj)
-        return out
     if (
         sequential_threshold
         and m <= sequential_threshold
         and n_src <= _SOURCE_PARALLEL_MAX_SOURCES
     ):
-        out = _source_parallel_brandes(
+        return _source_parallel_brandes(
             graph, adj, sources, True, factor
         )
-        drop_spill(adj)
-        return out
 
     spills: list[DataFrame] = []
 
@@ -647,5 +646,4 @@ def edge_betweenness_centrality(
         )
         for df in spills:
             drop_spill(df)
-        drop_spill(adj)
     return out

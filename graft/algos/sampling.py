@@ -82,7 +82,9 @@ def neighbor_sample(
         )
     if not fanouts or any(f < 1 for f in fanouts):
         raise ValueError(f"fanouts must be positive, got {fanouts}")
-    adj = graph.without_self_loops().select("src", "dst").distinct()
+    # memoized simple adjacency on the Graph (r6): shared leaf with
+    # betweenness/WL; only a max_degree truncation spills its own copy
+    adj, n_adj = graph.simple_adjacency()
     if max_degree is not None:
         adj = (
             adj.withColumn(
@@ -100,15 +102,17 @@ def neighbor_sample(
             .where(F.col("rn") <= max_degree)
             .drop("rn")
         )
-    adj = truncate(adj)
+        adj = truncate(adj)
+        spills = [adj]
+    else:
+        spills = []
     if roots is None:
         roots = graph.vertices()
     spark = graph.edges.sparkSession
-    spills = [adj]
     frontier = roots.select(F.col("id").cast("long").alias("root"))
     frontier = frontier.select("root", F.col("root").alias("id"))
     parts: list[DataFrame] = []
-    with superstep_conf(spark, adj.count()) as sp:
+    with superstep_conf(spark, n_adj) as sp:
         # Array fast path (r6), engaged when ``max_degree`` bounds the
         # per-vertex adjacency: collapse each vertex's (truncated)
         # neighbor list into ONE array row, hash-partitioned by vertex

@@ -72,10 +72,10 @@ def wl_colors(graph: Graph, rounds: int = 2) -> DataFrame:
     sum_{u∈N(v)} H(color_t(u)) mod 2^60), 0 for isolated vertices.
     Deterministic at any partitioning (the sum is commutative)."""
     verts = graph.vertices()
-    adj = truncate(
-        graph.without_self_loops().select("src", "dst").distinct()
-    )
-    spills = [adj]
+    # memoized on the Graph (r6): shared leaf with betweenness/sampling,
+    # so repeated structural operators pay the distinct + write once
+    adj, n_adj = graph.simple_adjacency()
+    spills = []
     deg = adj.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -85,7 +85,7 @@ def wl_colors(graph: Graph, rounds: int = 2) -> DataFrame:
         )
     )
     spills.append(colors)
-    with superstep_conf(graph.edges.sparkSession, adj.count()):
+    with superstep_conf(graph.edges.sparkSession, n_adj):
         for _ in range(rounds):
             nbr = (
                 adj.join(colors.withColumnRenamed("id", "dst"), "dst")

@@ -32,6 +32,9 @@ class Graph:
     _trans_copart: DataFrame | None = field(default=None, repr=False)
     _verts: DataFrame | None = field(default=None, repr=False)
     _nv: int | None = field(default=None, repr=False)
+    _adj: DataFrame | None = field(default=None, repr=False)
+    _adj_rows: int | None = field(default=None, repr=False)
+    _brandes_bcast: object | None = field(default=None, repr=False)
 
     @classmethod
     def from_undirected(cls, raw_edges: DataFrame) -> "Graph":
@@ -60,6 +63,18 @@ class Graph:
             self._verts.unpersist()
             self._verts = None
             self._nv = None
+        if self._adj is not None:
+            from graft.checkpoint import drop_spill
+
+            drop_spill(self._adj)
+            self._adj = None
+            self._adj_rows = None
+        if self._brandes_bcast is not None:
+            try:
+                self._brandes_bcast.unpersist()
+            except Exception:
+                pass
+            self._brandes_bcast = None
 
     def transition(self, copartitioned: bool = False) -> DataFrame:
         """Memoized random-walk transition table ``(src, dst, p)`` with
@@ -209,6 +224,23 @@ class Graph:
         """Top-n hubs by weighted degree (X5, examples/test2.py:22-26) —
         also the skew detector feeding graft.skew."""
         return self.strength().orderBy(F.desc("k"), "id").limit(n)
+
+    def simple_adjacency(self) -> tuple[DataFrame, int]:
+        """Memoized simple adjacency ``(src, dst)`` — distinct non-loop
+        pairs, materialized once per Graph as a stats-true parquet leaf
+        (r6). Betweenness, WL refinement and neighbor sampling all
+        derive the identical table; sharing one leaf means one distinct
+        shuffle + one write per Graph instead of one per operator call.
+        Returns ``(frame, row_count)``; released by :meth:`unpersist`.
+        """
+        if self._adj is None:
+            from graft.checkpoint import truncate
+
+            self._adj = truncate(
+                self.without_self_loops().select("src", "dst").distinct()
+            )
+            self._adj_rows = self._adj.count()
+        return self._adj, self._adj_rows
 
     def has_self_loops(self) -> bool:
         """X6 (examples/test1.py:40-42)."""
