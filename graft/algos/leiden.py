@@ -556,6 +556,7 @@ def leiden(
                 vertices=checkpointer.load_table(f"level={done}/vertices"),
             )
             start_lvl = done + 1
+    tail_at_base = False
     for lvl in range(start_lvl, max_levels):
         _n_rows, _n_verts = level.edges.count(), level.vertices.count()
         if _tail_ready(
@@ -581,6 +582,10 @@ def leiden(
                     file=_sys.stderr, flush=True,
                 )
             level = Level(edges=level.edges, vertices=tail)
+            # the whole run was one tail task over the base vertex set:
+            # the label fold below would be an identity join (no
+            # mappings, tail covers every base id) — skip it (r6)
+            tail_at_base = lvl == 0 and start_lvl == 0 and not mappings
             break
 
         def _on_sweep(it, n_moves, verts, _lvl=lvl):
@@ -664,21 +669,27 @@ def leiden(
         level.edges.unpersist()
         level = Level(edges=new_edges.persist(), vertices=new_vertices)
 
-    # fold orig id → coarsest supernode, then take that supernode's final
-    # P community
-    cur = base_ids.select("id", F.col("id").alias("node"))
-    for mp in mappings:
-        cur = cur.join(
-            mp.withColumnRenamed("child", "node"), "node", "left"
-        ).select("id", F.coalesce("parent", "node").alias("node"))
-    final = cur.join(
-        level.vertices.select(
-            F.col("id").alias("node"), F.col("community").alias("community")
-        ),
-        "node",
-        "left",
-    ).select("id", F.coalesce("community", "node").alias("community"))
-    final = truncate(final)
+    if tail_at_base:
+        # level-0 tail: its (id, community) output IS the final label
+        # table — already a truncated leaf over the base vertex set
+        final = level.vertices.select("id", "community")
+    else:
+        # fold orig id → coarsest supernode, then take that supernode's
+        # final P community
+        cur = base_ids.select("id", F.col("id").alias("node"))
+        for mp in mappings:
+            cur = cur.join(
+                mp.withColumnRenamed("child", "node"), "node", "left"
+            ).select("id", F.coalesce("parent", "node").alias("node"))
+        final = cur.join(
+            level.vertices.select(
+                F.col("id").alias("node"),
+                F.col("community").alias("community"),
+            ),
+            "node",
+            "left",
+        ).select("id", F.coalesce("community", "node").alias("community"))
+        final = truncate(final)
     base_ids.unpersist()
     if return_quality:
         from graft.quality import cpm

@@ -114,6 +114,17 @@ def louvain(
                     seed + lvl,
                 )
             )
+            if lvl == 0 and start_lvl == 0 and not mappings:
+                # level-0 tail over the base vertex set: the fold below
+                # would be an identity join — return directly (r6)
+                base_ids.unpersist()
+                level.edges.unpersist()
+                result = tail.select("id", "community")
+                if return_quality:
+                    from graft.quality import modularity
+
+                    return result, modularity(graph.edges, result)
+                return result
             mappings.append(
                 tail.select(
                     F.col("id").alias("child"),

@@ -381,10 +381,26 @@ def events_to_transcripts(events: DataFrame) -> DataFrame:
                numeric payload in props — a deterministic small tool
                vocabulary that creates hub actors; NULL otherwise
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    k = F.regexp_extract("props", r"(\d+)", 1).cast("long")
-    return events.select(
+    # Project conv_id FIRST and partition the turn-ordering window by
+    # that column itself (r6). Same partition classes as the old
+    # user_id key (the string cast is injective), but the window's
+    # output partitioning is then hashpartitioning(conv_id), which
+    # every downstream Window.partitionBy("conv_id") — the adjacency
+    # derivations — satisfies without a second full exchange of the
+    # events table. (Partitioning by the cast EXPRESSION does not work:
+    # the planner materializes it as a private _w0 attribute the alias
+    # map cannot connect to conv_id.)
+    base = events.select(
         F.col("user_id").cast("string").alias("conv_id"),
+        "event_id",
+        "ts",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("long")
+    return base.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
