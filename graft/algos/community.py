@@ -44,6 +44,19 @@ class Level:
     vertices: DataFrame  # (id, community, agg_count, k)
 
 
+def _is_persisted(df: DataFrame) -> bool:
+    """True when the frame already carries a storage level — i.e. the
+    CALLER persisted it. Level loops use this to avoid evicting a cache
+    they do not own (persist() on an already-persisted frame returns
+    the same object, so a later unpersist() would release the caller's
+    cache)."""
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        return False
+
+
 def init_level(edges: DataFrame) -> Level:
     """Singleton communities, agg_count=1, k=strength (C1,
     custom_leiden.py:525-531)."""

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from graft.checkpoint import Checkpointer, truncate
 from graft.algos.community import (
     Level,
+    _is_persisted,
     aggregate_graph,
     init_level,
     move_nodes,
@@ -530,7 +531,19 @@ def leiden(
             "agg_count",
             "k",
         )
+    # Ownership (r6): persisting the caller's edge frame returns the
+    # SAME object when it is already cached, so unpersisting it on exit
+    # silently evicted the caller's cache — every later algorithm on
+    # the same Graph re-derived and re-cached the edge table. Only
+    # frames this function created (contracted levels, or a level-0
+    # persist the caller had not done) are released.
+    _owns_edges = not _is_persisted(level.edges)
     level.edges = level.edges.persist()
+
+    def _release(df: DataFrame, owned: bool) -> None:
+        if owned:
+            df.unpersist()
+
     mappings: list[DataFrame] = []
     start_lvl = 0
     if checkpointer is not None:
@@ -550,7 +563,8 @@ def leiden(
                 checkpointer.load_table(f"level={k}/mapping")
                 for k in range(done + 1)
             ]
-            level.edges.unpersist()
+            _release(level.edges, _owns_edges)
+            _owns_edges = True
             level = Level(
                 edges=checkpointer.load_table(f"level={done}/edges").persist(),
                 vertices=checkpointer.load_table(f"level={done}/vertices"),
@@ -666,7 +680,8 @@ def leiden(
             new_vertices = checkpointer.save_table(
                 f"level={lvl}/vertices", new_vertices
             )
-        level.edges.unpersist()
+        _release(level.edges, _owns_edges)
+        _owns_edges = True
         level = Level(edges=new_edges.persist(), vertices=new_vertices)
 
     if tail_at_base:
@@ -695,7 +710,7 @@ def leiden(
         from graft.quality import cpm
 
         q = cpm(graph.edges, final, gamma)
-        level.edges.unpersist()
+        _release(level.edges, _owns_edges)
         return final, q
-    level.edges.unpersist()
+    _release(level.edges, _owns_edges)
     return final

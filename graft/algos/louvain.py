@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from graft.checkpoint import Checkpointer, truncate
 from graft.algos.community import (
+    _is_persisted,
     Level,
     aggregate_graph,
     aggregate_vertices,
@@ -76,7 +77,14 @@ def louvain(
             "agg_count",
             "k",
         )
+    # ownership (r6): see leiden — never evict a cache the caller owns
+    _owns_edges = not _is_persisted(level.edges)
     level.edges = level.edges.persist()
+
+    def _release(df, owned):
+        if owned:
+            df.unpersist()
+
     mappings: list[DataFrame] = []
     start_lvl = 0
     if checkpointer is not None:
@@ -93,7 +101,8 @@ def louvain(
                 checkpointer.load_table(f"level={k}/mapping")
                 for k in range(done + 1)
             ]
-            level.edges.unpersist()
+            _release(level.edges, _owns_edges)
+            _owns_edges = True
             level = Level(
                 edges=checkpointer.load_table(f"level={done}/edges").persist(),
                 vertices=checkpointer.load_table(f"level={done}/vertices"),
@@ -118,7 +127,7 @@ def louvain(
                 # level-0 tail over the base vertex set: the fold below
                 # would be an identity join — return directly (r6)
                 base_ids.unpersist()
-                level.edges.unpersist()
+                _release(level.edges, _owns_edges)
                 result = tail.select("id", "community")
                 if return_quality:
                     from graft.quality import modularity
@@ -180,7 +189,8 @@ def louvain(
             new_vertices = checkpointer.save_table(
                 f"level={lvl}/vertices", new_vertices
             )
-        level.edges.unpersist()
+        _release(level.edges, _owns_edges)
+        _owns_edges = True
         level = Level(edges=new_edges.persist(), vertices=new_vertices)
     result = propagate_labels(base_ids, mappings)
     result = truncate(result)
@@ -189,7 +199,7 @@ def louvain(
         from graft.quality import modularity
 
         q = modularity(graph.edges, result)
-        level.edges.unpersist()
+        _release(level.edges, _owns_edges)
         return result, q
-    level.edges.unpersist()
+    _release(level.edges, _owns_edges)
     return result
