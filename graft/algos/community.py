@@ -80,16 +80,21 @@ def gather_neighbor_comm_weights(
 ) -> DataFrame:
     """A2: for every (vertex, neighboring community) the total edge
     weight — self-loops excluded (a node is not its own neighbor,
-    csrc/src/leiden_kernel.cu:66-69). Returns (id, nbr_comm, k_vc)."""
+    csrc/src/leiden_kernel.cu:66-69). Returns (id, nbr_comm, k_vc).
+
+    The assign side joins UN-projected (r6): when the sweep loop passes
+    the same vertex-state frame here and to ``_select_moves``'s ``v``
+    join, both broadcast build sides canonicalize identically (same
+    subtree, same ``id`` key) and ReuseExchange ships ONE vertex-state
+    broadcast per sweep instead of two."""
+    a = assign.alias("_as")
     return (
         edges.where(F.col("src") != F.col("dst"))
-        .join(
-            assign.select(
-                F.col("id").alias("dst"), F.col("community").alias("nbr_comm")
-            ),
-            "dst",
+        .join(a, F.col("dst") == F.col("_as.id"))
+        .groupBy(
+            F.col("src").alias("id"),
+            F.col("_as.community").alias("nbr_comm"),
         )
-        .groupBy(F.col("src").alias("id"), "nbr_comm")
         .agg(F.sum("weight").alias("k_vc"))
     )
 
@@ -484,7 +489,14 @@ def _move_nodes_loop(
 
     for it in range(max_sweeps):
         gather = gather_neighbor_comm_weights(edges, hv(vertices))
-        comm_agg = community_aggregates(vertices)
+        # under the small-V gate, fold the community aggregate to one
+        # partition before aggregating: the broadcast build then runs a
+        # single-task agg with NO internal exchange (a 2-stage shuffle
+        # job per sweep otherwise; sums are over dyadic-rational k, so
+        # accumulation order cannot change results)
+        comm_agg = community_aggregates(
+            vertices.coalesce(1) if fold_ok else vertices
+        )
         # Materialize the (small) move set FIRST, for two reasons. One:
         # the conflict chain references the moves subtree three times and
         # plans are trees, not DAGs — folding it unmaterialized into the
