@@ -529,31 +529,41 @@ def _move_nodes_loop(
         # simultaneous movers can realize less, so the observed sum is
         # a health signal, not a quality delta.
         obs = Observation(f"commits_{it}")
-        commits = truncate(
-            _resolve_conflicts(
-                moves, edges, it, seed, broadcast_blocked=fold_ok
-            ).observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
-            )
+        resolved = _resolve_conflicts(
+            moves, edges, it, seed, broadcast_blocked=fold_ok
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
         )
-        spills.append(commits)
+
+        def _apply(commits_df: DataFrame) -> DataFrame:
+            return vertices.join(
+                F.broadcast(commits_df), "id", "left"
+            ).select(
+                "id",
+                F.coalesce("new_community", "community").alias("community"),
+                "agg_count",
+                "k",
+            )
+
+        if fold_ok:
+            commits = truncate(resolved)
+            spills.append(commits)
+            new_vertices = _apply(commits)
+            chain_depth += 1
+            if chain_depth >= _APPLY_CHAIN_MAX:
+                new_vertices = truncate(new_vertices)
+                spills.append(new_vertices)
+                chain_depth = 0
+        else:
+            # above the fold gate (V too big to broadcast-hint): the r5
+            # fused shape — resolve + observe + apply in ONE V-sized
+            # materialization per sweep
+            new_vertices = truncate(_apply(resolved))
+            spills.append(new_vertices)
         crow = obs.get
         n_moves, gain = crow["n"], float(crow["g"])
-        new_vertices = vertices.join(
-            F.broadcast(commits), "id", "left"
-        ).select(
-            "id",
-            F.coalesce("new_community", "community").alias("community"),
-            "agg_count",
-            "k",
-        )
-        chain_depth += 1
-        if chain_depth >= (_APPLY_CHAIN_MAX if fold_ok else 1):
-            new_vertices = truncate(new_vertices)
-            spills.append(new_vertices)
-            chain_depth = 0
         peak_gain = max(peak_gain, gain)
         # exact quality: a deliberately SMALL plan over the materialized
         # state, ONLY when the committed-gain signal collapses (see

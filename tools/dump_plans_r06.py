@@ -45,28 +45,37 @@ def dump(name: str, tag: str, text: str) -> None:
 
 
 def plan_hyper_anf(spark, big: Graph) -> str:
-    """One sketch-union round against a materialized sketch table."""
+    """One sketch-union round, mirroring the shape _hll_nf executes
+    (r6 after: broadcast sketch table + self-loop adjacency partitioned
+    by src, no per-round exchange)."""
+    from graft.algos.community import superstep_conf
     from graft.checkpoint import truncate
 
-    edges = big.without_self_loops().select("src", "dst")
-    sk = truncate(
-        big.vertices()
-        .groupBy("id")
-        .agg(F.hll_sketch_agg(F.col("id"), F.lit(8)).alias("sk"))
-    )
-    from graft.algos import anf
-
-    if hasattr(anf, "_hll_round"):
-        gathered = anf._hll_round(anf._hll_prep(big, 8), sk)
-    else:
-        gathered = (
-            edges.join(sk.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "sk")
-            .unionAll(sk)
+    with superstep_conf(spark, big.edges.count()) as sp:
+        adj = (
+            big.without_self_loops().select("src", "dst")
+            .unionAll(
+                big.vertices().select(
+                    F.col("id").alias("src"), F.col("id").alias("dst")
+                )
+            )
+            .repartition(sp, "src")
+            .persist()
+        )
+        adj.count()
+        sk = truncate(
+            big.vertices()
             .groupBy("id")
+            .agg(F.hll_sketch_agg(F.col("id"), F.lit(8)).alias("sk"))
+        )
+        gathered = (
+            adj.join(F.broadcast(sk.withColumnRenamed("id", "dst")), "dst")
+            .groupBy(F.col("src").alias("id"))
             .agg(F.hll_union_agg("sk").alias("sk"))
         )
-    return _fmt(gathered)
+        out = _fmt(gathered)
+        adj.unpersist()
+    return out
 
 
 def plan_neighbor_sample(spark, big: Graph) -> str:
