@@ -415,46 +415,6 @@ def move_nodes(
         return Level(edges=edges, vertices=out.vertices), total
 
 
-# How many sweeps of committed moves may fold onto the vertex leaf as
-# chained broadcast left-joins before the state is re-materialized. The
-# apply is algebraically a chain of coalesce(newest commit, ..., base
-# community); folding it means the steady-state sweep materializes ONLY
-# the mover-bounded commit set (two small jobs: select, resolve) and
-# never rewrites the V-sized vertex table — the r5 loop paid a full
-# vertex write per sweep. The cap bounds plan growth: each folded sweep
-# adds one broadcast join to the three references of the vertex state
-# in the next sweep's plan (assign, v, comm_agg), so analysis cost
-# grows linearly with depth; 4 keeps the tree shallow while amortizing
-# the V-write 4x.
-_APPLY_CHAIN_MAX = 4
-
-# Fold gate: the folded chain replaces a parquet leaf (true file-size
-# stats → auto-broadcast into the gather/select joins) with a join
-# expression whose size-only Catalyst estimate inflates multiplicatively
-# — unhinted, the planner would flip the assign join to a sort-merge
-# shuffle of the E-sized edge table. Folding therefore (a) only engages
-# when the MEASURED vertex-leaf size fits comfortably in a broadcast
-# relation, and (b) explicitly broadcast-hints the vertex-state side of
-# those joins. Above the gate — the 10^12-vertex regime, where V can't
-# be broadcast — the loop re-materializes the state every sweep and
-# leaves join selection to the planner, exactly the r5 behavior.
-_FOLD_MAX_VERTEX_BYTES = 64 * 1024 * 1024
-
-
-def _leaf_bytes(df: DataFrame) -> int | None:
-    """Total file size of a truncate()-produced parquet leaf (local
-    paths only; None when unknown — remote URIs or non-leaf frames)."""
-    path = getattr(df, "_graft_spill_path", None)
-    if not path or "://" in path or not os.path.isdir(path):
-        return None
-    total = 0
-    for name in os.listdir(path):
-        fp = os.path.join(path, name)
-        if os.path.isfile(fp):
-            total += os.path.getsize(fp)
-    return total
-
-
 def _move_nodes_loop(
     level: Level,
     objective: str,
@@ -478,25 +438,9 @@ def _move_nodes_loop(
     final_q = None  # quality of `vertices`, when known
     stall = 0
     peak_gain = 0.0
-    chain_depth = 0  # folded commit joins since the last vertex write
-    vb = _leaf_bytes(vertices)
-    fold_ok = vb is not None and vb <= _FOLD_MAX_VERTEX_BYTES
-
-    def hv(df: DataFrame) -> DataFrame:
-        # broadcast-hint the vertex-state side under the fold gate (see
-        # _FOLD_MAX_VERTEX_BYTES); a no-op wrapper otherwise
-        return F.broadcast(df) if fold_ok else df
-
     for it in range(max_sweeps):
-        gather = gather_neighbor_comm_weights(edges, hv(vertices))
-        # under the small-V gate, fold the community aggregate to one
-        # partition before aggregating: the broadcast build then runs a
-        # single-task agg with NO internal exchange (a 2-stage shuffle
-        # job per sweep otherwise; sums are over dyadic-rational k, so
-        # accumulation order cannot change results)
-        comm_agg = community_aggregates(
-            vertices.coalesce(1) if fold_ok else vertices
-        )
+        gather = gather_neighbor_comm_weights(edges, vertices)
+        comm_agg = community_aggregates(vertices)
         # Materialize the (small) move set FIRST, for two reasons. One:
         # the conflict chain references the moves subtree three times and
         # plans are trees, not DAGs — folding it unmaterialized into the
@@ -512,56 +456,40 @@ def _move_nodes_loop(
         # ~25% off the marginal sweep cost, and less DRAM traffic =
         # less multi-core cache-contention inflation).
         moves = truncate(
-            _select_moves(hv(vertices), gather, comm_agg, objective, gamma, m)
+            _select_moves(vertices, gather, comm_agg, objective, gamma, m)
         )
         spills.append(moves)
-        # The resolved commit set is the sweep's ONLY other
-        # materialization (r6; the r5 loop wrote the full V-sized vertex
-        # state every sweep): the (move count, committed-gain sum)
-        # Observation rides the commit write, and the apply — vertices
-        # left-join broadcast(commits), coalesce — stays LAZY, folded
-        # into the next sweep's plans as a chained broadcast join
-        # against the commit-set parquet leaves (re-materialized every
-        # _APPLY_CHAIN_MAX sweeps to bound plan depth). Commit sets are
-        # mover-bounded and shrink as the level converges, so the
-        # steady-state sweep writes orders of magnitude fewer rows.
-        # Each committed delta is the mover's claimed objective gain;
-        # simultaneous movers can realize less, so the observed sum is
-        # a health signal, not a quality delta.
+        # The conflict resolution, its (move count, committed-gain sum)
+        # metrics AND the apply all ride ONE materialization: the
+        # resolved commit set is explicitly broadcast into the apply
+        # join, so the vertex table is scanned in place exactly as it
+        # was when the commit set was a separately-materialized parquet
+        # leaf (commit sets are mover-bounded and small by
+        # construction), and the Observation on the conflict subtree is
+        # collected during the same write. Net: TWO driver-materialized
+        # jobs per sweep (select, resolve+apply). An r6 experiment that
+        # deferred the apply as a chained lazy broadcast join — writing
+        # only the commit set per sweep — measured 15-40% SLOWER per
+        # sweep at local[4]/local[32] (the chain re-executes inside
+        # every broadcast build of the next sweep), so the fused shape
+        # stays. Each committed delta is the mover's claimed objective
+        # gain; simultaneous movers can realize less, so the observed
+        # sum is a health signal, not a quality delta.
         obs = Observation(f"commits_{it}")
-        resolved = _resolve_conflicts(
-            moves, edges, it, seed, broadcast_blocked=fold_ok
-        ).observe(
+        commits = _resolve_conflicts(moves, edges, it, seed).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("delta"), F.lit(0.0)).alias("g"),
         )
-
-        def _apply(commits_df: DataFrame) -> DataFrame:
-            return vertices.join(
-                F.broadcast(commits_df), "id", "left"
-            ).select(
+        new_vertices = truncate(
+            vertices.join(F.broadcast(commits), "id", "left").select(
                 "id",
                 F.coalesce("new_community", "community").alias("community"),
                 "agg_count",
                 "k",
             )
-
-        if fold_ok:
-            commits = truncate(resolved)
-            spills.append(commits)
-            new_vertices = _apply(commits)
-            chain_depth += 1
-            if chain_depth >= _APPLY_CHAIN_MAX:
-                new_vertices = truncate(new_vertices)
-                spills.append(new_vertices)
-                chain_depth = 0
-        else:
-            # above the fold gate (V too big to broadcast-hint): the r5
-            # fused shape — resolve + observe + apply in ONE V-sized
-            # materialization per sweep
-            new_vertices = truncate(_apply(resolved))
-            spills.append(new_vertices)
+        )
+        spills.append(new_vertices)
         crow = obs.get
         n_moves, gain = crow["n"], float(crow["g"])
         peak_gain = max(peak_gain, gain)
@@ -574,7 +502,7 @@ def _move_nodes_loop(
         if it >= _QUALITY_CHECK_FROM and (
             gain <= 1e-12 or gain < peak_gain * _QUALITY_COLLAPSE_REL
         ):
-            q_cur = _quality(edges, hv(vertices), objective, gamma, m)
+            q_cur = _quality(edges, vertices, objective, gamma, m)
         if os.environ.get("GRAFT_SWEEP_LOG"):
             import time as _time
 
@@ -607,17 +535,16 @@ def _move_nodes_loop(
     # whichever partition scored best
     if best_q is not None and vertices is not best_vertices:
         if final_q is None:
-            final_q = _quality(edges, hv(vertices), objective, gamma, m)
+            final_q = _quality(edges, vertices, objective, gamma, m)
         if final_q > best_q + 1e-12:
             best_q = final_q
             best_vertices = vertices
     elif best_q is None:
         best_vertices = vertices  # quality tracking never kicked in
     if getattr(best_vertices, "_graft_spill_path", None) is None:
-        # the chosen state is a lazy folded-apply chain over commit-set
-        # leaves: write it once, so the spill leaves it references can
-        # be dropped and callers get a stats-true parquet leaf (the
-        # contract every downstream stage depends on)
+        # defensive: every state in this loop is a truncated leaf, but
+        # if a non-leaf ever reaches here, write it once so the spill
+        # leaves it references can be dropped safely
         best_vertices = truncate(best_vertices)
     keep = getattr(best_vertices, "_graft_spill_path", None)
     for df in spills:
