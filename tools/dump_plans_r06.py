@@ -143,13 +143,102 @@ def plan_edge_derivation(spark, big: Graph) -> str:
     return _fmt(t)
 
 
+def plan_brandes_adjacency(spark, big: Graph, tag: str) -> str:
+    """The per-call simple-adjacency build the Brandes/WL family pays.
+
+    before (round-start code shape, betweenness.py@bfdc2a8+2: every
+    betweenness / edge-betweenness / wl_colors call re-ran this):
+    distinct over the 4M-row symmetrized table — HashAggregate +
+    Exchange + HashAggregate + spill write PER CALL.
+
+    after: the r6 `Graph.simple_adjacency()` memoized leaf — the build
+    runs once per Graph; every subsequent caller's plan starts from the
+    stats-true parquet scan shown here (no distinct, no Exchange).
+    """
+    if tag == "before":
+        return (
+            "-- per-call adjacency build (repeated by every Brandes/WL"
+            " call at round start)\n"
+            + _fmt(big.without_self_loops().select("src", "dst").distinct())
+        )
+    adj, n = big.simple_adjacency()  # first call materializes the leaf
+    return (
+        "-- adjacency as every caller after the first now sees it"
+        f" (memoized leaf, {n} rows)\n" + _fmt(adj.select("src", "dst"))
+    )
+
+
+def plan_leiden_tail_shuttle(spark, big: Graph, tag: str) -> str:
+    """The one-task cogroup that ships a level graph into the
+    sequential tail kernel (run_tail_distributed).
+
+    before (round-start shape): the FULL symmetrized edge table flows
+    into the single-task cogroup exchange + Arrow batch.
+
+    after: only the canonical ``src <= dst`` half is shipped (the
+    kernel's _half_edges discards mirrored rows) — the Filter under the
+    edges side of FlatMapCoGroupsInPandas halves the shuffle and batch.
+    """
+    import graft.algos.seq_tail as st
+
+    level_edges = big.edges
+    level_vertices = (
+        big.vertices()
+        .join(
+            big.strength().withColumnRenamed("id", "_sid"),
+            F.col("id") == F.col("_sid"),
+        )
+        .select(
+            "id", F.col("id").alias("community"),
+            F.lit(1).alias("agg_count"), "k",
+        )
+    )
+    if tag == "before":
+        # round-start shape: no src<=dst pre-filter on the edges side
+        import pandas as pd
+
+        def fn(nodes_pdf, edges_pdf):
+            return pd.DataFrame({"id": [], "community": []})
+
+        nodes = level_vertices.select(
+            F.lit(0).alias("_g"), "id", "community", "agg_count", "k"
+        )
+        edges = level_edges.select(
+            F.lit(0).alias("_g"), "src", "dst", "weight"
+        )
+        df = (
+            nodes.groupBy("_g")
+            .cogroup(edges.groupBy("_g"))
+            .applyInPandas(fn, schema="id long, community long")
+        )
+        return (
+            "-- round-start shape: full symmetrized table into the"
+            " one-task cogroup\n" + _fmt(df)
+        )
+    return (
+        "-- r6 shape: only the canonical src <= dst half is shipped\n"
+        + _fmt(
+            st.run_tail_distributed(
+                level_edges, level_vertices, "cpm", 0.05,
+                big.total_edge_weight(), 1234,
+            )
+        )
+    )
+
+
 PLANS = {
     "hyper_anf_3hops_2m_edges": plan_hyper_anf,
     "neighbor_sample_2hop_2m_edges": plan_neighbor_sample,
     "wl_2rounds_2m_edges": plan_wl,
     "bsp_sweep_select_2m_edges": plan_sweep,
     "edge_derivation": plan_edge_derivation,
+    "brandes_adjacency_2m_edges": plan_brandes_adjacency,
+    "leiden_tail_shuttle_2m_edges": plan_leiden_tail_shuttle,
 }
+
+# plans whose builder takes the tag and reconstructs the round-start
+# shape itself (added late in the round, after the live before-capture)
+TAGGED = {"brandes_adjacency_2m_edges", "leiden_tail_shuttle_2m_edges"}
 
 
 def main() -> None:
@@ -161,7 +250,9 @@ def main() -> None:
     ).cache()
     big.edges.count()
     for name in names:
-        dump(name, tag, PLANS[name](spark, big))
+        fn = PLANS[name]
+        text = fn(spark, big, tag) if name in TAGGED else fn(spark, big)
+        dump(name, tag, text)
     spark.stop()
 
 
